@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
+training-data pipeline operators (dedup / similarity / text analysis /
+multimodal plumbing).  ``oracle_sql()`` gives the DuckDB-equivalent for each;
+the extraction operators run the REAL kernel pipeline over a transcripts
+table derived deterministically from the ``documents`` view
+(``sparkx.graft``), and their oracles independently reconstruct the expected
+output in SQL — so a value-hash match verifies the whole kernel path.
 """
 
 from __future__ import annotations
@@ -12,27 +14,618 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkx.graft import TRANSCRIPTS_SQL_CTE, transcripts_from_documents
+from sparkx.ops import dedup as D
+from sparkx.ops import multimodal as M
+from sparkx.ops import similarity as S
+from sparkx.ops import textstats as T
+from sparkx.pipeline import crossref_edges, extract_blocks, ordered, surviving, type_stats
+
+# ───────────────────────── shared helpers ──────────────────────────────────
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _blocks(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    return extract_blocks(
+        transcripts_from_documents(spark, sf_dir), mode=mode, validate=True
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline (fastpath golden mode) over the
+    documents-derived transcript table at sf0.001."""
+    blocks = _blocks(spark, "/root/testdata/sf0.001", "fastpath")
+    return ordered(surviving(blocks)).select(
+        "chunk_id", "conv_id", "turn_idx", "chunk_type", "block_idx",
+        "structured_text", "confidence", "agent_notes", "status",
+    )
+
+
+# ─────────────────── extraction queries (Spark side) ───────────────────────
+
+
+def _q_ext_text_blocks(spark, sf_dir):
+    b = surviving(_blocks(spark, sf_dir, "fastpath"))
+    return b.filter("chunk_type = 'text'").select(
+        "conv_id", "turn_idx", "structured_text", "confidence", "agent_notes"
+    )
+
+
+def _q_ext_table_markdown(spark, sf_dir):
+    b = surviving(_blocks(spark, sf_dir, "fastpath"))
+    return b.filter("chunk_type = 'table'").select(
+        "conv_id", "turn_idx", "structured_text"
+    )
+
+
+def _q_ext_figures(spark, sf_dir):
+    b = surviving(_blocks(spark, sf_dir, "fastpath"))
+    return b.filter("chunk_type = 'figure'").select(
+        "conv_id", "turn_idx", "structured_text"
+    )
+
+
+def _q_ext_agentic_tables(spark, sf_dir):
+    b = surviving(_blocks(spark, sf_dir, "agentic"))
+    return b.filter("chunk_type = 'table'").select(
+        "conv_id", "turn_idx", "structured_text", "confidence"
+    )
+
+
+def _q_ext_ocr_fallback(spark, sf_dir):
+    b = surviving(_blocks(spark, sf_dir, "agentic"))
+    return b.filter("chunk_type = 'figure' AND confidence = 0.3").select(
+        "conv_id", "turn_idx", "structured_text", "confidence",
+        "intuition_summary", "agent_notes", "retried",
+    )
+
+
+def _q_ext_retry_lowconf(spark, sf_dir):
+    b = surviving(_blocks(spark, sf_dir, "agentic"))
+    return b.filter("retried").select("conv_id", "turn_idx", "chunk_type", "confidence")
+
+
+def _q_ext_drop_metrics(spark, sf_dir):
+    b = _blocks(spark, sf_dir, "fastpath")
+    return b.groupBy("status").agg(F.count("*").alias("n"))
+
+
+def _q_ext_chunk_stats(spark, sf_dir):
+    return type_stats(_blocks(spark, sf_dir, "fastpath"))
+
+
+def _q_ext_crossref(spark, sf_dir):
+    return crossref_edges(surviving(_blocks(spark, sf_dir, "fastpath")))
+
+
+def _q_ext_chunk_ids(spark, sf_dir):
+    b = surviving(_blocks(spark, sf_dir, "fastpath"))
+    return b.select("conv_id", "turn_idx", "chunk_type", "block_idx", "chunk_id")
+
+
+def _q_ext_ordering(spark, sf_dir):
+    from pyspark.sql import Window
+
+    b = surviving(_blocks(spark, sf_dir, "fastpath"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts", "block_rank", "block_idx")
+    ranked = b.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("conv_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.max(F.when(F.col("rn") == 1, F.col("chunk_type"))).alias("first_chunk_type"),
+        F.min("turn_idx").alias("first_turn"),
+        F.max("turn_idx").alias("last_turn"),
+    )
+
+
+# ───────────────── text-analysis / dedup / similarity ──────────────────────
+
+
+def _q_ta_profile(spark, sf_dir):
+    return T.text_profile(_docs(spark, sf_dir))
+
+
+def _q_ta_lang_agg(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", T.token_count().alias("n_tokens"), T.quality_score().alias("q"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.12)
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.05)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    return D.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3, bucketed=False)
+
+
+def _q_dedup_embedding_lsh(spark, sf_dir):
+    return D.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3, bucketed=True)
+
+
+def _q_ann_topk(spark, sf_dir):
+    return S.topk_bruteforce(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+def _q_ann_topk_lsh(spark, sf_dir):
+    return S.topk_lsh(_emb(spark, sf_dir), query_vec_id=0, k=10, nbits=4)
+
+
+# ───────────────────── reference joins / scalar ops ────────────────────────
+
+
+def _q_w2_topk_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .select("event_type", "event_id", F.round("value", 4).alias("value"), "rn")
+    )
+
+
+def _q_j2_dedup_merge(spark, sf_dir):
+    """The orchestrator hit-merge (J2, orchestrator.py:120-127): standard
+    top-8 + figure-only top-3; drop figure hits whose text is already
+    present; first occurrence wins."""
+    d = _docs(spark, sf_dir)
+    base = d.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(8).select(
+        "doc_id", "text", F.lit(0).alias("tier")
+    )
+    figs = d.filter("source = 'src1'").orderBy(F.asc("doc_id")).limit(3).select(
+        "doc_id", "text", F.lit(1).alias("tier")
+    )
+    extra = figs.join(base.select("text"), "text", "left_anti")
+    return base.unionByName(extra).select("doc_id", "tier")
+
+
+def _q_j3_crosslink_attach(spark, sf_dir):
+    """Cross-link attach (J3, crewai_pipeline.py:296-299): links grouped per
+    source chunk, left-joined back to the surviving chunks."""
+    b = surviving(_blocks(spark, sf_dir, "fastpath"))
+    links = crossref_edges(b)
+    agg = links.groupBy("source_chunk_id").agg(F.count("*").alias("n_links"))
+    return (
+        b.join(agg, b.chunk_id == agg.source_chunk_id, "left")
+        .select(
+            "conv_id", "turn_idx", "chunk_type",
+            F.coalesce("n_links", F.lit(0)).alias("n_links"),
+        )
+    )
+
+
+def _q_p6_safe_json(spark, sf_dir):
+    """_safe_json (P6, base.py:112-129): regex-extract the JSON object from a
+    text blob, then pull a field; empty object when no match."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = F.regexp_extract("props", r"(?s)\{.*\}", 0)
+    return ev.select(
+        "event_id",
+        F.coalesce(F.get_json_object(raw, "$.k"), F.lit("")).alias("k"),
+    )
+
+
+# ───────────────────────── multimodal plumbing ─────────────────────────────
+
+
+def _q_mm_decode(spark, sf_dir):
+    dec = M.decode_media(M.documents_as_media(_docs(spark, sf_dir)), fake_decode=True)
+    return dec.select("media_id", "kind", "width", "height", "n_bytes", "ok", "digest")
+
+
+def _q_mm_resize_plan(spark, sf_dir):
+    dec = M.documents_as_media(_docs(spark, sf_dir))
+    return M.resize_plan(dec, max_dim=512)
+
+
+def _q_mm_frame_sample(spark, sf_dir):
+    return M.frame_sample_plan(M.documents_as_media(_docs(spark, sf_dir)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # extraction pipeline (SURVEY §2.1-2.3, §2.10: S1-S6, P1-P5, P10, P12, R1-R4, W1, A1-A3, U1-U4)
+        "ext_text_blocks": _q_ext_text_blocks,
+        "ext_table_markdown": _q_ext_table_markdown,
+        "ext_figures": _q_ext_figures,
+        "ext_agentic_tables": _q_ext_agentic_tables,
+        "ext_ocr_fallback": _q_ext_ocr_fallback,
+        "ext_retry_lowconf": _q_ext_retry_lowconf,
+        "ext_drop_metrics": _q_ext_drop_metrics,
+        "ext_chunk_stats": _q_ext_chunk_stats,
+        "ext_crossref": _q_ext_crossref,
+        "ext_chunk_ids": _q_ext_chunk_ids,
+        "ext_ordering": _q_ext_ordering,
+        # text analysis
+        "ta_profile": _q_ta_profile,
+        "ta_lang_agg": _q_ta_lang_agg,
+        # dedup family
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        # similarity search
+        "ann_topk": _q_ann_topk,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        # joins / window / scalar ops (J2, J3, W2, P6)
+        "w2_topk_per_group": _q_w2_topk_per_group,
+        "j2_dedup_merge": _q_j2_dedup_merge,
+        "j3_crosslink_attach": _q_j3_crosslink_attach,
+        "p6_safe_json": _q_p6_safe_json,
+        # multimodal plumbing
+        "mm_decode": _q_mm_decode,
+        "mm_resize_plan": _q_mm_resize_plan,
+        "mm_frame_sample": _q_mm_frame_sample,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ───────────────────────────── oracles ─────────────────────────────────────
+
+_NOTES_FAST = "Extracted via direct MLX agents (no crew orchestration)"
+_ANNOT = (
+    "chr(10) || '<!-- schema: {\"columns\": [\"lang\", \"source\", \"chars\"], "
+    "\"row_count\": 2, \"units\": {}} -->'"
+)
+_TABLE_MD = (
+    "'| lang | source | chars |' || chr(10) || '| --- | --- | --- |' || chr(10)"
+    " || '| ' || lang || ' | ' || source || ' | ' || CAST(n_chars AS VARCHAR) || ' |'"
+    " || chr(10) || '|  | ' || CAST(doc_id AS VARCHAR) || ' |  |'"
+)
+
+# blocks CTE: independently reconstructs every candidate block the kernel
+# must emit, with fastpath+agentic projections side by side.
+_BLOCKS_CTE = TRANSCRIPTS_SQL_CTE + f""",
+cand AS (
+  SELECT conv_id, turn_idx, ts, 'text' AS chunk_type, 2 AS block_rank, 0 AS block_idx,
+    CASE fam WHEN 0 THEN doc_text WHEN 1 THEN doc_text || ' [[LOWCONF]]'
+      WHEN 2 THEN doc_text || ' ' || repeat('lorem ipsum dolor sit amet ', 100)
+      WHEN 3 THEN 'ok' WHEN 9 THEN doc_text ELSE '' END AS raw_content,
+    fam, doc_id, doc_text, lang, source, n_chars,
+    -1 AS fig_w, -1 AS fig_h, '' AS fig_caption, '' AS fig_mode
+  FROM transcripts
+  UNION ALL
+  SELECT conv_id, turn_idx, ts, 'table', 0, 0,
+    CASE WHEN fam IN (4,5,9) THEN {_TABLE_MD}
+         ELSE '| ' || lang || ' | ' || source || ' |' || chr(10) || '| --- | --- |' END,
+    fam, doc_id, doc_text, lang, source, n_chars, -1, -1, '', ''
+  FROM transcripts WHERE fam IN (4,5,6,9)
+  UNION ALL
+  SELECT conv_id, turn_idx, ts, 'figure', 1, 0, '', fam, doc_id, doc_text, lang, source, n_chars,
+    CASE fam WHEN 7 THEN CAST(40+(doc_id%3)*40 AS INT) WHEN 8 THEN 120 ELSE 200 END,
+    CASE fam WHEN 7 THEN CAST(40+(doc_id%5)*20 AS INT) WHEN 8 THEN 90 ELSE 150 END,
+    CASE fam WHEN 7 THEN source WHEN 8 THEN doc_text ELSE 'inline' END,
+    CASE fam WHEN 8 THEN 'OCR' ELSE 'RGB' END
+  FROM transcripts WHERE fam IN (7,8,9)
+),
+blocks AS (
+  SELECT *,
+    CASE WHEN chunk_type='text' THEN
+           CASE WHEN length(trim(raw_content)) >= 40 THEN 'accepted' ELSE 'dropped_short' END
+         WHEN chunk_type='table' THEN
+           CASE WHEN fam IN (4,5,9) THEN 'accepted' ELSE 'dropped_table_small' END
+         ELSE CASE WHEN fig_w >= 80 AND fig_h >= 80 THEN 'accepted' ELSE 'dropped_figure_small' END
+    END AS status,
+    CASE WHEN chunk_type='figure' THEN
+           '<PIL.Image.Image image mode=RGB size=' || CAST(fig_w AS VARCHAR) || 'x' || CAST(fig_h AS VARCHAR)
+         ELSE substr(raw_content, 1, 2000) END AS st_fast,
+    CASE WHEN chunk_type='text' THEN substr(raw_content, 1, 2000)
+         WHEN chunk_type='table' THEN substr(raw_content, 1, 2000) || {_ANNOT}
+         WHEN fig_mode='OCR' THEN substr(fig_caption, 1, 1000)
+         ELSE '<PIL.Image.Image image mode=RGB size=' || CAST(fig_w AS VARCHAR) || 'x' || CAST(fig_h AS VARCHAR)
+    END AS st_agentic,
+    CAST(0.8 AS DOUBLE) AS conf_fast,
+    CAST(CASE WHEN chunk_type='text' THEN CASE WHEN fam=1 THEN 0.4 ELSE 0.7 END
+         WHEN chunk_type='table' THEN 0.7
+         WHEN fig_mode='OCR' THEN 0.3 ELSE 0.6 END AS DOUBLE) AS conf_agentic,
+    sha256(conv_id || '|' || CAST(turn_idx AS VARCHAR) || '|' || chunk_type || '|' || CAST(block_idx AS VARCHAR)) AS chunk_id
+  FROM cand
+)
+"""
+
+_CROSSREF_PRED = (
+    "(contains(lower(st_fast), 'see figure') OR contains(lower(st_fast), 'table')"
+    " OR contains(lower(st_fast), 'section') OR contains(lower(st_fast), 'refer to'))"
+)
+
+
+def _simhash_oracle_sql() -> str:
+    """32-bit SimHash in DuckDB: explode tokens, 32 sign-vote sums, banded
+    self-join + exact Hamming filter (mirrors sparkx.ops.dedup.simhash_pairs)."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(32)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END" for j in range(32)
+    )
+    bands = ", ".join(f"(simhash >> {8 * b}) & 255" for b in range(4))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+), votes AS (
+  SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+), sims AS (
+  SELECT doc_id, {bits} AS simhash FROM votes
+), banded AS (
+  SELECT doc_id, simhash, unnest([{bands}]) AS key,
+         unnest([0, 1, 2, 3]) AS band
+  FROM sims
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS ha, b.simhash AS hb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
+def _minhash_oracle_sql(threshold: float = 0.05) -> str:
+    """MinHash(16)/4-band LSH in DuckDB, mirrored from with_minhash/lsh_bands."""
+    return f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) < 3 THEN []
+    ELSE list_transform(range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 1),
+      i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' ||
+           regexp_split_to_array(lower(trim(text)), '\\s+')[i+1] || ' ' ||
+           regexp_split_to_array(lower(trim(text)), '\\s+')[i+2]) END) AS shingles
+  FROM documents
+), mh AS (
+  SELECT doc_id, shingles,
+    list_transform(range(0, 16), k ->
+      list_min(list_transform(shingles, s -> md5(CAST(k AS VARCHAR) || '|' || s)))) AS minhash
+  FROM sh
+), bands AS (
+  SELECT doc_id, b AS band,
+    md5(array_to_string(minhash[b*4+1:b*4+4], ',')) AS bucket
+  FROM mh, unnest([0,1,2,3]) AS t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT c.a_id, c.b_id,
+    round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      greatest(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)), 1), 4) AS jaccard
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id JOIN sh sb ON sb.doc_id = c.b_id
+)
+SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+_TA_TOKENS = "len(regexp_split_to_array(trim(text), '\\s+'))"
+_TA_EN = (
+    "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+    " t -> t IN ('the','a','and','of','to','is')))"
+)
+_TA_PUNCT = "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)"
+_TA_STOP = f"CAST({_TA_EN} AS DOUBLE) / greatest({_TA_TOKENS}, 1)"
+_TA_QUALITY = (
+    f"round(least(1.0, CAST({_TA_TOKENS} AS DOUBLE) / 100.0) * 0.5"
+    f" + (1.0 - ({_TA_PUNCT})) * 0.3 + ({_TA_STOP}) * 0.2, 4)"
+)
+
+
+def _langid_sql() -> str:
+    sets = {
+        "en": "('the','a','and','of','to','is')",
+        "de": "('der','die','das','und','nicht','ist')",
+        "fr": "('le','la','les','et','est','une')",
+        "es": "('el','los','las','y','es','una')",
+    }
+    cnt = {
+        k: f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t IN {v}))"
+        for k, v in sets.items()
+    }
+    best = f"greatest({cnt['en']}, {cnt['de']}, {cnt['fr']}, {cnt['es']})"
+    return (
+        f"CASE WHEN {cnt['en']} > 0 AND {cnt['en']} = {best} THEN 'en' "
+        f"WHEN {cnt['de']} > 0 AND {cnt['de']} = {best} THEN 'de' "
+        f"WHEN {cnt['fr']} > 0 AND {cnt['fr']} = {best} THEN 'fr' "
+        f"WHEN {cnt['es']} > 0 AND {cnt['es']} = {best} THEN 'es' "
+        f"ELSE 'und' END"
+    )
+
+
+_COS = (
+    "round(list_dot_product(a.embedding::DOUBLE[], q.embedding::DOUBLE[]) / "
+    "sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) * "
+    "list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])), 4)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ext_text_blocks": _BLOCKS_CTE + f"""
+            SELECT conv_id, turn_idx, st_fast AS structured_text,
+                   conf_fast AS confidence, '{_NOTES_FAST}' AS agent_notes
+            FROM blocks WHERE chunk_type = 'text' AND status = 'accepted'""",
+        "ext_table_markdown": _BLOCKS_CTE + """
+            SELECT conv_id, turn_idx, st_fast AS structured_text
+            FROM blocks WHERE chunk_type = 'table' AND status = 'accepted'""",
+        "ext_figures": _BLOCKS_CTE + """
+            SELECT conv_id, turn_idx, st_fast AS structured_text
+            FROM blocks WHERE chunk_type = 'figure' AND status = 'accepted'""",
+        "ext_agentic_tables": _BLOCKS_CTE + """
+            SELECT conv_id, turn_idx, st_agentic AS structured_text,
+                   conf_agentic AS confidence
+            FROM blocks WHERE chunk_type = 'table' AND status = 'accepted'""",
+        "ext_ocr_fallback": _BLOCKS_CTE + """
+            SELECT conv_id, turn_idx, st_agentic AS structured_text,
+                   conf_agentic AS confidence, 'OCR fallback.' AS intuition_summary,
+                   'Vision model not loaded.' AS agent_notes, TRUE AS retried
+            FROM blocks WHERE chunk_type = 'figure' AND fig_mode = 'OCR' AND status = 'accepted'""",
+        "ext_retry_lowconf": _BLOCKS_CTE + """
+            SELECT conv_id, turn_idx, chunk_type, conf_agentic AS confidence
+            FROM blocks WHERE status = 'accepted' AND conf_agentic < 0.5""",
+        "ext_drop_metrics": _BLOCKS_CTE + """
+            SELECT status, count(*) AS n FROM blocks GROUP BY status""",
+        "ext_chunk_stats": _BLOCKS_CTE + """
+            SELECT chunk_type, count(*) AS n_chunks FROM blocks
+            WHERE status = 'accepted' GROUP BY chunk_type
+            UNION ALL
+            SELECT 'TOTAL', count(*) FROM blocks WHERE status = 'accepted'""",
+        "ext_crossref": _BLOCKS_CTE + f"""
+            SELECT chunk_id AS source_chunk_id, 'cross_reference' AS reference_type,
+                   CAST(0.8 AS DOUBLE) AS confidence
+            FROM blocks WHERE status = 'accepted' AND {_CROSSREF_PRED}""",
+        "ext_chunk_ids": _BLOCKS_CTE + """
+            SELECT conv_id, turn_idx, chunk_type, block_idx, chunk_id
+            FROM blocks WHERE status = 'accepted'""",
+        "ext_ordering": _BLOCKS_CTE + """
+            , ranked AS (
+              SELECT conv_id, turn_idx, chunk_type,
+                row_number() OVER (PARTITION BY conv_id
+                  ORDER BY turn_idx, ts, block_rank, block_idx) AS rn
+              FROM blocks WHERE status = 'accepted')
+            SELECT conv_id, count(*) AS n_blocks,
+                   max(CASE WHEN rn = 1 THEN chunk_type END) AS first_chunk_type,
+                   min(turn_idx) AS first_turn, max(turn_idx) AS last_turn
+            FROM ranked GROUP BY conv_id""",
+        "ta_profile": f"""
+            SELECT doc_id, {_TA_TOKENS} AS n_tokens,
+                   round({_TA_PUNCT}, 4) AS punct_ratio,
+                   round({_TA_STOP}, 4) AS stopword_ratio,
+                   {_TA_QUALITY} AS quality,
+                   {_langid_sql()} AS lang_pred,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5
+            FROM documents""",
+        "ta_lang_agg": f"""
+            SELECT lang, count(*) AS n_docs, sum({_TA_TOKENS}) AS total_tokens,
+                   round(avg({_TA_QUALITY}), 4) AS avg_quality
+            FROM documents GROUP BY lang""",
+        "dedup_exact": """
+            SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+                   min(doc_id) AS keep_doc_id, count(*) AS group_size
+            FROM documents GROUP BY 1""",
+        "dedup_ngram_jaccard": f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) < 3 THEN []
+    ELSE list_transform(range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 1),
+      i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' ||
+           regexp_split_to_array(lower(trim(text)), '\\s+')[i+1] || ' ' ||
+           regexp_split_to_array(lower(trim(text)), '\\s+')[i+2]) END) AS shingles
+  FROM documents
+), posting AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT c.a_id, c.b_id,
+  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+    greatest(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)), 1), 4) AS jaccard
+FROM cand c JOIN sh sa ON sa.doc_id = c.a_id JOIN sh sb ON sb.doc_id = c.b_id
+WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+    greatest(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)), 1), 4) >= 0.12""",
+        "dedup_minhash_lsh": _minhash_oracle_sql(0.05),
+        "dedup_simhash": _simhash_oracle_sql(),
+        "dedup_embedding": f"""
+            SELECT a.vec_id AS a_id, q.vec_id AS b_id, {_COS} AS cosine
+            FROM embeddings a JOIN embeddings q ON a.vec_id < q.vec_id
+            WHERE {_COS} >= 0.3""",
+        "dedup_embedding_lsh": f"""
+            WITH b AS (
+              SELECT *,
+                (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+               + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+               + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+               + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+              FROM embeddings)
+            SELECT a.vec_id AS a_id, q.vec_id AS b_id, {_COS} AS cosine
+            FROM b a JOIN b q ON a.bucket = q.bucket AND a.vec_id < q.vec_id
+            WHERE {_COS} >= 0.3""",
+        "ann_topk": f"""
+            SELECT a.vec_id, a.label, {_COS} AS cosine
+            FROM embeddings a, (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE a.vec_id != 0
+            ORDER BY cosine DESC, a.vec_id ASC LIMIT 10""",
+        "ann_topk_lsh": f"""
+            WITH b AS (
+              SELECT *,
+                (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+               + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+               + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+               + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+              FROM embeddings)
+            SELECT a.vec_id, a.label, {_COS} AS cosine
+            FROM b a JOIN (SELECT * FROM b WHERE vec_id = 0) q ON a.bucket = q.bucket
+            WHERE a.vec_id != 0
+            ORDER BY cosine DESC, a.vec_id ASC LIMIT 10""",
+        "w2_topk_per_group": """
+            SELECT event_type, event_id, round(value, 4) AS value, rn FROM (
+              SELECT event_type, event_id, value,
+                row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+              FROM events) WHERE rn <= 5""",
+        "j2_dedup_merge": """
+            WITH base AS (
+              SELECT doc_id, text, 0 AS tier FROM documents
+              ORDER BY n_chars DESC, doc_id ASC LIMIT 8),
+            figs AS (
+              SELECT doc_id, text, 1 AS tier FROM documents
+              WHERE source = 'src1' ORDER BY doc_id ASC LIMIT 3)
+            SELECT doc_id, tier FROM base
+            UNION ALL
+            SELECT f.doc_id, f.tier FROM figs f
+            WHERE f.text NOT IN (SELECT text FROM base)""",
+        "j3_crosslink_attach": _BLOCKS_CTE + f"""
+            SELECT conv_id, turn_idx, chunk_type,
+                   CASE WHEN {_CROSSREF_PRED} THEN 1 ELSE 0 END AS n_links
+            FROM blocks WHERE status = 'accepted'""",
+        "p6_safe_json": """
+            SELECT event_id,
+              coalesce(json_extract_string(regexp_extract(props, '\\{.*\\}', 0), '$.k'), '') AS k
+            FROM events""",
+        "mm_decode": """
+            SELECT doc_id AS media_id,
+              CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+              CAST((doc_id % 16) * 64 + 64 AS INT) AS width,
+              CAST((doc_id % 9) * 60 + 60 AS INT) AS height,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              TRUE AS ok, md5(text) AS digest
+            FROM documents""",
+        "mm_resize_plan": """
+            SELECT doc_id AS media_id,
+              CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+              CAST(round(((doc_id % 16) * 64 + 64) * least(1.0, 512.0 / greatest((doc_id % 16) * 64 + 64, (doc_id % 9) * 60 + 60))) AS INT) AS out_width,
+              CAST(round(((doc_id % 9) * 60 + 60) * least(1.0, 512.0 / greatest((doc_id % 16) * 64 + 64, (doc_id % 9) * 60 + 60))) AS INT) AS out_height,
+              round(least(1.0, 512.0 / greatest((doc_id % 16) * 64 + 64, (doc_id % 9) * 60 + 60)), 4) AS scale
+            FROM documents""",
+        "mm_frame_sample": """
+            SELECT doc_id AS media_id, unnest(generate_series(0, CAST(octet_length(encode(text)) // 64 AS INT), 30)) AS frame_idx
+            FROM documents WHERE CAST(doc_id % 3 AS INT) = 2""",
+    }

@@ -1,0 +1,107 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "turns_per_sec": ..., ...}
+
+The headline is extraction throughput (turns/sec) — measured on a
+deterministic synthetic transcript table large enough to dominate fixed
+overheads — plus the per-operator timings of the dedup / similarity /
+text-analysis suite over the sf-dir tables.  Scaling-efficiency evidence
+(local[8] vs local[32]) is produced by ``bench/scaling.py`` →
+``BENCH/BASELINE.md``; this file stays single-config for the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+VOLUME_TURNS = int(os.environ.get("SPARKX_BENCH_TURNS", 400_000))
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from sparkx.pipeline import extract_blocks, surviving
+    from sparkx.session import build_session
+    from sparkx.synth import synth_spark
+
+    spark = build_session("sparkx-bench", master=f"local[{CPUS}]",
+                          shuffle_partitions=2 * CPUS)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ── headline: extraction throughput on a deterministic synthetic table ──
+    transcripts = synth_spark(spark, n_convs=VOLUME_TURNS // 100, turns_per_conv=100,
+                              n_partitions=2 * CPUS)
+    transcripts.persist().count()  # materialize input; measure extraction only
+    n_surv = timed(
+        "ext_fastpath_volume",
+        lambda: _count(surviving(extract_blocks(transcripts, mode="fastpath"))),
+    )
+    timed(
+        "ext_agentic_volume",
+        lambda: _count(surviving(extract_blocks(transcripts, mode="agentic", validate=True))),
+    )
+    transcripts.unpersist()
+    extras["volume_turns"] = VOLUME_TURNS
+    extras["volume_surviving_blocks"] = n_surv
+    extras["turns_per_sec"] = round(VOLUME_TURNS / timings["ext_fastpath_volume"], 1)
+
+    # ── operator suite over the sf-dir tables ────────────────────────────
+    qs = E.queries()
+    suite = [
+        "ext_text_blocks", "ext_table_markdown", "ext_agentic_tables",
+        "ext_chunk_stats", "ext_crossref",
+        "ta_profile", "ta_lang_agg",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_embedding_lsh",
+        "ann_topk", "ann_topk_lsh",
+        "w2_topk_per_group", "j2_dedup_merge", "p6_safe_json",
+        "mm_decode", "mm_frame_sample",
+    ]
+    for name in suite:
+        timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "extraction+ops suite wall time (headline: turns/sec extraction throughput)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **extras,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,62 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`topk_bruteforce` — exact cosine top-k: one narrow map (dot products
+  via native zip_with/aggregate, codegen'd) + a k-row global top (TakeOrdered,
+  no full sort).  The verification baseline; at 100 TB it is a full scan.
+* :func:`topk_lsh` — sign-LSH (IVF-style) variant: vectors are bucketed by
+  the sign pattern of their first ``nbits`` dimensions; the query probes only
+  its own bucket.  Partition pruning on the bucket column turns the scan into
+  ~1/2^nbits of the data; recall traded per nbits (probe expansion left for a
+  later round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkx.ops.dedup import _cosine
+
+
+def sign_bucket(col: str = "embedding", nbits: int = 4):
+    return sum(
+        F.when(F.element_at(col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(nbits)
+    )
+
+
+def _with_query(emb: DataFrame, query_vec_id: int) -> DataFrame:
+    """Attach the query vector to every row via broadcast (never collects to
+    a local literal — identical plan shape on a 1000-executor cluster)."""
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return emb.crossJoin(F.broadcast(q))
+
+
+def topk_bruteforce(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
+    scored = _with_query(emb, query_vec_id).select(
+        "vec_id",
+        "label",
+        F.round(_cosine("embedding", "q_embedding"), 4).alias("cosine"),
+    )
+    return scored.filter(F.col("vec_id") != query_vec_id).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    ).limit(k)
+
+
+def topk_lsh(emb: DataFrame, query_vec_id: int, k: int = 10, nbits: int = 4) -> DataFrame:
+    """Probe only the query's sign bucket.  At scale the table is written
+    partitioned by this bucket so the filter prunes partitions at scan time."""
+    b = emb.withColumn("bucket", sign_bucket(nbits=nbits))
+    q = b.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding"), F.col("bucket")
+    )
+    scored = b.join(F.broadcast(q), "bucket").select(
+        "vec_id",
+        "label",
+        F.round(_cosine("embedding", "q_embedding"), 4).alias("cosine"),
+    )
+    return scored.filter(F.col("vec_id") != query_vec_id).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    ).limit(k)

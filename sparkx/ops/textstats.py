@@ -1,0 +1,128 @@
+"""Text analysis operators: token counting, quality scoring, language-ID,
+fingerprinting.  All native column expressions — zero Python UDFs.
+
+These generalize the reference's string surface (word counts
+``src/agents/base.py:307-317``, lower/contains heuristics
+``src/agents/orchestrator.py:44-59``) into the operators a training-data
+pipeline needs at 100 TB: every one is a narrow map — no shuffle — so they
+scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# fixed stopword marker sets for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ["the", "a", "and", "of", "to", "is"],
+    "de": ["der", "die", "das", "und", "nicht", "ist"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "es": ["el", "los", "las", "y", "es", "una"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # tie-break precedence (fixed)
+
+PUNCT_CLASS = "[^.,;:!?]"
+
+
+def tokens(col: str = "text") -> Column:
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def token_count(col: str = "text") -> Column:
+    """Whitespace token count (word-count analog of base.py:307-317)."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: str = "text") -> Column:
+    """BPE-ish proxy: split on word boundaries/punct/digits — the regex family
+    used by byte-pair pretokenizers.  Deterministic and JVM-side."""
+    return F.size(
+        F.filter(
+            F.split(F.col(col), r"(\s+|(?=[^\w\s])|(?<=[^\w\s]))"),
+            lambda t: t != F.lit(""),
+        )
+    )
+
+
+def _marker_count(col: str, lang: str) -> Column:
+    markers = LANG_MARKERS[lang]
+    cond = " OR ".join(f"t = '{m}'" for m in markers)
+    return F.expr(
+        f"size(filter(split(lower(trim({col})), '\\\\s+'), t -> {cond}))"
+    )
+
+
+def lang_scores(col: str = "text") -> dict[str, Column]:
+    return {lang: _marker_count(col, lang) for lang in LANG_ORDER}
+
+
+def lang_id(col: str = "text") -> Column:
+    """Stopword-marker language heuristic with fixed tie-break order; 'und'
+    (undetermined) when no marker hits."""
+    scores = lang_scores(col)
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    expr: Column = F.lit("und")
+    for lang in reversed(LANG_ORDER):  # earlier langs win ties → apply last
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def punct_ratio(col: str = "text") -> Column:
+    n_punct = F.length(F.regexp_replace(F.col(col), PUNCT_CLASS, ""))
+    return n_punct / F.greatest(F.length(F.col(col)), F.lit(1))
+
+
+def stopword_ratio(col: str = "text") -> Column:
+    return _marker_count(col, "en") / F.greatest(token_count(col), F.lit(1))
+
+
+def quality_score(col: str = "text") -> Column:
+    """Deterministic document quality score in [0,1]:
+    0.5·min(1, tokens/100) + 0.3·(1 − punct_ratio) + 0.2·stopword_ratio."""
+    return F.round(
+        F.least(F.lit(1.0), token_count(col) / F.lit(100.0)) * 0.5
+        + (F.lit(1.0) - punct_ratio(col)) * 0.3
+        + stopword_ratio(col) * 0.2,
+        4,
+    )
+
+
+def normalized(col: str = "text") -> Column:
+    """Canonical text form for dedup: lower, collapse whitespace, trim."""
+    return F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
+
+
+def fingerprint(col: str = "text") -> Column:
+    """Exact-content fingerprint: md5 of the normalized text."""
+    return F.md5(normalized(col))
+
+
+def with_shingles(docs: DataFrame, col: str = "text", n: int = 3,
+                  out: str = "shingles") -> DataFrame:
+    """Add a distinct token n-gram shingle column (array<string>) — the
+    rolling-window base for near-dup fingerprints.  Empty array when fewer
+    than n tokens.  Native transform/sequence — codegen'd, no UDF."""
+    d = docs.withColumn("_toks", F.split(F.lower(F.trim(F.col(col))), r"\s+"))
+    parts = ", ' ', ".join(f"_toks[i+{k}]" for k in range(n))
+    return d.withColumn(
+        out,
+        F.expr(
+            f"CASE WHEN size(_toks) < {n} THEN cast(array() as array<string>) "
+            f"ELSE array_distinct(transform(sequence(0, size(_toks) - {n}), "
+            f"i -> concat({parts}))) END"
+        ),
+    ).drop("_toks")
+
+
+def text_profile(docs: DataFrame) -> DataFrame:
+    """One-pass profile: doc_id, token counts, ratios, quality, lang, md5."""
+    return docs.select(
+        "doc_id",
+        token_count().alias("n_tokens"),
+        F.round(punct_ratio(), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(), 4).alias("stopword_ratio"),
+        quality_score().alias("quality"),
+        lang_id().alias("lang_pred"),
+        fingerprint().alias("fp_md5"),
+    )
