@@ -234,6 +234,62 @@ def _q_p6_safe_json(spark, sf_dir):
     )
 
 
+def _q_p5_serialization_trunc(spark, sf_dir):
+    """Chunks-JSON sink truncation (P5/S6, serialization.py:37): 500 chars +
+    '...' only when longer."""
+    from sparkx.sinks import serialized_chunks
+
+    b = surviving(_blocks(spark, sf_dir, "fastpath"))
+    return serialized_chunks(b).select(
+        "chunk_id", "chunk_type", "page_num", "source_file", "structured_text"
+    )
+
+
+def _q_p7_think_split(spark, sf_dir):
+    """Think-block split (P7, orchestrator.py:206-219) over a synthesized
+    '<think>…</think>answer' column."""
+    d = _docs(spark, sf_dir)
+    s = F.concat(F.lit("<think>"), F.col("lang"), F.lit(" reasoning</think>"), F.col("text"))
+    return d.select(
+        "doc_id",
+        F.regexp_extract(s, r"<think>(.*?)</think>", 1).alias("reasoning"),
+        F.regexp_replace(s, r"<think>.*?</think>", "").alias("answer"),
+    )
+
+
+_VISUAL_KEYWORDS = [
+    "figure", "graph", "chart", "flow", "diagram", "image", "plot", "map",
+    "図", "グラフ", "フロー", "フローチャート", "チャート", "表",
+]  # orchestrator.py:44-59
+
+
+def _q_p8_visual_keywords(spark, sf_dir):
+    """Visual-keyword detector (P8, orchestrator.py:123) over synthesized
+    questions."""
+    import functools as _ft
+
+    d = _docs(spark, sf_dir)
+    topic = F.element_at(
+        F.array(*[F.lit(x) for x in ["figure", "chart", "price", "map", "trend"]]),
+        ((F.col("doc_id") % 5) + 1).cast("int"),
+    )
+    q = F.concat(F.lit("what does the "), topic, F.lit(" show"))
+    pred = _ft.reduce(
+        lambda a, b: a | b,
+        [F.contains(F.lower(q), F.lit(k)) for k in _VISUAL_KEYWORDS],
+    )
+    return d.select("doc_id", q.alias("question"), pred.alias("is_visual"))
+
+
+def _q_u7_embed_weights(spark, sf_dir):
+    """Embedder stage (U7, store.py:45-77) as exact integer feature-hash
+    weights (the deterministic kernel standing in for the model encode)."""
+    from sparkx.ops.embed import embed_weights
+
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("embed_text"))
+    return embed_weights(d, id_col="doc_id")
+
+
 # ───────────────────────── multimodal plumbing ─────────────────────────────
 
 
@@ -282,7 +338,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_topk_per_group": _q_w2_topk_per_group,
         "j2_dedup_merge": _q_j2_dedup_merge,
         "j3_crosslink_attach": _q_j3_crosslink_attach,
+        "p5_serialization_trunc": _q_p5_serialization_trunc,
         "p6_safe_json": _q_p6_safe_json,
+        "p7_think_split": _q_p7_think_split,
+        "p8_visual_keywords": _q_p8_visual_keywords,
+        "u7_embed_weights": _q_u7_embed_weights,
         # multimodal plumbing
         "mm_decode": _q_mm_decode,
         "mm_resize_plan": _q_mm_resize_plan,
@@ -606,6 +666,44 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
             SELECT conv_id, turn_idx, chunk_type,
                    CASE WHEN {_CROSSREF_PRED} THEN 1 ELSE 0 END AS n_links
             FROM blocks WHERE status = 'accepted'""",
+        "p5_serialization_trunc": _BLOCKS_CTE + """
+            SELECT chunk_id, chunk_type, turn_idx AS page_num, conv_id AS source_file,
+              CASE WHEN length(st_fast) > 500 THEN substr(st_fast, 1, 500) || '...'
+                   ELSE st_fast END AS structured_text
+            FROM blocks WHERE status = 'accepted'""",
+        "p7_think_split": """
+            SELECT doc_id,
+              regexp_extract('<think>' || lang || ' reasoning</think>' || text,
+                             '<think>(.*?)</think>', 1) AS reasoning,
+              regexp_replace('<think>' || lang || ' reasoning</think>' || text,
+                             '<think>.*?</think>', '') AS answer
+            FROM documents""",
+        "p8_visual_keywords": """
+            WITH q AS (
+              SELECT doc_id, 'what does the ' ||
+                CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'figure' WHEN 1 THEN 'chart'
+                  WHEN 2 THEN 'price' WHEN 3 THEN 'map' ELSE 'trend' END
+                || ' show' AS question
+              FROM documents)
+            SELECT doc_id, question,
+              (contains(lower(question), 'figure') OR contains(lower(question), 'graph')
+               OR contains(lower(question), 'chart') OR contains(lower(question), 'flow')
+               OR contains(lower(question), 'diagram') OR contains(lower(question), 'image')
+               OR contains(lower(question), 'plot') OR contains(lower(question), 'map')
+               OR contains(lower(question), '図') OR contains(lower(question), 'グラフ')
+               OR contains(lower(question), 'フロー') OR contains(lower(question), 'フローチャート')
+               OR contains(lower(question), 'チャート') OR contains(lower(question), '表')
+              ) AS is_visual
+            FROM q""",
+        "u7_embed_weights": """
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+              FROM documents)
+            SELECT id, CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS INT) AS dim,
+                   CAST(SUM(CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
+                            THEN 1 ELSE -1 END) AS BIGINT) AS weight
+            FROM toks WHERE tok != '' GROUP BY 1, 2""",
         "p6_safe_json": """
             SELECT event_id,
               coalesce(json_extract_string(regexp_extract(props, '\\{.*\\}', 0), '$.k'), '') AS k

@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
-VOLUME_TURNS = int(os.environ.get("SPARKX_BENCH_TURNS", 400_000))
+VOLUME_TURNS = int(os.environ.get("SPARKX_BENCH_TURNS", 1_600_000))
 
 
 def _count(df) -> int:
@@ -43,6 +43,7 @@ def main() -> int:
 
     spark = build_session("sparkx-bench", master=f"local[{CPUS}]",
                           shuffle_partitions=2 * CPUS)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -53,10 +54,15 @@ def main() -> int:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # ── headline: extraction throughput on a deterministic synthetic table ──
-    transcripts = synth_spark(spark, n_convs=VOLUME_TURNS // 100, turns_per_conv=100,
-                              n_partitions=2 * CPUS)
-    transcripts.persist().count()  # materialize input; measure extraction only
+    # ── headline: extraction throughput on a deterministic synthetic table,
+    #    production-shaped (parquet scan → extract → count) ──────────────────
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    vol_path = f"{base}/sparkx_bench_input_{VOLUME_TURNS}"
+    if not os.path.isdir(vol_path):
+        synth_spark(spark, n_convs=VOLUME_TURNS // 100, turns_per_conv=100,
+                    n_partitions=2 * CPUS).write.mode("overwrite").parquet(vol_path)
+    transcripts = spark.read.parquet(vol_path)
+    _count(surviving(extract_blocks(transcripts)))  # warm pass (python workers)
     n_surv = timed(
         "ext_fastpath_volume",
         lambda: _count(surviving(extract_blocks(transcripts, mode="fastpath"))),
@@ -65,7 +71,6 @@ def main() -> int:
         "ext_agentic_volume",
         lambda: _count(surviving(extract_blocks(transcripts, mode="agentic", validate=True))),
     )
-    transcripts.unpersist()
     extras["volume_turns"] = VOLUME_TURNS
     extras["volume_surviving_blocks"] = n_surv
     extras["turns_per_sec"] = round(VOLUME_TURNS / timings["ext_fastpath_volume"], 1)

@@ -42,6 +42,10 @@ FIG_RE = r"^FIG;mode=([A-Za-z0-9]+);w=(\d+);h=(\d+);caption=(.*)$"
 
 RANK_TABLE, RANK_FIGURE, RANK_TEXT = 0, 1, 2
 
+import os as _os
+
+FORCE_COMPLEX = _os.environ.get("SPARKX_FORCE_COMPLEX", "") == "1"
+
 # columns every block row carries (turn passthrough + block identity)
 _CARRY = ["conv_id", "turn_idx", "role", "tool", "ts"]
 BLOCK_COLUMNS = _CARRY + [
@@ -82,7 +86,38 @@ def parse_blocks(turns: pd.DataFrame) -> pd.DataFrame:
     t = turns.reset_index(drop=True)
     t["_tid"] = np.arange(len(t), dtype=np.int64)
 
-    # ── explode to lines ────────────────────────────────────────────────
+    # ── fast path: turns that cannot contain table/figure lines need no
+    #    line explode at all (their text remainder IS the whole text).
+    #    This is the hot path — most web/transcript turns are pure prose.
+    txt = t["text"].fillna("").astype(object)
+    if FORCE_COMPLEX:  # benchmarking hook: disable the prose fast path
+        complex_mask = pd.Series(True, index=t.index)
+    else:
+        complex_mask = txt.str.contains("\t", regex=False) | txt.str.contains(
+            "FIG;mode=", regex=False
+        )
+    simple = t.loc[~complex_mask, _CARRY + ["_tid"]].copy()
+    simple_txt = txt[~complex_mask]
+    if len(simple):
+        simple["chunk_type"] = "text"
+        simple["block_rank"] = RANK_TEXT
+        simple["block_idx"] = 0
+        simple["raw_content"] = simple_txt
+        simple["fig_mode"] = None
+        simple["fig_w"] = -1
+        simple["fig_h"] = -1
+        simple["fig_caption"] = None
+        simple["parse_status"] = np.where(
+            simple_txt.str.strip().str.len() >= MIN_TEXT_LEN, "", "dropped_short"
+        )
+        simple["header_line"] = None
+        simple["n_rows"] = -1
+    if not complex_mask.any():
+        return simple.drop(columns="_tid").reset_index(drop=True)[BLOCK_COLUMNS]
+
+    t = t.loc[complex_mask].reset_index(drop=True)
+
+    # ── explode to lines (complex turns only) ───────────────────────────
     lines = t["text"].fillna("").astype(object).str.split("\n")
     L = t[["_tid"]].copy()
     L["line"] = lines
@@ -90,7 +125,10 @@ def parse_blocks(turns: pd.DataFrame) -> pd.DataFrame:
     L["line"] = L["line"].fillna("").astype(object)
     L["lno"] = L.groupby("_tid", sort=False).cumcount()
 
-    fig_parts = L["line"].str.extract(FIG_RE)
+    maybe_fig = L["line"].str.startswith("FIG;mode=")
+    fig_parts = pd.DataFrame(index=L.index, columns=range(4), dtype=object)
+    if maybe_fig.any():
+        fig_parts.loc[maybe_fig] = L.loc[maybe_fig, "line"].str.extract(FIG_RE).to_numpy()
     is_fig = fig_parts[0].notna()
     is_tab = L["line"].str.contains("\t", regex=False) & ~is_fig
 
@@ -102,16 +140,40 @@ def parse_blocks(turns: pd.DataFrame) -> pd.DataFrame:
 
     tables = _render_tables(L, is_tab, region_id)
     figures = _build_figures(L, is_fig, fig_parts)
-    texts = _build_text_remainder(L, ~is_tab & ~is_fig, n_turns=len(t))
+    texts = _build_text_remainder(L, ~is_tab & ~is_fig, tids=t["_tid"].to_numpy())
 
     blocks = pd.concat([tables, figures, texts], ignore_index=True)
-    blocks = blocks.sort_values(["_tid", "block_rank", "block_idx"], kind="stable")
-
     out = t[_CARRY + ["_tid"]].merge(blocks, on="_tid", how="inner")
+    if len(simple):
+        out = pd.concat([out, simple], ignore_index=True)
     out = out.sort_values(["_tid", "block_rank", "block_idx"], kind="stable").drop(
         columns="_tid"
     )
     return out.reset_index(drop=True)[BLOCK_COLUMNS]
+
+
+def _group_join(lines: pd.Series, group_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Join contiguous line groups with '\\n' ~10× faster than
+    groupby.agg(join): one megastring join, then C-level slices per group.
+    ``group_ids`` must be non-decreasing with groups contiguous (true for both
+    table regions and per-turn remainders, which preserve source order).
+    Returns (group_keys, joined_strings)."""
+    arr = lines.to_numpy(dtype=object)
+    if len(arr) == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=object)
+    big = "\n".join(arr)
+    lens = lines.str.len().to_numpy(dtype=np.int64)
+    ends = np.cumsum(lens + 1)  # char pos just past line i's separator
+    starts = ends - lens - 1
+    change = np.flatnonzero(np.r_[True, group_ids[1:] != group_ids[:-1]])
+    g_first = change
+    g_last = np.r_[change[1:], len(arr)] - 1
+    a = starts[g_first]
+    b = ends[g_last] - 1
+    joined = np.fromiter(
+        (big[x:y] for x, y in zip(a, b)), dtype=object, count=len(change)
+    )
+    return group_ids[change], joined
 
 
 def _render_tables(L: pd.DataFrame, is_tab: pd.Series, region_id: pd.Series) -> pd.DataFrame:
@@ -129,25 +191,40 @@ def _render_tables(L: pd.DataFrame, is_tab: pd.Series, region_id: pd.Series) -> 
                                      "fig_caption", "parse_status", "header_line",
                                      "n_rows"])
 
-    # markdown body line: "| " + " | ".join(cells) + " |" with cells = TSV split.
+    # ONE python-level join per region (raw lines), then fully-vectorized
+    # markdown wrapping: each row becomes "| " + cells.join(" | ") + " |",
+    # which for TSV lines is exactly replace(\t → " | ") plus edge wrapping.
     # str(c or "") maps empty→empty, so a TSV cell already IS str(c or "").
-    T["md"] = "| " + T["line"].str.replace("\t", " | ", regex=False) + " |"
-
     g = T.groupby("region", sort=False)
     pos = g.cumcount()
-    header_md = T.loc[pos == 0].set_index("region")["md"]
-    header_line = T.loc[pos == 0].set_index("region")["line"]
-    first_lno = T.loc[pos == 0].set_index("region")["lno"]
-    tid = T.loc[pos == 0].set_index("region")["_tid"]
+    first = T.loc[pos == 0].set_index("region")
+    keys, joined = _group_join(T["line"], T["region"].to_numpy())
+    region_raw = pd.Series(joined, index=keys, dtype=object)
     nrows = g.size()
 
+    header_line = first["line"]
     # separator: "| " + " | ".join("---" for _ in row0) + " |"  (parser.py:152)
     ncols0 = header_line.str.count("\t") + 1
     sep = "| ---" + pd.Series(" | ---", index=ncols0.index).str.repeat(ncols0 - 1) + " |"
 
-    body = T.loc[pos > 0].groupby("region", sort=False)["md"].agg("\n".join)
-    body = body.reindex(header_md.index)
-    markdown = header_md + "\n" + sep + ("\n" + body).fillna("")
+    wrapped = (
+        "| "
+        + region_raw.str.replace("\t", " | ", regex=False).str.replace(
+            "\n", " |\n| ", regex=False
+        )
+        + " |"
+    )
+    split = wrapped.str.split("\n", n=1)
+    header_md = split.str[0]
+    body = split.str[1]  # NaN for 1-row regions
+    tail = pd.Series(
+        np.where(body.isna(), "", "\n" + body.fillna("").astype(object)),
+        index=body.index,
+        dtype=object,
+    )
+    markdown = header_md + "\n" + sep + tail
+    first_lno = first["lno"]
+    tid = first["_tid"]
 
     res = pd.DataFrame(
         {
@@ -198,9 +275,11 @@ def _build_figures(L: pd.DataFrame, is_fig: pd.Series, fig_parts: pd.DataFrame) 
     return Fg
 
 
-def _build_text_remainder(L: pd.DataFrame, keep: pd.Series, n_turns: int) -> pd.DataFrame:
-    rem = L.loc[keep].groupby("_tid", sort=False)["line"].agg("\n".join)
-    rem = rem.reindex(pd.RangeIndex(n_turns), fill_value="")
+def _build_text_remainder(L: pd.DataFrame, keep: pd.Series, tids: np.ndarray) -> pd.DataFrame:
+    R = L.loc[keep]
+    keys, joined = _group_join(R["line"], R["_tid"].to_numpy())
+    rem = pd.Series(joined, index=keys, dtype=object)
+    rem = rem.reindex(tids, fill_value="")
     res = pd.DataFrame({"_tid": rem.index.to_numpy(), "raw_content": rem.to_numpy()})
     res["block_idx"] = 0
     res["block_rank"] = RANK_TEXT

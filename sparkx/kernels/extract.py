@@ -249,10 +249,13 @@ def validate_blocks(b: pd.DataFrame, validate: bool = True) -> pd.DataFrame:
         "corrected",
         np.where(accept, "accepted", np.where(alive, "discarded", b["parse_status"])),
     )
-    b["is_valid"] = is_valid.astype(bool)
-    b["issues"] = issues
-    b["verdict_score"] = verdict.astype(float)
-    b["validator_notes"] = vnotes
+    # dropped blocks are never validated (they don't reach Checkpoint A in the
+    # reference, pipeline.py:259-298) → NULL validation struct
+    dead = ~alive
+    b["is_valid"] = is_valid.astype(object).where(~dead, None)
+    b["issues"] = issues.where(~dead, None)
+    b["verdict_score"] = verdict.astype(object).where(~dead, None)
+    b["validator_notes"] = vnotes.where(~dead, None)
     b["was_corrected"] = corrected_needed.to_numpy(dtype=bool)
     return b
 

@@ -48,10 +48,84 @@ _KERNEL_SCHEMA = "".join(
 DEFAULT_BUCKETS = 32
 
 
-def _kernel(mode: str, validate: bool, it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _kernel(mode: str, validate: bool, emit_raw: bool,
+            it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = OUTPUT_COLUMNS if emit_raw else [c for c in OUTPUT_COLUMNS if c != "raw_content"]
     for pdf in it:
         out = extract_batch(pdf, mode=mode, validate=validate)
-        yield out[OUTPUT_COLUMNS]
+        yield out[cols]
+
+
+_COMPLEX_PRED = "contains(text, '\t') OR contains(text, 'FIG;mode=')"
+
+
+def _native_simple_blocks(df: DataFrame, mode: str, validate: bool,
+                          emit_raw: bool) -> DataFrame:
+    """Fully-native (whole-stage-codegen) block rows for turns that cannot
+    contain table/figure lines — the hot path at web scale.  Semantics are
+    byte-identical to the kernel's text path; pytest's oracle-equality suite
+    covers both branches on mixed inputs.
+
+    This is the single biggest scale decision in the pipeline: prose turns
+    (the majority of any transcript corpus) never leave the JVM — no Arrow
+    round-trip, no Python worker — so the common case scales like native
+    Spark SQL, and only genuinely structured payloads pay the kernel cost.
+    """
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    alive = F.length(F.trim(raw)) >= 40  # parser.py:32,125
+    structured = F.when(alive, F.substring(raw, 1, 2000)).otherwise(F.lit(""))
+
+    if mode == "fastpath":
+        conf = F.when(alive, F.lit(0.8)).otherwise(F.lit(0.0))
+        notes = F.lit("Extracted via direct MLX agents (no crew orchestration)")
+        retried = F.lit(False)
+    else:  # agentic: text defaults + lowconf retry hook (extraction.py:125, base.py:42)
+        lowconf = F.contains(raw, F.lit("[[LOWCONF]]"))
+        conf = F.when(~alive, F.lit(0.0)).when(lowconf, F.lit(0.4)).otherwise(F.lit(0.7))
+        notes = F.when(alive, F.lit("")).otherwise(F.lit(""))
+        retried = alive & (conf < 0.5)
+
+    null_b = F.lit(None).cast("boolean")
+    null_a = F.lit(None).cast("array<string>")
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    if validate:
+        # containment audit trivially holds (structured == raw[:2000]);
+        # dropped blocks never reach Checkpoint A → NULL validation
+        is_valid = F.when(alive, F.lit(True)).otherwise(null_b)
+        issues = F.when(alive, F.array().cast("array<string>")).otherwise(null_a)
+        verdict = F.when(alive, F.lit(1.0)).otherwise(null_d)
+        vnotes = F.when(alive, F.lit("")).otherwise(null_s)
+    else:
+        is_valid, issues, verdict, vnotes = null_b, null_a, null_d, null_s
+
+    cols = [
+        F.col("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("role"),
+        F.col("tool"),
+        F.col("ts"),
+        F.lit("text").alias("chunk_type"),
+        F.lit(2).alias("block_rank"),
+        F.lit(0).alias("block_idx"),
+    ]
+    if emit_raw:
+        cols.append(raw.alias("raw_content"))
+    cols += [
+        structured.alias("structured_text"),
+        F.when(alive, F.lit("")).otherwise(F.lit("")).alias("intuition_summary"),
+        F.array().cast("array<string>").alias("key_concepts"),
+        conf.cast("double").alias("confidence"),
+        F.when(alive, notes).otherwise(F.lit("")).alias("agent_notes"),
+        retried.alias("retried"),
+        is_valid.alias("is_valid"),
+        issues.alias("issues"),
+        verdict.alias("verdict_score"),
+        vnotes.alias("validator_notes"),
+        F.lit(False).alias("was_corrected"),
+        F.when(alive, F.lit("accepted")).otherwise(F.lit("dropped_short")).alias("status"),
+    ]
+    return df.select(*cols)
 
 
 def extract_blocks(
@@ -63,8 +137,21 @@ def extract_blocks(
     n_partitions: int | None = None,
     n_buckets: int = DEFAULT_BUCKETS,
     salt_repartition: bool = True,
+    emit_raw: bool = True,
+    native_simple_path: bool = True,
 ) -> DataFrame:
-    """All candidate blocks (surviving + dropped) with lineage columns."""
+    """All candidate blocks (surviving + dropped) with lineage columns.
+
+    ``emit_raw=False`` is the 100-TB configuration: the per-block source text
+    is consumed by Checkpoint-A inside the kernel and NOT duplicated into the
+    output (the input table already holds it; ``conv_id/turn_idx`` is the
+    pointer back).  Halves Arrow transfer + sink bytes; defaults to True so
+    tests can compare raw_content byte-for-byte.
+
+    ``native_simple_path`` routes turns with no structured payload through
+    pure Catalyst expressions (see _native_simple_blocks); the pandas kernel
+    handles only table/figure-bearing turns.
+    """
     spark = transcripts.sparkSession
     df = transcripts
     if salt_repartition:
@@ -73,9 +160,22 @@ def extract_blocks(
         # safe because extraction is per-turn and ordering is intrinsic.
         df = df.repartition(n_partitions, F.xxhash64("conv_id", "turn_idx"))
 
-    blocks = df.mapInPandas(
-        functools.partial(_kernel, mode, validate), schema=_KERNEL_SCHEMA
+    schema = _KERNEL_SCHEMA if emit_raw else _KERNEL_SCHEMA.replace(
+        "raw_content string, ", ""
     )
+    if native_simple_path:
+        complex_df = df.filter(F.expr(_COMPLEX_PRED))
+        simple_df = df.filter(~F.expr(f"coalesce({_COMPLEX_PRED}, false)"))
+        kernel_blocks = complex_df.mapInPandas(
+            functools.partial(_kernel, mode, validate, emit_raw), schema=schema
+        )
+        blocks = kernel_blocks.unionByName(
+            _native_simple_blocks(simple_df, mode, validate, emit_raw)
+        )
+    else:
+        blocks = df.mapInPandas(
+            functools.partial(_kernel, mode, validate, emit_raw), schema=schema
+        )
     return (
         blocks.withColumn(
             "chunk_id",
@@ -90,8 +190,8 @@ def extract_blocks(
         .withColumn(
             "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
         )
-        .select(*[f.name for f in EXTRACTED.fields], "run_id", "src_snapshot_id",
-                "partition_id", "conv_bucket")
+        .select(*[f.name for f in EXTRACTED.fields if emit_raw or f.name != "raw_content"],
+                "run_id", "src_snapshot_id", "partition_id", "conv_bucket")
     )
 
 

@@ -253,6 +253,11 @@ def synth_spark(spark, n_convs: int, turns_per_conv: int, seed: int = 42,
         ).alias("role"),
         text.alias("text"),
         F.when(h % 3 == 2, F.lit("search")).otherwise(F.lit("")).alias("tool"),
-        # 1767225600 = 2026-01-01 00:00:00 UTC
-        F.timestamp_seconds(F.lit(1767225600) + conv * 86400 + turn * 7).alias("ts"),
+        # 1767225600 = 2026-01-01 00:00:00 UTC.  conv offset wraps at 100k so
+        # billion-conversation inputs stay inside pandas' ns-timestamp range
+        # (a conv*86400 offset overflows Arrow→pandas beyond ~32k convs);
+        # within-conversation monotonicity (turn * 7s) is what ordering needs.
+        F.timestamp_seconds(
+            F.lit(1767225600) + (conv % 100000) * 600 + turn * 7
+        ).alias("ts"),
     )

@@ -1,0 +1,99 @@
+"""Config source (S9), JSON sink truncation (S6), upsert idempotence (S5),
+feature-hash embedder (U7)."""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import functions as F
+
+from sparkx.config import ConfigLoader
+from sparkx.pipeline import extract_blocks, surviving
+from sparkx.schemas import TRANSCRIPTS
+from sparkx.sinks import save_chunks_json, serialized_chunks, upsert_extracted
+from sparkx.synth import synth_pandas
+
+
+class TestConfig:
+    def test_defaults(self, tmp_path):
+        c = ConfigLoader(settings_path=str(tmp_path / "missing.json"))
+        assert c.get("pipeline.max_context_chunks") == 8
+        assert c.get("pipeline.chunk_size") == 800
+        assert c.get("agents.confidence_threshold") == 0.5
+        assert c.get("nope.nothing", "d") == "d"
+
+    def test_deep_merge(self, tmp_path):
+        p = tmp_path / "settings.json"
+        p.write_text(json.dumps({"pipeline": {"chunk_size": 1234}, "extra": {"x": 1}}))
+        c = ConfigLoader(settings_path=str(p))
+        assert c.get("pipeline.chunk_size") == 1234
+        assert c.get("pipeline.max_context_chunks") == 8  # untouched sibling
+        assert c.get("extra.x") == 1
+
+
+def _extracted(spark, seed=81):
+    t = synth_pandas(n_convs=10, turns_per_conv=6, seed=seed)
+    return surviving(extract_blocks(spark.createDataFrame(t, TRANSCRIPTS)))
+
+
+class TestJsonSink:
+    def test_truncation_rule(self, spark):
+        # serialization.py:37 — truncate to 500 + "..." ONLY when len > 500
+        ex = _extracted(spark)
+        ser = serialized_chunks(ex).toPandas().set_index("chunk_id")
+        raw = ex.toPandas().set_index("chunk_id")
+        for cid, row in ser.iterrows():
+            orig = raw.loc[cid, "structured_text"]
+            if len(orig) > 500:
+                assert row.structured_text == orig[:500] + "..."
+            else:
+                assert row.structured_text == orig
+        assert (ser.structured_text.str.len() <= 503).all()
+
+    def test_json_roundtrip(self, spark, tmp_path):
+        ex = _extracted(spark)
+        out = str(tmp_path / "chunks_json")
+        save_chunks_json(ex, out)
+        back = spark.read.json(out)
+        assert back.count() == ex.count()
+        assert "validation" in back.columns
+
+
+class TestUpsert:
+    def test_idempotent(self, spark, tmp_path):
+        ex = _extracted(spark)
+        path = str(tmp_path / "extracted_tbl")
+        upsert_extracted(ex, path)
+        n1 = spark.read.parquet(path).count()
+        upsert_extracted(ex, path)  # re-ingest same convs
+        got = spark.read.parquet(path).toPandas()
+        assert len(got) == n1
+        assert got.chunk_id.is_unique
+
+
+class TestEmbedder:
+    def test_weights_match_vectors(self, spark):
+        from sparkx.ops.embed import embed_input, embed_vectors, embed_weights
+
+        ex = _extracted(spark).limit(40)
+        w = embed_weights(embed_input(ex)).toPandas()
+        v = embed_vectors(ex).toPandas().set_index("chunk_id")
+        # rebuild vectors from integer weights and compare post-normalization
+        import numpy as np
+
+        for cid, grp in w.groupby("id"):
+            vec = np.zeros(64)
+            for _, r in grp.iterrows():
+                vec[int(r["dim"])] = r["weight"]
+            n = np.linalg.norm(vec) or 1.0
+            got = np.array(v.loc[cid, "embedding"], dtype=np.float64)
+            assert np.allclose(got, vec / n, atol=1e-6), cid
+
+    def test_normalized(self, spark):
+        from sparkx.ops.embed import embed_vectors
+
+        ex = _extracted(spark).limit(20)
+        for r in embed_vectors(ex).collect():
+            n = math.sqrt(sum(x * x for x in r.embedding))
+            assert abs(n - 1.0) < 1e-5 or n == 0.0
