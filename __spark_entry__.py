@@ -290,6 +290,37 @@ def _q_u7_embed_weights(spark, sf_dir):
     return embed_weights(d, id_col="doc_id")
 
 
+def _q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) over the events stream."""
+    from sparkx.ops.temporal import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev)
+
+
+def _q_asof_join(spark, sf_dir):
+    """As-of join: for each click, the latest prior-or-equal purchase value
+    by the same user (native union+window form; DuckDB oracle uses ASOF JOIN)."""
+    from sparkx.ops.temporal import asof_join_native
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter("event_type = 'click'")
+    purchases = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))  # dedup ties → deterministic as-of
+    )
+    out = asof_join_native(clicks, purchases)
+    return out.select("user_id", "event_id", F.round("asof_value", 4).alias("asof_value"))
+
+
+def _q_pivot_counts(spark, sf_dir):
+    from sparkx.ops.temporal import pivot_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return pivot_event_counts(ev)
+
+
 # ───────────────────────── multimodal plumbing ─────────────────────────────
 
 
@@ -343,6 +374,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_think_split": _q_p7_think_split,
         "p8_visual_keywords": _q_p8_visual_keywords,
         "u7_embed_weights": _q_u7_embed_weights,
+        # temporal/event operators
+        "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
+        "pivot_counts": _q_pivot_counts,
         # multimodal plumbing
         "mm_decode": _q_mm_decode,
         "mm_resize_plan": _q_mm_resize_plan,
@@ -708,6 +743,40 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
             SELECT event_id,
               coalesce(json_extract_string(regexp_extract(props, '\\{.*\\}', 0), '$.k'), '') AS k
             FROM events""",
+        "sessionize": """
+            WITH e AS (
+              SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events
+            ), s AS (
+              SELECT user_id, event_id, ts, ep, value,
+                CASE WHEN ep - lag(ep) OVER w IS NULL
+                      OR ep - lag(ep) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, event_id, ts, ep, value,
+                CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+              FROM s)
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS total_value_e4,
+                   max(ep) - min(ep) AS duration_sec
+            FROM sess GROUP BY user_id, session_idx""",
+        "asof_join": """
+            WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+            purchases AS (
+              SELECT user_id, ts, max(value) AS value FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id, ts)
+            SELECT a.user_id, a.event_id, round(b.value, 4) AS asof_value
+            FROM clicks a ASOF LEFT JOIN purchases b
+              ON a.user_id = b.user_id AND a.ts >= b.ts""",
+        "pivot_counts": """
+            SELECT user_id,
+              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+              sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+              sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+              sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+            FROM events GROUP BY user_id""",
         "mm_decode": """
             SELECT doc_id AS media_id,
               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
