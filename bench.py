@@ -81,7 +81,10 @@ def main() -> int:
         "ext_text_blocks", "ext_table_markdown", "ext_agentic_tables",
         "ext_chunk_stats", "ext_crossref",
         "ta_profile", "ta_lang_agg",
-        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        # NB: dedup_ngram_jaccard (exact all-pairs) and dedup_embedding
+        # (brute-force) are the *verification* paths — quadratic by design —
+        # and stay out of the timed suite; their LSH scale-paths are timed.
+        "dedup_exact", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_embedding_lsh",
         "ann_topk", "ann_topk_lsh",
         "w2_topk_per_group", "j2_dedup_merge", "p6_safe_json",

@@ -154,18 +154,26 @@ def extract_blocks(
     """
     spark = transcripts.sparkSession
     df = transcripts
-    if salt_repartition:
-        n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 2
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 2
+
+    def _salted(d: DataFrame) -> DataFrame:
         # per-turn hash spread: breaks long-conversation skew (SURVEY §4.2);
         # safe because extraction is per-turn and ordering is intrinsic.
-        df = df.repartition(n_partitions, F.xxhash64("conv_id", "turn_idx"))
+        return d.repartition(n_partitions, F.xxhash64("conv_id", "turn_idx"))
 
     schema = _KERNEL_SCHEMA if emit_raw else _KERNEL_SCHEMA.replace(
         "raw_content string, ", ""
     )
     if native_simple_path:
+        # Only the kernel branch is salted: the Python workers need balanced
+        # partitions, while the native branch is pure codegen row-ops that
+        # cost the same under any layout — shuffling it would be pure waste
+        # (verified in the formatted plan: the native side stays
+        # scan→filter→project with pushed-down StringContains filters).
         complex_df = df.filter(F.expr(_COMPLEX_PRED))
         simple_df = df.filter(~F.expr(f"coalesce({_COMPLEX_PRED}, false)"))
+        if salt_repartition:
+            complex_df = _salted(complex_df)
         kernel_blocks = complex_df.mapInPandas(
             functools.partial(_kernel, mode, validate, emit_raw), schema=schema
         )
@@ -173,6 +181,8 @@ def extract_blocks(
             _native_simple_blocks(simple_df, mode, validate, emit_raw)
         )
     else:
+        if salt_repartition:
+            df = _salted(df)
         blocks = df.mapInPandas(
             functools.partial(_kernel, mode, validate, emit_raw), schema=schema
         )
