@@ -2,6 +2,14 @@
 embedding-cosine.  All native column expressions (md5 is the cross-engine
 hash so every operator is DuckDB-oracle-verifiable).
 
+Algorithms follow the published formulations: MinHash resemblance sketches
+(Broder, "On the resemblance and containment of documents", 1997) with
+banded LSH (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3);
+SimHash (Charikar, "Similarity estimation techniques from rounding
+algorithms", STOC 2002; Manku et al., "Detecting near-duplicates for web
+crawling", WWW 2007 — the banded Hamming search); random-hyperplane sign LSH
+for embeddings (Charikar 2002).
+
 Scale notes (100 TB):
 
 * ``exact_dedup`` — one shuffle on the 16-byte fingerprint; map-side partial
