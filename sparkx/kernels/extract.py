@@ -69,16 +69,28 @@ OUTPUT_COLUMNS = [
 ]
 
 
+_JSON_CTRL_SHORT = {"\b": "\\b", "\f": "\\f", "\r": "\\r", "\t": "\\t", "\n": "\\n"}
+
+
+def _json_ctrl_escape(m) -> str:
+    c = m.group()
+    return _JSON_CTRL_SHORT.get(c, "\\u%04x" % ord(c))
+
+
 def _json_str_array(tsv_header: pd.Series) -> pd.Series:
     """``json.dumps(cells, ensure_ascii=False)`` for TSV-encoded cell lists,
-    built with vectorized string ops (cells cannot contain control chars —
-    they come from a single line)."""
+    built with vectorized string ops.  Control chars < 0x20 get json.dumps'
+    escapes (short forms for \\b \\f \\r; \\u00XX otherwise) — found by the
+    hypothesis fuzz gate; cells can carry \\r or other control bytes even
+    though \\t (delimiter) and \\n (line split) cannot."""
     esc = (
         tsv_header.astype(object)
         .str.replace("\\", "\\\\", regex=False)
         .str.replace('"', '\\"', regex=False)
+        .str.replace("\t", '", "', regex=False)  # delimiter BEFORE ctrl escape
+        .str.replace(r"[\x00-\x1f]", _json_ctrl_escape, regex=True)
     )
-    return '["' + esc.str.replace("\t", '", "', regex=False) + '"]'
+    return '["' + esc + '"]'
 
 
 def _figure_repr(w: pd.Series, h: pd.Series) -> pd.Series:
