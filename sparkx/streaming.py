@@ -95,3 +95,67 @@ def start_extraction_stream(
 
 def surviving_stream_writer(transcripts: DataFrame):
     return transcripts.writeStream.outputMode("append")
+
+
+# ── custom stateful streaming operator ───────────────────────────────────────
+#
+# Running per-conversation extraction totals maintained across micro-batches
+# with applyInPandasWithState — the pattern for any custom stateful operator
+# (sessionization, dedup-within-stream, running quality stats) on top of the
+# extraction stream.
+
+CONV_STATE_SCHEMA = "n_turns long, n_chars long"
+CONV_PROGRESS_SCHEMA = "conv_id string, n_turns long, n_chars long"
+
+
+def _conv_progress_fn(key, pdfs, state):
+    """Accumulate (turn count, char volume) per conv_id across micro-batches."""
+    import pandas as pd
+
+    n_turns, n_chars = state.get if state.exists else (0, 0)  # .get is a property
+    for pdf in pdfs:
+        n_turns += len(pdf)
+        n_chars += int(pdf["text"].fillna("").str.len().sum())
+    state.update((n_turns, n_chars))
+    yield pd.DataFrame(
+        {"conv_id": [key[0]], "n_turns": [n_turns], "n_chars": [n_chars]}
+    )
+
+
+def start_conv_progress_stream(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stateful per-conversation progress tracker over the transcript stream.
+    State lives in Spark's streaming state store (RocksDB/HDFS-backed on a
+    real cluster), keyed by conv_id — survives restarts via the checkpoint."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    transcripts = stream_transcripts(spark, in_dir)
+    progress = transcripts.groupBy("conv_id").applyInPandasWithState(
+        _conv_progress_fn,
+        outputStructType=CONV_PROGRESS_SCHEMA,
+        stateStructType=CONV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    from pyspark.sql import functions as F
+
+    # parquet sinks are append-only; emit each micro-batch's updated states
+    # and let readers take the latest row per conv_id
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            f"{out_dir}/batches"
+        )
+
+    writer = (
+        progress.writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
