@@ -24,7 +24,15 @@ def main() -> int:
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
 
-    t = transcripts_from_documents(spark, sf)
+    # plan over a REAL transcripts parquet (the production input shape) so
+    # the explain isn't cluttered by the documents→transcripts derivation
+    import tempfile
+
+    from sparkx.synth import synth_spark
+
+    tdir = tempfile.mkdtemp(prefix="plans_") + "/transcripts"
+    synth_spark(spark, 100, 20, n_partitions=4).write.mode("overwrite").parquet(tdir)
+    t = spark.read.parquet(tdir)
     sections = [
         (
             "Extraction pipeline (hybrid native/kernel, salted kernel branch)",
