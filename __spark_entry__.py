@@ -741,7 +741,9 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
             FROM toks WHERE tok != '' GROUP BY 1, 2""",
         "p6_safe_json": """
             SELECT event_id,
-              coalesce(json_extract_string(regexp_extract(props, '\\{.*\\}', 0), '$.k'), '') AS k
+              CASE WHEN coalesce(regexp_extract(props, '\\{.*\\}', 0), '') = '' THEN ''
+                   ELSE coalesce(json_extract_string(regexp_extract(props, '\\{.*\\}', 0), '$.k'), '')
+              END AS k
             FROM events""",
         "sessionize": """
             WITH e AS (
@@ -782,8 +784,8 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
               CAST((doc_id % 16) * 64 + 64 AS INT) AS width,
               CAST((doc_id % 9) * 60 + 60 AS INT) AS height,
-              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-              TRUE AS ok, md5(text) AS digest
+              CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+              TRUE AS ok, md5(coalesce(text, '')) AS digest
             FROM documents""",
         "mm_resize_plan": """
             SELECT doc_id AS media_id,
@@ -793,6 +795,6 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
               round(least(1.0, 512.0 / greatest((doc_id % 16) * 64 + 64, (doc_id % 9) * 60 + 60)), 4) AS scale
             FROM documents""",
         "mm_frame_sample": """
-            SELECT doc_id AS media_id, unnest(generate_series(0, CAST(octet_length(encode(text)) // 64 AS INT), 30)) AS frame_idx
+            SELECT doc_id AS media_id, unnest(generate_series(0, CAST(octet_length(encode(coalesce(text, ''))) // 64 AS INT), 30)) AS frame_idx
             FROM documents WHERE CAST(doc_id % 3 AS INT) = 2""",
     }

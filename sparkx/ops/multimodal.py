@@ -39,6 +39,7 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     """Deterministically wrap the documents table as a media table: payload =
     utf-8 bytes, metadata derived arithmetically (stands in for real image
     bytes in this codec-less sandbox)."""
+    payload = F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(
@@ -47,8 +48,8 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         ).alias("kind"),
         ((F.col("doc_id") % 16) * 64 + 64).cast("int").alias("width"),
         ((F.col("doc_id") % 9) * 60 + 60).cast("int").alias("height"),
-        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
-        F.encode("text", "utf-8").alias("media"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        payload.alias("media"),
     )
 
 
@@ -63,7 +64,11 @@ def _decode_kernel(fake: bool, it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             )
         # Deterministic fake: digest of the raw payload + a fixed-dim feature
         # derived from the digest bytes (stable across runs and partitions).
-        digests = [hashlib.md5(bytes(b)).hexdigest() for b in pdf["media"]]
+        # NULL payloads decode as empty bytes (100-TB inputs contain nulls).
+        digests = [
+            hashlib.md5(bytes(b) if b is not None else b"").hexdigest()
+            for b in pdf["media"]
+        ]
         feats = [
             np.frombuffer(bytes.fromhex(d), dtype=np.uint8)[:FEATURE_DIM].astype(
                 np.float32
