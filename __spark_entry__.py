@@ -178,6 +178,12 @@ def _q_ann_topk_lsh(spark, sf_dir):
     return S.topk_lsh(_emb(spark, sf_dir), query_vec_id=0, k=10, nbits=4)
 
 
+def _q_ann_text_topk(spark, sf_dir):
+    """End-to-end text similarity: feature-hash embed → relational cosine
+    top-k (exact integer dots)."""
+    return S.text_topk(_docs(spark, sf_dir), query_doc_id=9, k=5)
+
+
 # ───────────────────── reference joins / scalar ops ────────────────────────
 
 
@@ -365,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_text_topk": _q_ann_text_topk,
         # joins / window / scalar ops (J2, J3, W2, P6)
         "w2_topk_per_group": _q_w2_topk_per_group,
         "j2_dedup_merge": _q_j2_dedup_merge,
@@ -681,6 +688,27 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
             FROM b a JOIN (SELECT * FROM b WHERE vec_id = 0) q ON a.bucket = q.bucket
             WHERE a.vec_id != 0
             ORDER BY cosine DESC, a.vec_id ASC LIMIT 10""",
+        "ann_text_topk": """
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+              FROM documents),
+            w AS (
+              SELECT id, CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS INT) AS dim,
+                     CAST(SUM(CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
+                              THEN 1 ELSE -1 END) AS BIGINT) AS weight
+              FROM toks WHERE tok != '' GROUP BY 1, 2),
+            norms AS (SELECT id, sum(weight * weight) AS norm_sq FROM w GROUP BY id),
+            qw AS (SELECT dim, weight AS q_weight FROM w WHERE id = 9),
+            qn AS (SELECT norm_sq AS q_norm_sq FROM norms WHERE id = 9),
+            dots AS (
+              SELECT w.id, sum(w.weight * qw.q_weight) AS dot
+              FROM w JOIN qw ON w.dim = qw.dim GROUP BY w.id)
+            SELECT d.id AS doc_id,
+                   round(d.dot / sqrt(CAST(n.norm_sq AS DOUBLE) * qn.q_norm_sq), 4) AS cosine
+            FROM dots d JOIN norms n ON n.id = d.id, qn
+            WHERE d.id != 9
+            ORDER BY cosine DESC, doc_id ASC LIMIT 5""",
         "w2_topk_per_group": """
             SELECT event_type, event_id, round(value, 4) AS value, rn FROM (
               SELECT event_type, event_id, value,

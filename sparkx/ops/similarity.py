@@ -45,6 +45,49 @@ def topk_bruteforce(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame
     ).limit(k)
 
 
+def text_topk(docs: DataFrame, query_doc_id: int, k: int = 5) -> DataFrame:
+    """End-to-end text similarity search with no model: feature-hash the
+    documents (sparkx.ops.embed integer weights), then cosine top-k computed
+    RELATIONALLY — dot products via an equi-join on the hashed dimension,
+    norms via a groupBy — so the whole chain is shuffled joins/aggregations
+    Catalyst can plan (broadcast the k·64-row query side), and exact integer
+    dots make it cross-engine verifiable."""
+    from sparkx.ops.embed import embed_weights
+
+    w = embed_weights(
+        docs.select(F.col("doc_id"), F.col("text").alias("embed_text")),
+        id_col="doc_id",
+    )
+    norms = w.groupBy("id").agg(
+        F.sum(F.col("weight") * F.col("weight")).alias("norm_sq")
+    )
+    qw = w.filter(F.col("id") == query_doc_id).select(
+        F.col("dim"), F.col("weight").alias("q_weight")
+    )
+    qn = norms.filter(F.col("id") == query_doc_id).select(
+        F.col("norm_sq").alias("q_norm_sq")
+    )
+    dots = (
+        w.join(F.broadcast(qw), "dim")
+        .groupBy("id")
+        .agg(F.sum(F.col("weight") * F.col("q_weight")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms, "id")
+        .crossJoin(F.broadcast(qn))
+        .filter(F.col("id") != query_doc_id)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.round(
+                F.col("dot")
+                / F.sqrt(F.col("norm_sq").cast("double") * F.col("q_norm_sq")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(k)
+
+
 def topk_lsh(emb: DataFrame, query_vec_id: int, k: int = 10, nbits: int = 4) -> DataFrame:
     """Probe only the query's sign bucket.  At scale the table is written
     partitioned by this bucket so the filter prunes partitions at scan time."""
