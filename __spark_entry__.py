@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkx.graft import TRANSCRIPTS_SQL_CTE, transcripts_from_documents
+from sparkx.pipeline import PY_WS
 from sparkx.ops import dedup as D
 from sparkx.ops import multimodal as M
 from sparkx.ops import similarity as S
@@ -134,6 +135,9 @@ def _q_ta_profile(spark, sf_dir):
 
 
 def _q_ta_lang_agg(spark, sf_dir):
+    # avg over integer micro-units (q is already round(.,4) so q*1e4 is exact):
+    # the sum is an exact integer on both engines, so the final division is
+    # bit-identical regardless of partitioning (temporal.py float-sum rule).
     d = _docs(spark, sf_dir)
     return (
         d.select("lang", T.token_count().alias("n_tokens"), T.quality_score().alias("q"))
@@ -141,7 +145,12 @@ def _q_ta_lang_agg(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.round(
+                F.sum(F.round(F.col("q") * 10000).cast("long"))
+                / F.count("*")
+                / F.lit(10000.0),
+                4,
+            ).alias("avg_quality"),
         )
     )
 
@@ -405,6 +414,11 @@ _TABLE_MD = (
     " || chr(10) || '|  | ' || CAST(doc_id AS VARCHAR) || ' |  |'"
 )
 
+# Python str.strip() whitespace set as a DuckDB expression (chr-concat — the
+# E'' escape syntax has no \\u escapes).  Mirrors sparkx.pipeline.PY_WS so
+# the min-text gate uses Python strip semantics on BOTH engines.
+_PY_WS_SQL = "(" + "||".join(f"chr({ord(c)})" for c in PY_WS) + ")"
+
 # blocks CTE: independently reconstructs every candidate block the kernel
 # must emit, with fastpath+agentic projections side by side.
 _BLOCKS_CTE = TRANSCRIPTS_SQL_CTE + f""",
@@ -433,7 +447,7 @@ cand AS (
 blocks AS (
   SELECT *,
     CASE WHEN chunk_type='text' THEN
-           CASE WHEN length(trim(raw_content)) >= 40 THEN 'accepted' ELSE 'dropped_short' END
+           CASE WHEN length(trim(raw_content, {_PY_WS_SQL})) >= 40 THEN 'accepted' ELSE 'dropped_short' END
          WHEN chunk_type='table' THEN
            CASE WHEN fam IN (4,5,9) THEN 'accepted' ELSE 'dropped_table_small' END
          ELSE CASE WHEN fig_w >= 80 AND fig_h >= 80 THEN 'accepted' ELSE 'dropped_figure_small' END
@@ -626,8 +640,10 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5
             FROM documents""",
         "ta_lang_agg": f"""
-            SELECT lang, count(*) AS n_docs, sum({_TA_TOKENS}) AS total_tokens,
-                   round(avg({_TA_QUALITY}), 4) AS avg_quality
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum({_TA_TOKENS}) AS BIGINT) AS total_tokens,
+                   round(CAST(sum(CAST(round({_TA_QUALITY} * 10000) AS BIGINT)) AS DOUBLE)
+                         / count(*) / 10000.0, 4) AS avg_quality
             FROM documents GROUP BY lang""",
         "dedup_exact": """
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
@@ -724,7 +740,10 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
             SELECT doc_id, tier FROM base
             UNION ALL
             SELECT f.doc_id, f.tier FROM figs f
-            WHERE f.text NOT IN (SELECT text FROM base)""",
+            -- NOT EXISTS with '=' (not NOT IN, which NULL-poisons; not
+            -- IS NOT DISTINCT FROM, which would match NULL to NULL):
+            -- exactly Spark left_anti semantics — NULL text never matches.
+            WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.text = f.text)""",
         "j3_crosslink_attach": _BLOCKS_CTE + f"""
             SELECT conv_id, turn_idx, chunk_type,
                    CASE WHEN {_CROSSREF_PRED} THEN 1 ELSE 0 END AS n_links
@@ -801,11 +820,11 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
               ON a.user_id = b.user_id AND a.ts >= b.ts""",
         "pivot_counts": """
             SELECT user_id,
-              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-              sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-              sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-              sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+              CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+              CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
             FROM events GROUP BY user_id""",
         "mm_decode": """
             SELECT doc_id AS media_id,

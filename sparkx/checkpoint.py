@@ -81,6 +81,19 @@ def run_resumable(
     uncommitted groups re-run.  Returns summary incl. per-group manifests."""
     run_id = run_id or f"run_{int(time.time())}"
     done = completed_groups(out_path)
+    # Fail fast on parameter drift: group membership is a function of
+    # n_groups (pmod(xxhash64(conv_id), n_groups)), so resuming a ledger
+    # written under different n_groups would silently drop/duplicate
+    # conversations; a mode/validate change would mix incompatible outputs.
+    params = {"n_groups": n_groups, "mode": mode, "validate": validate}
+    for g, m in done.items():
+        prev = {k: m[k] for k in params if k in m}
+        if prev and prev != params:
+            raise ValueError(
+                f"ledger group {g} was committed with {prev}, but this run "
+                f"uses {params}; resume with the original parameters or use "
+                f"a fresh out_path"
+            )
     group_col = F.pmod(F.xxhash64("conv_id"), F.lit(n_groups)).cast("int")
 
     executed = 0
@@ -111,6 +124,9 @@ def run_resumable(
                 "group": g,
                 "run_id": run_id,
                 "committed_at": time.time(),
+                "n_groups": n_groups,
+                "mode": mode,
+                "validate": validate,
                 "status_counts": status_counts,
                 "n_surviving": sum(
                     v for k, v in status_counts.items() if k in ("accepted", "corrected")

@@ -27,7 +27,7 @@ import functools
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkx.kernels.extract import OUTPUT_COLUMNS, extract_batch
@@ -46,6 +46,22 @@ _KERNEL_SCHEMA = "".join(
 )
 
 DEFAULT_BUCKETS = 32
+
+# Python str.strip() whitespace set (exactly the 29 codepoints where
+# str.isspace() is True).  The reference gates on len(text.strip()) >= 40
+# (parser.py:32,125) with PYTHON strip semantics; the kernel path inherits
+# them via pandas .str.strip(), so the native path must btrim the same set —
+# F.trim alone strips only ' ' and diverges on trailing \n/\r/unicode spaces.
+PY_WS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0 "
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "    　"
+)
+
+
+def py_stripped_len(col) -> Column:
+    """F.length of Python-str.strip()'d col — codegen'd (StringTrimBoth)."""
+    return F.length(F.btrim(col, F.lit(PY_WS)))
 
 
 def _kernel(mode: str, validate: bool, emit_raw: bool,
@@ -72,7 +88,7 @@ def _native_simple_blocks(df: DataFrame, mode: str, validate: bool,
     Spark SQL, and only genuinely structured payloads pay the kernel cost.
     """
     raw = F.coalesce(F.col("text"), F.lit(""))
-    alive = F.length(F.trim(raw)) >= 40  # parser.py:32,125
+    alive = py_stripped_len(raw) >= 40  # parser.py:32,125 (Python strip set)
     structured = F.when(alive, F.substring(raw, 1, 2000)).otherwise(F.lit(""))
 
     if mode == "fastpath":

@@ -17,8 +17,11 @@ Design:
   readers;
 * ``Trigger.AvailableNow`` for catch-up runs (used by tests), continuous
   trigger in production;
-* exactly-once: Spark's streaming checkpoint (offsets) + idempotent
-  deterministic chunk_ids (dedup on replay is a no-op rewrite).
+* exactly-once: Spark's streaming checkpoint (offsets) + each micro-batch
+  written to its own deterministic ``batch_id=<id>`` directory with
+  overwrite — a batch replayed after a mid-commit failure rewrites the same
+  directory instead of appending duplicates (mirrors the batch ledger's
+  overwrite-then-manifest commit).
 """
 
 from __future__ import annotations
@@ -57,6 +60,25 @@ def start_extraction_stream(
     run_id = run_id or f"stream_{uuid.uuid4().hex[:8]}"
     transcripts = stream_transcripts(spark, in_dir)
 
+    writer = (
+        surviving_stream_writer(transcripts)
+        .foreachBatch(make_batch_sink(out_path, mode=mode, run_id=run_id))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def make_batch_sink(out_path: str, mode: str = "fastpath", run_id: str = "stream"):
+    """foreachBatch sink: extract → batch-keyed overwrite → ledger manifest.
+
+    Replay-idempotent: a micro-batch retried after the data write but before
+    the streaming checkpoint commit rewrites its own ``batch_id=<id>``
+    directory (overwrite), so duplicates cannot accumulate — the failure
+    window parquet append could not cover.  Module-level so tests can drive a
+    replay directly."""
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         blocks = extract_blocks(
             batch_df,
@@ -67,9 +89,14 @@ def start_extraction_stream(
             # partition count bounded instead of 2×cores per batch
             salt_repartition=True,
         )
-        out = surviving(blocks)
-        out.write.mode("append").parquet(f"{out_path}/extracted/stream")
-        n = out.count()
+        out = surviving(blocks).persist()  # one computation for write + count
+        try:
+            out.write.mode("overwrite").parquet(
+                f"{out_path}/extracted/stream/batch_id={batch_id}"
+            )
+            n = out.count()
+        finally:
+            out.unpersist()
         led = f"{out_path}/_ledger"
         os.makedirs(led, exist_ok=True)
         manifest = {
@@ -83,14 +110,7 @@ def start_extraction_stream(
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(led, f"stream_batch_{batch_id}.json"))
 
-    writer = (
-        surviving_stream_writer(transcripts)
-        .foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _sink
 
 
 def surviving_stream_writer(transcripts: DataFrame):

@@ -8,7 +8,7 @@ equality is covered by test_spark_oracle)."""
 from __future__ import annotations
 
 import pandas as pd
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from sparkx import oracle as O
@@ -59,6 +59,9 @@ def _frame(texts: list[str]) -> pd.DataFrame:
 @settings(max_examples=120, deadline=None)
 @given(texts=st.lists(_turn_text, min_size=1, max_size=6),
        mode=st.sampled_from(["fastpath", "agentic"]))
+@example(texts=["\t\x1f\n\t"], mode="agentic")  # r1 JSON control-char bug
+@example(texts=["a" * 36 + "\n\n\n\n"], mode="fastpath")  # strip-gate boundary
+@example(texts=["a" * 39 + " ", "b" * 40 + "\r\n"], mode="fastpath")
 def test_kernel_matches_oracle_on_arbitrary_text(texts, mode):
     t = _frame(texts)
     got = (

@@ -65,6 +65,26 @@ def test_resume_is_noop_when_complete(spark, tmp_path):
     assert summary["groups_executed_this_run"] == 0
 
 
+def test_resume_rejects_parameter_drift(spark, tmp_path):
+    """ADVICE r1: a ledger committed under one (n_groups, mode, validate)
+    must refuse to resume under another — group membership depends on
+    n_groups, so silently skipping 'completed' groups would drop rows."""
+    df = _transcripts(spark, seed=47)
+    out = str(tmp_path / "drift")
+    with pytest.raises(SimulatedFailure):
+        run_resumable(spark, df, out, n_groups=4, fail_after_groups=1)
+    for bad in (
+        dict(n_groups=8),
+        dict(n_groups=4, mode="agentic"),
+        dict(n_groups=4, validate=False),
+    ):
+        with pytest.raises(ValueError, match="committed with"):
+            run_resumable(spark, df, out, **bad)
+    # original parameters still resume fine
+    summary = run_resumable(spark, df, out, n_groups=4)
+    assert len(summary["ledger"]) == 4
+
+
 def test_lineage_columns_present(spark, tmp_path):
     df = _transcripts(spark, seed=43)
     out = str(tmp_path / "lin")

@@ -100,6 +100,53 @@ def test_type_stats_rollup(spark):
     assert stats["TOTAL"] == len(live)
 
 
+def test_min_text_gate_python_strip_semantics(spark):
+    """ADVICE r1 (high): the native simple path must strip the PYTHON
+    whitespace set, not just spaces — 'a'*36 + '\\n\\n\\n\\n' is dropped_short
+    on every route (kernel, native, oracle).  Boundary cases around 40 chars
+    with trailing \\n/\\r/unicode whitespace, on BOTH routings."""
+    texts = [
+        "a" * 36 + "\n\n\n\n",          # 40 raw, 36 stripped → dropped
+        "b" * 40 + "\r\n",              # 40 stripped → accepted
+        "c" * 39 + " ",                 # 39 stripped → dropped
+        "　" + "d" * 40 + " ",  # unicode ws both ends → accepted
+        "e" * 39 + "\x1c",              # file-separator char → dropped
+        " " * 5 + "f" * 40,             # leading spaces → accepted
+        "g" * 43,                        # plain accepted
+        " " + "h" * 39,            # line-sep ws → dropped
+    ]
+    t = pd.DataFrame(
+        {
+            "conv_id": [f"ws{i}" for i in range(len(texts))],
+            "turn_idx": pd.array(range(len(texts)), dtype="int32"),
+            "role": ["user"] * len(texts),
+            "text": texts,
+            "tool": [""] * len(texts),
+            "ts": [pd.Timestamp("2026-01-01")] * len(texts),
+        }
+    )
+    want = oracle_frame(t, mode="fastpath", validate=True)
+    for native in (True, False):
+        got = extract_blocks(
+            _spark_df(spark, t), mode="fastpath", native_simple_path=native
+        ).toPandas()
+        assert_frames_equal(got, want)
+    statuses = dict(zip(want.conv_id, want.status))
+    assert statuses == {
+        "ws0": "dropped_short", "ws1": "accepted", "ws2": "dropped_short",
+        "ws3": "accepted", "ws4": "dropped_short", "ws5": "accepted",
+        "ws6": "accepted", "ws7": "dropped_short",
+    }
+
+
+def test_py_ws_matches_python_isspace():
+    """PY_WS is exactly the str.isspace() codepoint set (all 0x110000)."""
+    from sparkx.pipeline import PY_WS
+
+    expected = [c for c in map(chr, range(0x110000)) if c.isspace()]
+    assert sorted(PY_WS) == sorted(expected)
+
+
 def test_role_and_tool_agnostic(spark):
     """Extraction never branches on role/tool (router.py:40 routes only on
     content type)."""

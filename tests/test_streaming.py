@@ -54,6 +54,27 @@ def test_stream_matches_batch(spark, tmp_path):
     assert ledger
 
 
+def test_sink_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r1: a micro-batch retried after the data write but before the
+    streaming-checkpoint commit must NOT duplicate rows — the batch-keyed
+    overwrite sink rewrites its own directory on replay."""
+    from sparkx.schemas import TRANSCRIPTS
+    from sparkx.streaming import make_batch_sink
+
+    pdf = synth_pandas(n_convs=5, turns_per_conv=4, seed=81)
+    batch = spark.createDataFrame(pdf, TRANSCRIPTS)
+    out = str(tmp_path / "replay_out")
+    sink = make_batch_sink(out, mode="fastpath", run_id="replay")
+
+    sink(batch, 0)
+    first = spark.read.parquet(f"{out}/extracted/stream").toPandas()
+    sink(batch, 0)  # simulated replay of the same micro-batch
+    second = spark.read.parquet(f"{out}/extracted/stream").toPandas()
+    assert len(second) == len(first)
+    assert second.chunk_id.is_unique
+    assert sorted(second.chunk_id) == sorted(first.chunk_id)
+
+
 def test_stream_resume_processes_only_new_files(spark, tmp_path):
     in_dir, _ = _write_input_files(tmp_path, n_files=2, seed0=70)
     out = tmp_path / "out"

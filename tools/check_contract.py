@@ -13,6 +13,22 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
+def dtype_kind(dtype) -> str:
+    """Coarse dtype class the driver's typed value-hash distinguishes.
+    int64 3549 vs float64 3549.0 MUST be a mismatch (r1: ta_lang_agg /
+    pivot_counts passed locally but failed the driver on exactly this)."""
+    s = str(dtype)
+    if "bool" in s:
+        return "bool"
+    if "int" in s and "interval" not in s:
+        return "int"
+    if "float" in s or "double" in s or "decimal" in s.lower():
+        return "float"
+    if "datetime" in s or "timestamp" in s.lower():
+        return "datetime"
+    return "object"
+
+
 def normalize(df, float_dp=6):
     import pandas as pd
 
@@ -71,6 +87,15 @@ def main():
         if len(got) != len(want):
             failures.append((name, f"rows {len(got)} != {len(want)}"))
             print(f"✗ {name}: row count {len(got)} != {len(want)}")
+            continue
+        bad_kinds = [
+            c for c in got.columns
+            if dtype_kind(got[c].dtype) != dtype_kind(want[c].dtype)
+        ]
+        if bad_kinds:
+            detail = {c: (str(got[c].dtype), str(want[c].dtype)) for c in bad_kinds}
+            failures.append((name, f"dtype kind mismatch {detail}"))
+            print(f"✗ {name}: dtype kind mismatch {detail}")
             continue
         g, w = normalize(got), normalize(want)
         if not g.equals(w):
