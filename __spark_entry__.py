@@ -336,6 +336,121 @@ def _q_pivot_counts(spark, sf_dir):
     return pivot_event_counts(ev)
 
 
+# ───────────────── answer-phase skeletons (S7, U5, W3+U6, P11) ─────────────
+
+
+def _q_s7_answer_trunc(spark, sf_dir):
+    """Answer-JSON sink (S7, serialization.py:71-108): reasoning_trace
+    truncated at 1000 chars + '...' only when longer.  Traces synthesized so
+    both branches (trunc / passthrough) occur."""
+    from sparkx.ops.answers import serialized_answer
+
+    d = _docs(spark, sf_dir)
+    trace = F.when(
+        F.col("doc_id") % 2 == 0, F.substring("text", 1, 200)
+    ).otherwise(F.concat(F.col("text"), F.lit(" "), F.repeat(F.lit("reasoning "), 120)))
+    answers = d.select(
+        F.concat(F.col("source"), F.lit(".pdf")).alias("pdf_file"),
+        F.concat(F.lit("what does doc "), F.col("doc_id").cast("string"),
+                 F.lit(" say")).alias("question"),
+        F.substring("text", 1, 120).alias("answer"),
+        trace.alias("reasoning_trace"),
+        (F.col("doc_id") % 2 == 0).alias("answer_is_grounded"),
+        F.round(F.lit(0.5) + (F.col("doc_id") % 5) / F.lit(10.0), 1).alias(
+            "answer_verdict_score"
+        ),
+    )
+    return serialized_answer(answers)
+
+
+def _q_u5_answer_validation(spark, sf_dir):
+    """Checkpoint-B deterministic gates (U5, validation.py:484-517) over
+    synthesized raw validator outputs covering every branch: 'null'/'NULL'/
+    ''/NULL revised answers, unparseable/NULL scores, error fallback."""
+    from sparkx.ops.answers import checkpoint_b
+
+    d = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    raw = d.select(
+        "doc_id",
+        F.when(doc_id % 5 == 0, F.lit("null"))
+        .when(doc_id % 5 == 1, F.lit("NULL"))
+        .when(doc_id % 5 == 2, F.lit(""))
+        .when(doc_id % 5 == 3, F.lit(None).cast("string"))
+        .otherwise(F.substring("text", 1, 50))
+        .alias("revised_answer_raw"),
+        F.when(doc_id % 4 == 0, F.lit("0.83"))
+        .when(doc_id % 4 == 1, F.lit("not-a-number"))
+        .when(doc_id % 4 == 2, F.lit(None).cast("string"))
+        .otherwise(F.lit("0.25"))
+        .alias("verdict_score_raw"),
+        F.when(doc_id % 3 == 0, F.lit(None).cast("boolean"))
+        .otherwise(doc_id % 2 == 0)
+        .alias("is_grounded_raw"),
+        F.when(doc_id % 6 == 0, F.lit("checked claims"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("validator_notes_raw"),
+        (doc_id % 7 == 0).alias("had_error"),
+        F.lit("model exploded").alias("error_msg"),
+    )
+    return checkpoint_b(raw)
+
+
+def _ranked_hits(spark, sf_dir):
+    """J2-merged hit set with arrival-order ranks + meta columns (the input
+    shape orchestrator._build_context receives)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    cols = ["doc_id", "text", "n_chars", "source"]
+    base = (
+        d.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(8)
+        .select(*cols, F.lit(0).alias("tier"))
+    )
+    figs = (
+        d.filter("source = 'src1'").orderBy(F.asc("doc_id")).limit(3)
+        .select(*cols, F.lit(1).alias("tier"))
+    )
+    extra = figs.join(base.select("text"), "text", "left_anti")
+    hits = base.unionByName(extra)
+    w = Window.orderBy("tier", F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "chunk_type",
+            F.when(F.col("tier") == 0, F.lit("text")).otherwise(F.lit("figure")),
+        )
+        .withColumn("source_file", F.concat(F.col("source"), F.lit(".pdf")))
+        .withColumn("page_num", (F.col("doc_id") % 30).cast("int"))
+        .withColumn("score", F.round((F.lit(95) - F.col("rank") * 3) / F.lit(100.0), 2))
+        .withColumn("intuition_summary", F.concat(F.lit("doc "), F.col("doc_id").cast("string")))
+    )
+
+
+def _q_u6_retrieval_context(spark, sf_dir):
+    """Context enumeration (W3+U6, orchestrator.py:232-240): hits numbered
+    [1]..[n] in arrival order, 800-char content truncation, exact layout."""
+    from sparkx.ops.answers import enumerate_context
+
+    return enumerate_context(_ranked_hits(spark, sf_dir))
+
+
+def _q_u6_context_assembled(spark, sf_dir):
+    """Full context string: parts joined with '\\n\\n---\\n\\n' in rank order
+    (orchestrator.py:241)."""
+    from sparkx.ops.answers import assemble_context, enumerate_context
+
+    return assemble_context(enumerate_context(_ranked_hits(spark, sf_dir)))
+
+
+def _q_p11_prompt_build(spark, sf_dir):
+    """Prompt build (P11, extraction.py:93-98,159-164 + RETRY_SUFFIX
+    base.py:43) over the accepted agentic text/table blocks."""
+    from sparkx.ops.prompts import build_prompts
+
+    return build_prompts(surviving(_blocks(spark, sf_dir, "agentic")))
+
+
 # ───────────────────────── multimodal plumbing ─────────────────────────────
 
 
@@ -390,6 +505,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_think_split": _q_p7_think_split,
         "p8_visual_keywords": _q_p8_visual_keywords,
         "u7_embed_weights": _q_u7_embed_weights,
+        # answer-phase skeletons (S7, U5, W3+U6, P11)
+        "s7_answer_trunc": _q_s7_answer_trunc,
+        "u5_answer_validation": _q_u5_answer_validation,
+        "u6_retrieval_context": _q_u6_retrieval_context,
+        "u6_context_assembled": _q_u6_context_assembled,
+        "p11_prompt_build": _q_p11_prompt_build,
         # temporal/event operators
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
@@ -467,6 +588,33 @@ blocks AS (
     sha256(conv_id || '|' || CAST(turn_idx AS VARCHAR) || '|' || chunk_type || '|' || CAST(block_idx AS VARCHAR)) AS chunk_id
   FROM cand
 )
+"""
+
+# J2-merged hit set + arrival-order ranks + context meta (mirrors
+# _ranked_hits; orchestrator.py:120-127 merge, :232-240 context build).
+_RANKED_HITS_CTE = """
+WITH base AS (
+  SELECT doc_id, text, n_chars, source, 0 AS tier FROM documents
+  ORDER BY n_chars DESC, doc_id ASC LIMIT 8),
+figs AS (
+  SELECT doc_id, text, n_chars, source, 1 AS tier FROM documents
+  WHERE source = 'src1' ORDER BY doc_id ASC LIMIT 3),
+hits AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT f.* FROM figs f
+  WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.text = f.text)),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY tier, n_chars DESC, doc_id) AS rank
+  FROM hits),
+meta AS (
+  SELECT *,
+    CASE WHEN tier = 0 THEN 'text' ELSE 'figure' END AS chunk_type,
+    source || '.pdf' AS source_file,
+    CAST(doc_id % 30 AS INT) AS page_num,
+    round((95 - rank * 3) / 100.0, 2) AS score,
+    'doc ' || CAST(doc_id AS VARCHAR) AS intuition_summary
+  FROM ranked)
 """
 
 _CROSSREF_PRED = (
@@ -792,6 +940,70 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
                    ELSE coalesce(json_extract_string(regexp_extract(props, '\\{.*\\}', 0), '$.k'), '')
               END AS k
             FROM events""",
+        "s7_answer_trunc": """
+            WITH a AS (
+              SELECT doc_id, source, text,
+                CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, 200)
+                     ELSE text || ' ' || repeat('reasoning ', 120) END AS trace
+              FROM documents)
+            SELECT source || '.pdf' AS pdf_file,
+              'what does doc ' || CAST(doc_id AS VARCHAR) || ' say' AS question,
+              substr(text, 1, 120) AS answer,
+              CASE WHEN length(trace) > 1000 THEN substr(trace, 1, 1000) || '...'
+                   ELSE trace END AS reasoning_trace,
+              doc_id % 2 = 0 AS answer_is_grounded,
+              round(0.5 + (doc_id % 5) / 10.0, 1) AS answer_verdict_score
+            FROM a""",
+        "u5_answer_validation": """
+            WITH raw AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'null' WHEN 1 THEN 'NULL'
+                  WHEN 2 THEN '' WHEN 3 THEN NULL ELSE substr(text, 1, 50) END AS rra,
+                CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '0.83'
+                  WHEN 1 THEN 'not-a-number' WHEN 2 THEN NULL ELSE '0.25' END AS vsr,
+                CASE WHEN doc_id % 3 = 0 THEN NULL ELSE doc_id % 2 = 0 END AS igr,
+                CASE WHEN doc_id % 6 = 0 THEN 'checked claims' ELSE NULL END AS vnr,
+                doc_id % 7 = 0 AS had_error
+              FROM documents)
+            SELECT doc_id,
+              CASE WHEN had_error THEN TRUE ELSE coalesce(igr, TRUE) END AS is_grounded,
+              CASE WHEN had_error THEN NULL
+                   WHEN rra IS NOT NULL AND rra != '' AND lower(rra) != 'null' THEN rra
+                   ELSE NULL END AS revised_answer,
+              CASE WHEN had_error THEN 0.5
+                   ELSE coalesce(TRY_CAST(vsr AS DOUBLE), 1.0) END AS verdict_score,
+              CASE WHEN had_error THEN 'Validation error: model exploded'
+                   ELSE coalesce(vnr, '') END AS validator_notes
+            FROM raw""",
+        "u6_retrieval_context": _RANKED_HITS_CTE + """
+            SELECT rank, doc_id,
+              '[' || CAST(rank AS VARCHAR) || '] (' || upper(chunk_type) || ' | '
+              || source_file || ' p.' || CAST(page_num AS VARCHAR)
+              || ' | score=' || printf('%.2f', score) || ')'
+              || chr(10) || 'Summary: ' || intuition_summary
+              || chr(10) || 'Content: ' || substr(text, 1, 800) AS part
+            FROM meta""",
+        "u6_context_assembled": _RANKED_HITS_CTE + """
+            , parts AS (
+              SELECT rank,
+                '[' || CAST(rank AS VARCHAR) || '] (' || upper(chunk_type) || ' | '
+                || source_file || ' p.' || CAST(page_num AS VARCHAR)
+                || ' | score=' || printf('%.2f', score) || ')'
+                || chr(10) || 'Summary: ' || intuition_summary
+                || chr(10) || 'Content: ' || substr(text, 1, 800) AS part
+              FROM meta)
+            SELECT count(*) AS n_hits,
+                   string_agg(part, E'\\n\\n---\\n\\n' ORDER BY rank) AS context
+            FROM parts""",
+        "p11_prompt_build": _BLOCKS_CTE + """
+            SELECT conv_id, turn_idx, chunk_type, block_idx,
+              CASE WHEN chunk_type = 'text' THEN 'PASSAGE:' || chr(10)
+                   ELSE 'TABLE:' || chr(10) END
+              || raw_content
+              || CASE WHEN conf_agentic < 0.5
+                      THEN chr(10) || '[RETRY] Low confidence. Be conservative; flag unknowns explicitly.'
+                      ELSE '' END AS prompt
+            FROM blocks WHERE status = 'accepted' AND chunk_type IN ('text', 'table')""",
         "sessionize": """
             WITH e AS (
               SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events
