@@ -176,7 +176,12 @@ def _q_dedup_embedding(spark, sf_dir):
 
 
 def _q_dedup_embedding_lsh(spark, sf_dir):
-    return D.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3, bucketed=True)
+    # wide-recall demo geometry for the low-threshold test corpus (8-bit
+    # bands × 8); the 16×4 scale default is covered by tests/test_ops.py
+    # with a measured recall note — see embedding_near_dup_pairs docstring.
+    return D.embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.3, bucketed=True, nbits=8, n_bands=8
+    )
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -184,7 +189,9 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_ann_topk_lsh(spark, sf_dir):
-    return S.topk_lsh(_emb(spark, sf_dir), query_vec_id=0, k=10, nbits=4)
+    # 8-bit sign buckets (256, vs 16 in r1) + Hamming-1 multi-probe; the
+    # 16-bit default is exercised on clustered vectors in tests/test_ops.py
+    return S.topk_lsh(_emb(spark, sf_dir), query_vec_id=0, k=10, nbits=8)
 
 
 def _q_ann_text_topk(spark, sf_dir):
@@ -624,36 +631,53 @@ _CROSSREF_PRED = (
 
 
 def _simhash_oracle_sql() -> str:
-    """32-bit SimHash in DuckDB: explode tokens, 32 sign-vote sums, banded
-    self-join + exact Hamming filter (mirrors sparkx.ops.dedup.simhash_pairs)."""
+    """64-bit SimHash (two 32-bit halves) in DuckDB: explode tokens, 64
+    sign-vote sums, 16-bit banded self-join + exact Hamming filter (mirrors
+    sparkx.ops.dedup.simhash_pairs at SIMHASH_BITS=64)."""
     votes = ", ".join(
-        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        f"SUM(CASE WHEN (h_{nm} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{nm[0]}{j}"
+        for nm in ("lo", "hi")
         for j in range(32)
     )
-    bits = " + ".join(
-        f"CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END" for j in range(32)
+    packs = {
+        nm: " + ".join(
+            f"CASE WHEN v{nm[0]}{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+            for j in range(32)
+        )
+        for nm in ("lo", "hi")
+    }
+    bands = ", ".join(
+        [
+            "sim_lo & 65535",
+            "(sim_lo >> 16) & 65535",
+            "sim_hi & 65535",
+            "(sim_hi >> 16) & 65535",
+        ]
     )
-    bands = ", ".join(f"(simhash >> {8 * b}) & 255" for b in range(4))
+    ham = "bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi))"
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
   FROM documents
 ), hashed AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_lo,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_hi
+  FROM toks
 ), votes AS (
   SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
 ), sims AS (
-  SELECT doc_id, {bits} AS simhash FROM votes
+  SELECT doc_id, {packs["lo"]} AS sim_lo, {packs["hi"]} AS sim_hi FROM votes
 ), banded AS (
-  SELECT doc_id, simhash, unnest([{bands}]) AS key,
+  SELECT doc_id, sim_lo, sim_hi, unnest([{bands}]) AS key,
          unnest([0, 1, 2, 3]) AS band
   FROM sims
 ), cand AS (
-  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS ha, b.simhash AS hb
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.sim_lo AS alo, a.sim_hi AS ahi, b.sim_lo AS blo, b.sim_hi AS bhi
   FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
-SELECT a_id, b_id, bit_count(xor(ha, hb)) AS hamming
-FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+SELECT a_id, b_id, {ham} AS hamming
+FROM cand WHERE {ham} <= 3
 """
 
 
@@ -669,13 +693,18 @@ WITH sh AS (
            regexp_split_to_array(lower(trim(text)), '\\s+')[i+2]) END) AS shingles
   FROM documents
 ), mh AS (
+  -- double hashing (Kirsch–Mitzenmacher): ONE md5 per shingle, k-th hash =
+  -- h1 + k*h2 over the two 32-bit hex halves (mirrors with_minhash)
   SELECT doc_id, shingles,
     list_transform(range(0, 16), k ->
-      list_min(list_transform(shingles, s -> md5(CAST(k AS VARCHAR) || '|' || s)))) AS minhash
+      list_min(list_transform(shingles, s ->
+        ('0x' || substr(md5(s), 1, 8))::BIGINT
+        + k * ('0x' || substr(md5(s), 9, 8))::BIGINT))) AS minhash
   FROM sh
 ), bands AS (
   SELECT doc_id, b AS band,
-    md5(array_to_string(minhash[b*4+1:b*4+4], ',')) AS bucket
+    md5(array_to_string(list_transform(minhash[b*4+1:b*4+4],
+        x -> CAST(x AS VARCHAR)), ',')) AS bucket
   FROM mh, unnest([0,1,2,3]) AS t(b)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -721,6 +750,19 @@ def _langid_sql() -> str:
         f"WHEN {cnt['fr']} > 0 AND {cnt['fr']} = {best} THEN 'fr' "
         f"WHEN {cnt['es']} > 0 AND {cnt['es']} = {best} THEN 'es' "
         f"ELSE 'und' END"
+    )
+
+
+def _emb_bucket_sql(start: int, nbits: int) -> str:
+    """Sign-LSH bucket over embedding dims [start, start+nbits) (1-based) —
+    mirrors sparkx.ops.dedup.sign_bucket_at / similarity.sign_bucket."""
+    return (
+        "("
+        + " + ".join(
+            f"CASE WHEN embedding[{start + i}] >= 0 THEN {1 << i} ELSE 0 END"
+            for i in range(nbits)
+        )
+        + ")"
     )
 
 
@@ -826,14 +868,13 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
             WHERE {_COS} >= 0.3""",
         "dedup_embedding_lsh": f"""
             WITH b AS (
-              SELECT *,
-                (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-               + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-               + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-               + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+              SELECT vec_id, embedding,
+                unnest([{", ".join(_emb_bucket_sql(t * 8 + 1, 8) for t in range(8))}]) AS key,
+                unnest([{", ".join(str(t) for t in range(8))}]) AS band
               FROM embeddings)
-            SELECT a.vec_id AS a_id, q.vec_id AS b_id, {_COS} AS cosine
-            FROM b a JOIN b q ON a.bucket = q.bucket AND a.vec_id < q.vec_id
+            SELECT DISTINCT a.vec_id AS a_id, q.vec_id AS b_id, {_COS} AS cosine
+            FROM b a JOIN b q ON a.band = q.band AND a.key = q.key
+                             AND a.vec_id < q.vec_id
             WHERE {_COS} >= 0.3""",
         "ann_topk": f"""
             SELECT a.vec_id, a.label, {_COS} AS cosine
@@ -842,14 +883,13 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
             ORDER BY cosine DESC, a.vec_id ASC LIMIT 10""",
         "ann_topk_lsh": f"""
             WITH b AS (
-              SELECT *,
-                (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-               + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-               + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-               + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
-              FROM embeddings)
+              SELECT *, {_emb_bucket_sql(1, 8)} AS bucket FROM embeddings),
+            probes AS (
+              SELECT embedding,
+                unnest([bucket, {", ".join(f"xor(bucket, {1 << i})" for i in range(8))}]) AS bucket
+              FROM b WHERE vec_id = 0)
             SELECT a.vec_id, a.label, {_COS} AS cosine
-            FROM b a JOIN (SELECT * FROM b WHERE vec_id = 0) q ON a.bucket = q.bucket
+            FROM b a JOIN probes q ON a.bucket = q.bucket
             WHERE a.vec_id != 0
             ORDER BY cosine DESC, a.vec_id ASC LIMIT 10""",
         "ann_text_topk": """

@@ -20,13 +20,18 @@ Scale notes (100 TB):
 * ``minhash_lsh_pairs`` — K minhashes / b bands of r rows: candidate iff a
   band matches (P[candidate] ≈ 1-(1-j^r)^b); candidates then verified with
   true Jaccard.  Shuffles are on (band, bucket) keys — bounded and salted by
-  the hash itself; AQE skew-join handles pathological buckets.
-* ``simhash_pairs`` — 32-bit SimHash, 4 bands × 8 bits: by pigeonhole, any
-  pair with Hamming distance ≤ 3 shares ≥ 1 intact band, so the banded join
-  finds ALL such pairs (no recall loss), then the exact popcount filter
-  applies.
-* ``embedding_near_dup_pairs`` — exact cosine over bucketed candidates (sign
-  LSH); brute-force variant for verification.
+  the hash itself; AQE skew-join handles pathological buckets.  Minhashes
+  use ONE md5 per shingle + double hashing (Kirsch–Mitzenmacher), not K
+  md5s — the hash pass is the dominant cost at corpus scale.
+* ``simhash_pairs`` — 64-bit SimHash (Manku et al. WWW 2007), 4 bands × 16
+  bits: by pigeonhole, any pair with Hamming distance ≤ 3 shares ≥ 1 intact
+  band, so the banded join finds ALL such pairs (no recall loss), then the
+  exact popcount filter applies.  64 bits / 16-bit band keys keep band
+  buckets sparse at web scale (the 32-bit/8-bit r1 variant saturated at
+  ~10^5 docs per band key).
+* ``embedding_near_dup_pairs`` — banded sign-LSH (n_bands bands × nbits sign
+  bits over disjoint dim ranges), union of band collisions, exact cosine
+  verify.  Brute-force variant for verification only.
 """
 
 from __future__ import annotations
@@ -38,8 +43,10 @@ from sparkx.ops.textstats import fingerprint, with_shingles
 
 MINHASH_K = 16
 MINHASH_BANDS = 4  # r = K/BANDS = 4 rows per band
-SIMHASH_BITS = 32
-SIMHASH_BANDS = 4
+SIMHASH_BITS = 64  # Manku et al. (WWW 2007) use 64-bit fingerprints
+SIMHASH_BANDS = 4  # 4 × 16-bit bands — lossless for Hamming ≤ 3
+EMB_LSH_BITS = 16  # sign bits per band → 2^16 buckets per band (scale default)
+EMB_LSH_BANDS = 4  # bands over disjoint dim ranges; candidate iff ANY matches
 
 
 # ── exact dedup ──────────────────────────────────────────────────────────────
@@ -90,38 +97,66 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> 
 
 
 # ── MinHash + LSH (scale path) ───────────────────────────────────────────────
-def with_minhash(docs: DataFrame, n: int = 3, k: int = MINHASH_K) -> DataFrame:
-    """K min-hashes per doc: mh_i = lexicographic MIN over shingles of
-    md5(i ‖ '|' ‖ shingle).  Hex-string min is engine-portable (no int
-    conversion), uniform, and deterministic."""
+def minhash_sketches(docs: DataFrame, n: int = 3, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, minhash array<bigint>) via double hashing
+    (Kirsch–Mitzenmacher): each shingle is md5'd ONCE into two 32-bit halves
+    (h1, h2); the k-th hash is min over shingles of h1 + k·h2 (< 2^36, no
+    overflow).
+
+    Execution shape matters more than the formula here: shingles are
+    EXPLODED to rows, the hash halves are plain codegen'd column
+    expressions, and the K minima are K ``min`` aggregates in one groupBy —
+    whole-stage codegen end to end with map-side partial aggregation, ONE
+    bounded shuffle on doc_id.  The obvious alternative (nested
+    higher-order-function transforms over the shingle array) is interpreted
+    per element and Catalyst inlines the shared md5 subexpression into the
+    K-loop — measured 16× the hash work and ~30× the wall time at sf0.1.
+    explode_outer keeps empty-shingle docs (all-NULL sketch, matching
+    list_min([]) = NULL in the DuckDB oracle)."""
     sh = with_shingles(docs, n=n)
-    return sh.withColumn(
-        "minhash",
-        F.expr(
-            f"transform(sequence(0, {k - 1}), "
-            f"i -> array_min(transform(shingles, s -> md5(concat(cast(i as string), '|', s)))))"
-        ),
+    posting = sh.select("doc_id", F.explode_outer("shingles").alias("s"))
+    h1 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long")
+    aggs = [F.min(h1 + F.lit(i) * h2).alias(f"_mh{i}") for i in range(k)]
+    return (
+        posting.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"_mh{i}") for i in range(k)]).alias("minhash"),
+        )
     )
 
 
+def with_minhash(docs: DataFrame, n: int = 3, k: int = MINHASH_K) -> DataFrame:
+    """Shingles + minhash sketch per doc (join of with_shingles and
+    minhash_sketches — prefer minhash_sketches when shingles aren't needed
+    downstream, it avoids the join)."""
+    return with_shingles(docs, n=n).join(minhash_sketches(docs, n=n, k=k), "doc_id")
+
+
 def lsh_bands(mh: DataFrame, bands: int = MINHASH_BANDS, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, band, bucket) rows: bucket = md5 of the band's minhash slice."""
+    """(doc_id, band, bucket) rows: bucket = md5 of the band's minhash slice
+    (decimal-stringified — engine-portable)."""
     r = k // bands
     return mh.select(
         "doc_id",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
-                f"b -> md5(concat_ws(',', slice(minhash, b*{r} + 1, {r}))))"
+                f"b -> md5(concat_ws(',', transform(slice(minhash, b*{r} + 1, {r}), "
+                f"x -> cast(x as string)))))"
             )
         ).alias("band", "bucket"),
     )
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Near-dup pairs via MinHash banding, verified with exact Jaccard."""
-    mh = with_minhash(docs, n=n)
-    bb = lsh_bands(mh)
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+    The band branch needs only the sketches (no shingle payload crosses the
+    banding shuffle); shingle arrays are attached to the small candidate
+    set only, once per side."""
+    bb = lsh_bands(minhash_sketches(docs, n=n))
     cand = (
         bb.alias("a")
         .join(bb.alias("b"), ["band", "bucket"])
@@ -129,7 +164,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> Da
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    sh = mh.select("doc_id", "shingles")
+    sh = with_shingles(docs, n=n).select("doc_id", "shingles")
     joined = (
         cand.join(sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh")), "a_id")
         .join(sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh")), "b_id")
@@ -138,41 +173,59 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> Da
 
 
 # ── SimHash ──────────────────────────────────────────────────────────────────
-def with_simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """32-bit SimHash over whitespace tokens.  Token hash = first 8 hex chars
-    of md5 → BIGINT (conv base16); bit j of the simhash = sign of the sum of
-    (±1) votes.  Explode+groupBy keeps it fully native (no UDF)."""
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
-    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+def with_simhash(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (Manku et al., WWW 2007), held
+    as TWO 32-bit halves (sim_lo bits 0-31, sim_hi bits 32-63) so neither
+    engine needs signed-64 edge handling.  Token hash = md5 hex halves →
+    BIGINT; bit j of the simhash = sign of the sum of (±1) votes.
+    Explode+groupBy keeps it fully native (no UDF); the 32-bit r1 variant
+    saturated at web scale (birthday collisions per 8-bit band key)."""
+    half = SIMHASH_BITS // 2
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .withColumn("h_lo", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+        .withColumn("h_hi", F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long"))
+    )
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{j}")
-        for j in range(bits)
+            F.when(F.shiftright(F.col(src), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{name}{j}")
+        for src, name in (("h_lo", "l"), ("h_hi", "h"))
+        for j in range(half)
     ]
     agg = toks.groupBy("doc_id").agg(*votes)
-    sim = None
-    for j in range(bits):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim + bit
-    return agg.select("doc_id", sim.alias("simhash"))
+
+    def _pack(name: str):
+        sim = None
+        for j in range(half):
+            bit = F.when(
+                F.col(f"v{name}{j}") > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            sim = bit if sim is None else sim + bit
+        return sim
+
+    return agg.select("doc_id", _pack("l").alias("sim_lo"), _pack("h").alias("sim_hi"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """All pairs with Hamming(simhash) ≤ max_hamming via 8-bit banding
-    (lossless for ≤3 of 32 bits by pigeonhole) + exact popcount filter."""
+    """All pairs with Hamming(simhash64) ≤ max_hamming via 16-bit banding
+    (4 bands over 64 bits — lossless for ≤3 by pigeonhole) + exact popcount
+    filter.  16-bit band keys give 65536-way spread per band (vs 256 at 32
+    bits), keeping band buckets joinable at web scale."""
     sim = with_simhash(docs)
     bands = sim.select(
         "doc_id",
-        "simhash",
+        "sim_lo",
+        "sim_hi",
         F.posexplode(
             F.array(
-                *[
-                    F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255))
-                    for b in range(SIMHASH_BANDS)
-                ]
+                F.col("sim_lo").bitwiseAND(F.lit(65535)),
+                F.shiftright(F.col("sim_lo"), 16).bitwiseAND(F.lit(65535)),
+                F.col("sim_hi").bitwiseAND(F.lit(65535)),
+                F.shiftright(F.col("sim_hi"), 16).bitwiseAND(F.lit(65535)),
             )
         ).alias("band", "key"),
     )
@@ -183,12 +236,16 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            F.col("a.sim_lo").alias("alo"),
+            F.col("a.sim_hi").alias("ahi"),
+            F.col("b.sim_lo").alias("blo"),
+            F.col("b.sim_hi").alias("bhi"),
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    ham = F.bit_count(F.col("alo").bitwiseXOR(F.col("blo"))) + F.bit_count(
+        F.col("ahi").bitwiseXOR(F.col("bhi"))
+    )
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
@@ -211,22 +268,73 @@ def _cosine(a: str, b: str):
     return dot / F.sqrt(na * nb)
 
 
+def sign_bucket_at(col: str, start_dim: int, nbits: int):
+    """Sign-LSH bucket over dims [start_dim, start_dim+nbits) (1-based).
+    try_element_at: vectors shorter than the dim range contribute 0-bits
+    (NULL ≥ 0 is false), matching SQL bracket-indexing semantics."""
+    return sum(
+        F.when(F.try_element_at(col, F.lit(start_dim + i)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(nbits)
+    )
+
+
 def embedding_near_dup_pairs(
-    emb: DataFrame, threshold: float = 0.9, bucketed: bool = True
+    emb: DataFrame,
+    threshold: float = 0.9,
+    bucketed: bool = True,
+    nbits: int = EMB_LSH_BITS,
+    n_bands: int = EMB_LSH_BANDS,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold.  ``bucketed=True`` restricts candidates
-    to pairs sharing the 4-bit sign bucket of dims 1–4 (sign-LSH; the scale
-    path).  ``bucketed=False`` is the exact brute-force verification path."""
+    """Pairs with cosine ≥ threshold.
+
+    ``bucketed=True`` is the scale path: BANDED sign-LSH (Charikar 2002
+    hyperplane hashing with minhash-style banding) — ``n_bands`` bands, each
+    bucketing on ``nbits`` sign bits of a disjoint dim range (band t → dims
+    t·nbits+1 … (t+1)·nbits; nbits·n_bands ≤ dim).  Candidates = pairs
+    colliding in ANY band, then exact cosine verify + distinct on the scored
+    rows (a band-dup candidate costs one extra dot product, not an
+    array-payload shuffle).
+
+    Parameter geometry (sign-agreement p = 1 − acos(ρ)/π per bit):
+    the 16×4 default gives 2^16 buckets per band — band-buckets stay sparse
+    at web scale (the r1 single-4-bit-bucket design left every bucket ~1/16
+    of the corpus, effectively all-pairs) — and per-band collision p^16,
+    recall 1−(1−p^16)^4: ~30% at ρ=0.9, intentionally ~0 at ρ=0.3.  That is
+    the honest trade: an all-pairs-≥0.3 contract is not LSH-able (nor is its
+    output storable) at 100 TB; for low thresholds at test scale use wider
+    recall via ``nbits=8, n_bands=8`` (256-bucket bands, ~14% recall at
+    ρ≈0.3–0.5, ~93% at ρ=0.9) as the driver demo does.  Recall is measured
+    against the brute-force oracle in tests/test_ops.py.
+
+    ``bucketed=False`` is the exact brute-force verification path —
+    quadratic BY DESIGN, never the scale path."""
     e = emb.select("vec_id", "embedding")
     if bucketed:
-        bucket = sum(
-            F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-            for i in range(4)
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("band"),
+                    sign_bucket_at("embedding", t * nbits + 1, nbits).alias("key"),
+                )
+                for t in range(n_bands)
+            ]
         )
-        e = e.withColumn("bucket", bucket)
-        pairs = e.alias("a").join(e.alias("b"), "bucket")
-    else:
-        pairs = e.alias("a").crossJoin(e.alias("b"))
+        b = e.select("vec_id", "embedding", F.explode(bands).alias("bk")).select(
+            "vec_id", "embedding", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+        return (
+            b.alias("a")
+            .join(b.alias("b"), ["band", "key"])
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("a_id"),
+                F.col("b.vec_id").alias("b_id"),
+                F.round(_cosine("a.embedding", "b.embedding"), 4).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .distinct()
+        )
+    pairs = e.alias("a").crossJoin(e.alias("b"))
     return (
         pairs.filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(

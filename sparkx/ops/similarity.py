@@ -19,8 +19,10 @@ from sparkx.ops.dedup import _cosine
 
 
 def sign_bucket(col: str = "embedding", nbits: int = 4):
+    # try_element_at: dims past the vector length contribute 0-bits (NULL ≥ 0
+    # is false), matching SQL bracket-indexing semantics on short vectors
     return sum(
-        F.when(F.element_at(col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        F.when(F.try_element_at(col, F.lit(i + 1)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(nbits)
     )
 
@@ -88,13 +90,35 @@ def text_topk(docs: DataFrame, query_doc_id: int, k: int = 5) -> DataFrame:
     return scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(k)
 
 
-def topk_lsh(emb: DataFrame, query_vec_id: int, k: int = 10, nbits: int = 4) -> DataFrame:
-    """Probe only the query's sign bucket.  At scale the table is written
-    partitioned by this bucket so the filter prunes partitions at scan time."""
+def topk_lsh(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nbits: int = 16,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Sign-LSH probe with Hamming-1 multi-probe (Lv et al., VLDB 2007).
+
+    Vectors are bucketed by the sign pattern of their first ``nbits`` dims
+    (2^16 buckets at the default — the r1 4-bit variant left each bucket
+    ~1/16 of the corpus, effectively a scan).  The query probes its own
+    bucket plus all ``nbits`` Hamming-1 neighbors — the buckets a
+    near-boundary sign flip would land in — via a broadcast join on the
+    exploded probe list, so the big side is touched once and partition
+    pruning on ``bucket`` applies when the table is written bucket-
+    partitioned."""
     b = emb.withColumn("bucket", sign_bucket(nbits=nbits))
     q = b.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q_embedding"), F.col("bucket")
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(nbits)],
+        )
+        q = q.select(
+            "q_embedding", F.explode(probes).alias("bucket")
+        )
     scored = b.join(F.broadcast(q), "bucket").select(
         "vec_id",
         "label",

@@ -70,20 +70,114 @@ def test_minhash_lsh_recall_vs_exact(spark, docs, docs_pdf):
 
 
 def test_simhash_matches_python(spark, docs, docs_pdf):
+    """64-bit SimHash held as two 32-bit halves (sim_lo bits 0-31 of the
+    md5 hex-half token hashes, sim_hi bits 32-63)."""
     from sparkx.ops.dedup import with_simhash
 
-    got = {r.doc_id: r.simhash for r in with_simhash(docs).collect()}
+    got = {r.doc_id: (r.sim_lo, r.sim_hi) for r in with_simhash(docs).collect()}
 
-    def py_simhash(text: str) -> int:
-        votes = [0] * 32
+    def py_simhash(text: str) -> tuple[int, int]:
+        votes_lo, votes_hi = [0] * 32, [0] * 32
         for tok in re.split(r"\s+", text.strip().lower()):
-            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            hx = hashlib.md5(tok.encode()).hexdigest()
+            h_lo, h_hi = int(hx[:8], 16), int(hx[8:16], 16)
             for j in range(32):
-                votes[j] += 1 if (h >> j) & 1 else -1
-        return sum(1 << j for j in range(32) if votes[j] > 0)
+                votes_lo[j] += 1 if (h_lo >> j) & 1 else -1
+                votes_hi[j] += 1 if (h_hi >> j) & 1 else -1
+        return (
+            sum(1 << j for j in range(32) if votes_lo[j] > 0),
+            sum(1 << j for j in range(32) if votes_hi[j] > 0),
+        )
 
     for _, row in docs_pdf.head(30).iterrows():
         assert got[row.doc_id] == py_simhash(row.text), row.doc_id
+
+
+def test_simhash_banding_is_lossless_within_radius(spark, docs):
+    """Pigeonhole guarantee: every pair at Hamming ≤ 3 over the 64 bits is
+    found by the 4×16-bit banded join (compare against a direct all-pairs
+    popcount on the collected fingerprints — test-scale only)."""
+    from sparkx.ops.dedup import simhash_pairs, with_simhash
+
+    sims = with_simhash(docs).collect()
+    want = set()
+    for a, b in itertools.combinations(sims, 2):
+        ham = bin((a.sim_lo ^ b.sim_lo)).count("1") + bin((a.sim_hi ^ b.sim_hi)).count("1")
+        if ham <= 3:
+            key = (min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id))
+            want.add(key)
+    got = {(r.a_id, r.b_id) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert got == want
+
+
+def _clustered_embeddings(spark, n_clusters=6, per_cluster=12, dim=64):
+    """Deterministic clustered vectors: members of a cluster differ by a
+    small per-member perturbation → intra-cluster cosine ≈ 0.99."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(n_clusters, dim)
+    rows = []
+    vec_id = 0
+    for c in range(n_clusters):
+        for m in range(per_cluster):
+            v = centers[c] + 0.05 * rng.randn(dim)
+            rows.append((vec_id, f"c{c}", [float(x) for x in v]))
+            vec_id += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "label", "embedding"])
+    return spark.createDataFrame(pdf, "vec_id long, label string, embedding array<double>"), pdf
+
+
+def test_embedding_lsh_recall_on_near_duplicates(spark):
+    """The 16-bit × 4-band scale default must recover near-identical vectors
+    (cosine ≥ 0.99 — the actual near-dup regime) with high recall, and its
+    output must be a subset of brute force.  Also records demo-geometry
+    (8×8) recall on the weakly-correlated testdata corpus."""
+    from sparkx.ops.dedup import embedding_near_dup_pairs
+
+    emb, _ = _clustered_embeddings(spark)
+    brute = {(r.a_id, r.b_id) for r in
+             embedding_near_dup_pairs(emb, threshold=0.99, bucketed=False).collect()}
+    lsh = {(r.a_id, r.b_id) for r in
+           embedding_near_dup_pairs(emb, threshold=0.99, bucketed=True).collect()}
+    assert lsh <= brute
+    assert brute, "fixture produced no near-dup pairs"
+    recall = len(lsh) / len(brute)
+    assert recall >= 0.9, f"16x4 recall on near-identical vectors: {recall:.2f}"
+
+    # demo geometry on the weak-correlation driver corpus: subset + nonzero
+    emb_td = spark.read.parquet(f"{SF}/embeddings.parquet")
+    brute_td = {(r.a_id, r.b_id) for r in
+                embedding_near_dup_pairs(emb_td, threshold=0.3, bucketed=False).collect()}
+    lsh_td = {(r.a_id, r.b_id) for r in
+              embedding_near_dup_pairs(emb_td, threshold=0.3, bucketed=True,
+                                       nbits=8, n_bands=8).collect()}
+    assert lsh_td <= brute_td and len(lsh_td) > 0
+    assert len(lsh_td) / len(brute_td) >= 0.05  # documented low-threshold trade
+
+
+def test_ann_lsh_multiprobe_recall(spark):
+    """16-bit sign bucket + Hamming-1 multi-probe finds the true top
+    neighbors of a clustered query (same-cluster vectors dominate)."""
+    from sparkx.ops.similarity import topk_bruteforce, topk_lsh
+
+    emb, _ = _clustered_embeddings(spark)
+    want = topk_bruteforce(emb, query_vec_id=0, k=5).collect()
+    got = topk_lsh(emb, query_vec_id=0, k=5, nbits=16, multiprobe=True).collect()
+    # All 12 cluster-0 members have cosine ≈ 0.998 to the query, so exact
+    # top-5 membership is tie-noise; the meaningful contract is that the
+    # probe finds a full k of TRUE near neighbors (same cluster, cosine in
+    # the near-dup regime) — which single-probe alone often cannot.
+    assert len(got) == 5
+    assert {r.label for r in got} == {"c0"}
+    assert all(r.cosine >= 0.99 for r in got)
+    assert all(r.label == "c0" for r in want)  # brute agrees on the cluster
+    # single-probe candidates are a subset of the multiprobe candidate set,
+    # so it can never return more neighbors
+    single = {r.vec_id for r in
+              topk_lsh(emb, query_vec_id=0, k=5, nbits=16, multiprobe=False).collect()}
+    assert len(single) <= len(got)
 
 
 def test_ann_topk_matches_numpy(spark, emb_pdf):
