@@ -55,6 +55,15 @@ def save_chunks_json(extracted: DataFrame, out_dir: str) -> None:
     serialized_chunks(extracted).coalesce(1).write.mode("overwrite").json(out_dir)
 
 
+def save_answers_json(answers: DataFrame, out_dir: str) -> None:
+    """S7: JSON-lines export of the answer shape (serialization.py:71-108),
+    reasoning traces already truncated by serialized_answer.  Same
+    ``coalesce(1)`` small-export knob as save_chunks_json."""
+    from sparkx.ops.answers import serialized_answer
+
+    serialized_answer(answers).coalesce(1).write.mode("overwrite").json(out_dir)
+
+
 def upsert_extracted(extracted: DataFrame, table_path: str) -> None:
     """Idempotent append-or-replace by conv_bucket partition (store.py:45-77
     upsert semantics under deterministic ids)."""

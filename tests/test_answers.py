@@ -74,6 +74,24 @@ def test_checkpoint_b_null_string_and_fallbacks(spark):
     assert got[5].validator_notes.startswith("Validation error: ")
 
 
+def test_save_answers_json_roundtrip(spark, tmp_path):
+    """S7 writer: JSON-lines export carries the truncated trace."""
+    from sparkx.sinks import save_answers_json
+
+    rows = [("a.pdf", "q", "ans", "t" * 1500, True, 1.0)]
+    df = spark.createDataFrame(
+        rows,
+        "pdf_file string, question string, answer string, reasoning_trace string,"
+        " answer_is_grounded boolean, answer_verdict_score double",
+    )
+    out = str(tmp_path / "answers_json")
+    save_answers_json(df, out)
+    back = spark.read.json(out).collect()
+    assert len(back) == 1
+    assert back[0].reasoning_trace == "t" * 1000 + "..."
+    assert back[0].pdf_file == "a.pdf"
+
+
 def test_context_enumeration_matches_reference_format(spark):
     """orchestrator.py:232-241 byte-for-byte: the part layout, 800-char
     truncation, and the '\\n\\n---\\n\\n' join in rank order."""

@@ -46,17 +46,36 @@ def main() -> int:
         (
             "MinHash+LSH dedup",
             fmt(E.queries()["dedup_minhash_lsh"](spark, sf)),
-            "What to check: shingle/minhash/band computation is all native higher-order\n"
-            "functions inside codegen (no UDF, no Python); the only wide ops are the\n"
-            "(band,bucket) self-join and the distinct — both AQE-managed; small sides\n"
-            "become broadcast exchanges under AQE at runtime.",
+            "What to check (r2 shape): minhash sketches are explode → codegen'd hash\n"
+            "columns → K min() aggregates in ONE HashAggregate pair (partial map-side\n"
+            "combine + final after a single doc_id exchange) — NO interpreted\n"
+            "higher-order functions in the hash loop (the r1 HOF form re-inlined md5\n"
+            "into the K-loop, 7× slower).  Wide ops: the (band,bucket) self-join and\n"
+            "the candidate distinct, both AQE-managed; shingle arrays join only the\n"
+            "small candidate set.",
         ),
         (
-            "ANN top-k (sign-LSH probe)",
+            "SimHash dedup (64-bit, 16-bit bands)",
+            fmt(E.queries()["dedup_simhash"](spark, sf)),
+            "What to check: token hashing and the 64 sign-vote sums are one exploded\n"
+            "HashAggregate (codegen, map-side combine); banding is a posexplode over 4\n"
+            "shift/mask expressions; the band self-join and the distinct are the only\n"
+            "exchanges; the Hamming filter is codegen bit_count/xor.",
+        ),
+        (
+            "ANN top-k (sign-LSH, Hamming-1 multi-probe)",
             fmt(E.queries()["ann_topk_lsh"](spark, sf)),
-            "What to check: the single-row query side is broadcast; cosine is a codegen\n"
-            "aggregate over zip_with (no Python); TakeOrderedAndProject instead of a\n"
-            "full sort for the top-k.",
+            "What to check: the 1-row query side explodes to its probe buckets and is\n"
+            "broadcast; cosine is a codegen aggregate over zip_with (no Python);\n"
+            "TakeOrderedAndProject instead of a full sort for the top-k.",
+        ),
+        (
+            "Embedding near-dup (banded sign-LSH)",
+            fmt(E.queries()["dedup_embedding_lsh"](spark, sf)),
+            "What to check: bucket keys are codegen'd sign sums (try_element_at, no\n"
+            "UDF); candidates come from the (band,key) self-join; the exact-cosine\n"
+            "verify and threshold filter run before the distinct so no embedding\n"
+            "arrays ride a shuffle.",
         ),
     ]
 
