@@ -458,6 +458,84 @@ def _q_p11_prompt_build(spark, sf_dir):
     return build_prompts(surviving(_blocks(spark, sf_dir, "agentic")))
 
 
+# ───────────────── corpus curation + streaming path ────────────────────────
+
+
+def _q_cur_sample(spark, sf_dir):
+    """Deterministic hash-gate sampling (reproducible 20% subset, no RNG)."""
+    from sparkx.ops import corpus as C
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return C.deterministic_sample(d, "doc_id", 0.2, salt="s0")
+
+
+def _q_cur_stratified(spark, sf_dir):
+    """Per-language stratified sampling in one narrow map."""
+    from sparkx.ops import corpus as C
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return C.stratified_sample(
+        d, "doc_id", "lang", rates={"en": 0.5, "de": 0.25}, default_rate=0.1
+    )
+
+
+def _q_cur_filter(spark, sf_dir):
+    """C4/Gopher-style quality+length gate."""
+    from sparkx.ops import corpus as C
+
+    d = _docs(spark, sf_dir)
+    return C.quality_length_filter(
+        d, min_tokens=20, max_tokens=5000, min_quality=0.3
+    ).select("doc_id", "lang")
+
+
+def _q_tb_rollup(spark, sf_dir):
+    """Hourly time-bucket rollup over the events stream."""
+    from sparkx.ops import corpus as C
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return C.time_bucket_rollup(ev, bucket_seconds=3600)
+
+
+def _q_quantiles_by_lang(spark, sf_dir):
+    """Exact token-length quantiles per language (corpus length report)."""
+    from sparkx.ops import corpus as C
+
+    out = C.token_quantiles_by(_docs(spark, sf_dir), by="lang")
+    return out.select(
+        "grp", "n_docs",
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+        F.round("p99", 4).alias("p99"),
+    )
+
+
+def _q_stream_extract(spark, sf_dir):
+    """The Structured-Streaming ingest path, driver-verified: the derived
+    transcripts are written to a temp dir, streamed through the SAME
+    extraction kernel (availableNow micro-batches, batch-keyed exactly-once
+    sink), and the committed output is read back.  The oracle is the batch
+    blocks CTE — streaming and batch must be value-identical."""
+    import tempfile
+
+    from sparkx.streaming import start_extraction_stream
+
+    base = tempfile.mkdtemp(prefix="sparkx_stream_q_")
+    transcripts_from_documents(spark, sf_dir).coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/in")
+    q = start_extraction_stream(
+        spark, f"{base}/in", f"{base}/out", f"{base}/ckpt",
+        mode="fastpath", available_now=True,
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(f"{base}/out/extracted/stream")
+    return out.select(
+        "conv_id", "turn_idx", "chunk_type", "block_idx",
+        "structured_text", "confidence", "status",
+    )
+
+
 # ───────────────────────── multimodal plumbing ─────────────────────────────
 
 
@@ -518,6 +596,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u6_retrieval_context": _q_u6_retrieval_context,
         "u6_context_assembled": _q_u6_context_assembled,
         "p11_prompt_build": _q_p11_prompt_build,
+        # corpus curation + streaming path
+        "cur_sample": _q_cur_sample,
+        "cur_stratified": _q_cur_stratified,
+        "cur_filter": _q_cur_filter,
+        "tb_rollup": _q_tb_rollup,
+        "quantiles_by_lang": _q_quantiles_by_lang,
+        "stream_extract": _q_stream_extract,
         # temporal/event operators
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
@@ -718,6 +803,10 @@ WITH sh AS (
 SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= {threshold}
 """
 
+
+# deterministic sampling hash gate (mirrors sparkx.ops.corpus.sample_bucket,
+# salt 's0', SAMPLE_BUCKETS 10000)
+_HASH_GATE = "(('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)"
 
 _TA_TOKENS = "len(regexp_split_to_array(trim(text), '\\s+'))"
 _TA_EN = (
@@ -1044,6 +1133,33 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
                       THEN chr(10) || '[RETRY] Low confidence. Be conservative; flag unknowns explicitly.'
                       ELSE '' END AS prompt
             FROM blocks WHERE status = 'accepted' AND chunk_type IN ('text', 'table')""",
+        "cur_sample": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE {_HASH_GATE} < 2000""",
+        "cur_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_HASH_GATE} <
+              CASE WHEN lang = 'de' THEN 2500
+                   WHEN lang = 'en' THEN 5000 ELSE 1000 END""",
+        "cur_filter": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_TA_TOKENS} >= 20 AND {_TA_TOKENS} <= 5000
+              AND {_TA_QUALITY} >= 0.3""",
+        "tb_rollup": """
+            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_epoch,
+                   event_type AS key, count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
+            FROM events GROUP BY 1, 2""",
+        "quantiles_by_lang": f"""
+            SELECT lang AS grp, count(*) AS n_docs,
+                   round(quantile_cont({_TA_TOKENS}, 0.5), 4) AS p50,
+                   round(quantile_cont({_TA_TOKENS}, 0.9), 4) AS p90,
+                   round(quantile_cont({_TA_TOKENS}, 0.99), 4) AS p99
+            FROM documents GROUP BY lang""",
+        "stream_extract": _BLOCKS_CTE + """
+            SELECT conv_id, turn_idx, chunk_type, block_idx,
+                   st_fast AS structured_text, conf_fast AS confidence, status
+            FROM blocks WHERE status = 'accepted'""",
         "sessionize": """
             WITH e AS (
               SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events

@@ -1,0 +1,110 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The reference stops at extraction + retrieval; a 100 TB corpus pipeline also
+needs the curation pass between them: deterministic sampling (reproducible
+subsets without a stored sample table), stratified sampling (per-language /
+per-source balance), heuristic quality filtering (the C4/Gopher-style rule
+family), time-bucketed rollups, and distribution statistics.  All native
+column expressions — every operator is a narrow map or one bounded
+aggregation, no UDFs, no driver-side loops.
+
+Scale notes:
+
+* ``deterministic_sample`` — hash-gate filter, fully pushed into the scan
+  stage (no shuffle, no stored state); the same (salt, rate) always selects
+  the same rows, so pipelines are reproducible and resumable by
+  construction.  md5-based so any engine can re-derive the subset.
+* ``stratified_sample`` — same hash gate with a per-stratum rate map folded
+  into ONE CASE expression: still a narrow map (the naive alternative —
+  per-stratum sampleBy or N filtered unions — rescans the input N times).
+* ``quality_length_filter`` — conjunction of cheap per-row predicates; at
+  scale this is the first pass after extraction and must be scan-pushable,
+  which pure column predicates are.
+* ``time_bucket_rollup`` — date_trunc + groupBy: one shuffle on (bucket,
+  key), map-side partial aggregation; value sums in integer micro-units so
+  results are partitioning-independent (engine-parity rule).
+* ``token_quantiles_by`` — exact interpolated percentiles per group via the
+  built-in ``percentile`` aggregate (one shuffle).  At 100 TB swap in
+  ``approx_percentile`` (t-digest sketch, mergeable) — same call shape; the
+  exact form is kept here because it is cross-engine verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparkx.ops.textstats import quality_score, token_count
+
+SAMPLE_BUCKETS = 10_000  # hash-gate resolution: rates quantized to 0.01%
+
+
+def sample_bucket(key_col: str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, SAMPLE_BUCKETS) from md5(salt|key) —
+    engine-portable (DuckDB: ('0x'||substr(md5(...),1,8))::BIGINT % N)."""
+    keyed = F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string"))
+    return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long") % SAMPLE_BUCKETS
+
+
+def deterministic_sample(df: DataFrame, key_col: str, rate: float,
+                         salt: str = "s0") -> DataFrame:
+    """Reproducible ``rate`` subsample keyed on ``key_col`` (no RNG state,
+    no stored sample list; same salt+rate → same rows on any engine/run)."""
+    return df.filter(sample_bucket(key_col, salt) < int(rate * SAMPLE_BUCKETS))
+
+
+def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      salt: str = "s0") -> DataFrame:
+    """Per-stratum deterministic sampling with the rate map folded into one
+    CASE expression — a single narrow map over the input."""
+    gate: Column = F.lit(int(default_rate * SAMPLE_BUCKETS))
+    for value, rate in rates.items():
+        gate = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * SAMPLE_BUCKETS))
+        ).otherwise(gate)
+    return df.filter(sample_bucket(key_col, salt) < gate)
+
+
+def quality_length_filter(docs: DataFrame, min_tokens: int = 20,
+                          max_tokens: int = 5000,
+                          min_quality: float = 0.3) -> DataFrame:
+    """C4/Gopher-style heuristic gate: token-count window + quality floor
+    (quality = the deterministic score from sparkx.ops.textstats)."""
+    n = token_count()
+    return docs.filter(
+        (n >= min_tokens) & (n <= max_tokens) & (quality_score() >= min_quality)
+    )
+
+
+def time_bucket_rollup(events: DataFrame, bucket_seconds: int = 3600,
+                       key_col: str = "event_type") -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: (time bucket, key) →
+    count + exact integer micro-unit value sum (float sums are
+    partitioning-order dependent and are never emitted).  Buckets are epoch
+    seconds (floor-divided), not date_trunc — timezone-independent and
+    bit-identical across engines."""
+    ep = F.col("ts").cast("timestamp").cast("long")
+    return (
+        events.groupBy(
+            (F.floor(ep / bucket_seconds) * bucket_seconds).alias("bucket_epoch"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value_e4"),
+        )
+    )
+
+
+def token_quantiles_by(docs: DataFrame, by: str = "lang",
+                       qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Exact interpolated token-count percentiles per group (the corpus
+    length-distribution report).  Swap percentile → approx_percentile for
+    the sketch-based scale path; identical output schema."""
+    n = token_count().alias("n_tokens")
+    d = docs.select(F.col(by).alias("grp"), n)
+    cols = [
+        F.percentile("n_tokens", F.lit(q)).alias(f"p{int(q * 100)}") for q in qs
+    ]
+    return d.groupBy("grp").agg(F.count("*").alias("n_docs"), *cols)

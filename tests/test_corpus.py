@@ -1,0 +1,106 @@
+"""Corpus-curation operators: determinism, stratification, filter parity,
+rollup conservation, quantile parity vs numpy."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    import pandas as pd
+
+    return pd.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_deterministic_sample_is_deterministic_and_salted(spark, docs):
+    from sparkx.ops.corpus import deterministic_sample
+
+    a = sorted(r.doc_id for r in deterministic_sample(docs, "doc_id", 0.2).collect())
+    b = sorted(r.doc_id for r in deterministic_sample(docs, "doc_id", 0.2).collect())
+    assert a == b and len(a) > 0
+    # rate lands near 20% (hash-uniformity, 500 docs)
+    n = docs.count()
+    assert 0.1 * n <= len(a) <= 0.3 * n
+    # a different salt selects a different (deterministic) subset
+    c = sorted(r.doc_id for r in
+               deterministic_sample(docs, "doc_id", 0.2, salt="s1").collect())
+    assert c != a
+    # monotone: a higher rate is a superset of a lower rate (same salt)
+    sup = sorted(r.doc_id for r in deterministic_sample(docs, "doc_id", 0.5).collect())
+    assert set(a) <= set(sup)
+
+
+def test_stratified_sample_rates(spark, docs, docs_pdf):
+    from sparkx.ops.corpus import stratified_sample
+
+    out = stratified_sample(
+        docs, "doc_id", "lang", rates={"en": 1.0, "de": 0.0}, default_rate=0.5
+    ).toPandas()
+    n_en = (docs_pdf.lang == "en").sum()
+    assert (out.lang == "en").sum() == n_en  # rate 1.0 keeps every row
+    assert (out.lang == "de").sum() == 0  # rate 0.0 drops every row
+    other = docs_pdf.lang[~docs_pdf.lang.isin(["en", "de"])].count()
+    kept_other = (~out.lang.isin(["en", "de"])).sum()
+    assert 0.25 * other <= kept_other <= 0.75 * other
+
+
+def test_quality_length_filter_matches_python(spark, docs, docs_pdf):
+    from sparkx.ops.corpus import quality_length_filter
+
+    got = set(
+        r.doc_id for r in quality_length_filter(
+            docs, min_tokens=20, max_tokens=5000, min_quality=0.3
+        ).select("doc_id").collect()
+    )
+
+    def py_pass(text: str) -> bool:
+        toks = re.split(r"\s+", text.strip())
+        n = len(toks)
+        punct = sum(c in ".,;:!?" for c in text) / max(len(text), 1)
+        stop = sum(t.lower() in ("the", "a", "and", "of", "to", "is") for t in
+                   re.split(r"\s+", text.strip().lower())) / max(n, 1)
+        q = round(min(1.0, n / 100.0) * 0.5 + (1.0 - punct) * 0.3 + stop * 0.2, 4)
+        return 20 <= n <= 5000 and q >= 0.3
+
+    want = {row.doc_id for _, row in docs_pdf.iterrows() if py_pass(row.text)}
+    assert got == want
+
+
+def test_time_bucket_rollup_conserves_totals(spark):
+    from sparkx.ops.corpus import time_bucket_rollup
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = time_bucket_rollup(ev, bucket_seconds=3600).toPandas()
+    assert out.n_events.sum() == ev.count()
+    assert (out.bucket_epoch % 3600 == 0).all()
+    # value micro-units conserve the global sum
+    import pandas as pd
+
+    raw = pd.read_parquet(f"{SF}/events.parquet")
+    assert out.value_e4.sum() == int(round(raw.value * 10000).sum())
+
+
+def test_token_quantiles_match_numpy(spark, docs, docs_pdf):
+    import numpy as np
+
+    from sparkx.ops.corpus import token_quantiles_by
+
+    got = {r.grp: (r.n_docs, r.p50, r.p90, r.p99)
+           for r in token_quantiles_by(docs, by="lang").collect()}
+    for lang, grp in docs_pdf.groupby("lang"):
+        toks = grp.text.map(lambda t: len(re.split(r"\s+", t.strip()))).to_numpy()
+        n, p50, p90, p99 = got[lang]
+        assert n == len(toks)
+        assert p50 == pytest.approx(np.percentile(toks, 50, method="linear"))
+        assert p90 == pytest.approx(np.percentile(toks, 90, method="linear"))
+        assert p99 == pytest.approx(np.percentile(toks, 99, method="linear"))
