@@ -89,6 +89,9 @@ def main() -> int:
         "ann_topk", "ann_topk_lsh",
         "w2_topk_per_group", "j2_dedup_merge", "p6_safe_json",
         "mm_decode", "mm_frame_sample",
+        # r2 additions: corpus curation + answer-phase skeletons
+        "cur_sample", "cur_filter", "tb_rollup", "quantiles_by_lang",
+        "s7_answer_trunc", "u5_answer_validation", "p11_prompt_build",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))
