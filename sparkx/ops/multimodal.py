@@ -53,21 +53,33 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+class _FakeCodec:
+    """Deterministic stand-in for the decode library.  Loaded through
+    ExecutorRegistry so the (expensive, in real life) codec/model init runs
+    once per Python worker process, not once per Arrow batch — the S8
+    ModelCache semantics on executors."""
+
+    def digest(self, payload: bytes) -> str:
+        return hashlib.md5(payload).hexdigest()
+
+
 def _decode_kernel(fake: bool, it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from sparkx.registry import ExecutorRegistry
+
+    if not fake:
+        # Real path: PIL/av/soundfile decode per kind — not shipped here.
+        raise NotImplementedError(
+            "real media decode requires PIL/av; run with fake_decode=True "
+            "in codec-less environments"
+        )
+    codec = ExecutorRegistry.get(("codec", "fake"), _FakeCodec)
     for pdf in it:
         n = len(pdf)
-        if not fake:
-            # Real path: PIL/av/soundfile decode per kind — not shipped here.
-            raise NotImplementedError(
-                "real media decode requires PIL/av; run with fake_decode=True "
-                "in codec-less environments"
-            )
         # Deterministic fake: digest of the raw payload + a fixed-dim feature
         # derived from the digest bytes (stable across runs and partitions).
         # NULL payloads decode as empty bytes (100-TB inputs contain nulls).
         digests = [
-            hashlib.md5(bytes(b) if b is not None else b"").hexdigest()
-            for b in pdf["media"]
+            codec.digest(bytes(b) if b is not None else b"") for b in pdf["media"]
         ]
         feats = [
             np.frombuffer(bytes.fromhex(d), dtype=np.uint8)[:FEATURE_DIM].astype(
