@@ -152,7 +152,7 @@ def extract_blocks(
     src_snapshot_id: str = "",
     n_partitions: int | None = None,
     n_buckets: int = DEFAULT_BUCKETS,
-    salt_repartition: bool = True,
+    salt_repartition: bool | str = "auto",
     emit_raw: bool = True,
     native_simple_path: bool = True,
 ) -> DataFrame:
@@ -164,6 +164,21 @@ def extract_blocks(
     pointer back).  Halves Arrow transfer + sink bytes; defaults to True so
     tests can compare raw_content byte-for-byte.
 
+    ``salt_repartition`` — the skew-break shuffle is a REPAIR, not a default
+    cost, because extraction is per-turn and needs no co-location:
+
+    * ``"auto"`` (default): salt only when the input has fewer partitions
+      than the target — i.e. it arrived under-parallel (one huge file, a
+      collapsed join, a micro-batch), which is exactly when a long
+      conversation can pin one worker.  A healthy parquet scan is already
+      byte-split (``maxPartitionBytes``), so a 100 TB input comes in
+      ~800k balanced splits and salting it would mean shuffling the entire
+      kernel payload for nothing (measured ~20% of the hybrid wall at
+      sf-bench scale).
+    * ``True``: always salt (the r1 behavior — correct for arbitrary
+      upstream layouts, wasteful for scan-shaped ones).
+    * ``False``: never (callers that already repartitioned).
+
     ``native_simple_path`` routes turns with no structured payload through
     pure Catalyst expressions (see _native_simple_blocks); the pandas kernel
     handles only table/figure-bearing turns.
@@ -171,6 +186,9 @@ def extract_blocks(
     spark = transcripts.sparkSession
     df = transcripts
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 2
+    if salt_repartition == "auto":
+        # planning-only partition probe (no job): under-parallel input → salt
+        salt_repartition = df.rdd.getNumPartitions() < n_partitions
 
     def _salted(d: DataFrame) -> DataFrame:
         # per-turn hash spread: breaks long-conversation skew (SURVEY §4.2);
