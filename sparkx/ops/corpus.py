@@ -46,11 +46,18 @@ def sample_bucket(key_col: str, salt: str = "") -> Column:
     return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long") % SAMPLE_BUCKETS
 
 
+def _gate(rate: float) -> int:
+    """Bucket threshold for a rate — round, don't truncate: 0.29*10000 is
+    2899.999… in binary, and int() would silently shift the gate by one
+    bucket vs an engine that mirrors it with round(rate*10000)."""
+    return round(rate * SAMPLE_BUCKETS)
+
+
 def deterministic_sample(df: DataFrame, key_col: str, rate: float,
                          salt: str = "s0") -> DataFrame:
     """Reproducible ``rate`` subsample keyed on ``key_col`` (no RNG state,
     no stored sample list; same salt+rate → same rows on any engine/run)."""
-    return df.filter(sample_bucket(key_col, salt) < int(rate * SAMPLE_BUCKETS))
+    return df.filter(sample_bucket(key_col, salt) < _gate(rate))
 
 
 def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
@@ -58,10 +65,10 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
                       salt: str = "s0") -> DataFrame:
     """Per-stratum deterministic sampling with the rate map folded into one
     CASE expression — a single narrow map over the input."""
-    gate: Column = F.lit(int(default_rate * SAMPLE_BUCKETS))
+    gate: Column = F.lit(_gate(default_rate))
     for value, rate in rates.items():
         gate = F.when(
-            F.col(strata_col) == value, F.lit(int(rate * SAMPLE_BUCKETS))
+            F.col(strata_col) == value, F.lit(_gate(rate))
         ).otherwise(gate)
     return df.filter(sample_bucket(key_col, salt) < gate)
 

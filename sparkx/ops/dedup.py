@@ -97,7 +97,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> 
 
 
 # ── MinHash + LSH (scale path) ───────────────────────────────────────────────
-def minhash_sketches(docs: DataFrame, n: int = 3, k: int = MINHASH_K) -> DataFrame:
+def minhash_sketches(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
+                     shingled: DataFrame | None = None) -> DataFrame:
     """(doc_id, minhash array<bigint>) via double hashing
     (Kirsch–Mitzenmacher): each shingle is md5'd ONCE into two 32-bit halves
     (h1, h2); the k-th hash is min over shingles of h1 + k·h2 (< 2^36, no
@@ -112,8 +113,11 @@ def minhash_sketches(docs: DataFrame, n: int = 3, k: int = MINHASH_K) -> DataFra
     per element and Catalyst inlines the shared md5 subexpression into the
     K-loop — measured 16× the hash work and ~30× the wall time at sf0.1.
     explode_outer keeps empty-shingle docs (all-NULL sketch, matching
-    list_min([]) = NULL in the DuckDB oracle)."""
-    sh = with_shingles(docs, n=n)
+    list_min([]) = NULL in the DuckDB oracle).
+
+    ``shingled``: pass a precomputed with_shingles frame to share the
+    shingle definition with a caller that also needs the arrays."""
+    sh = shingled if shingled is not None else with_shingles(docs, n=n)
     posting = sh.select("doc_id", F.explode_outer("shingles").alias("s"))
     h1 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
     h2 = F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long")
@@ -129,10 +133,11 @@ def minhash_sketches(docs: DataFrame, n: int = 3, k: int = MINHASH_K) -> DataFra
 
 
 def with_minhash(docs: DataFrame, n: int = 3, k: int = MINHASH_K) -> DataFrame:
-    """Shingles + minhash sketch per doc (join of with_shingles and
-    minhash_sketches — prefer minhash_sketches when shingles aren't needed
-    downstream, it avoids the join)."""
-    return with_shingles(docs, n=n).join(minhash_sketches(docs, n=n, k=k), "doc_id")
+    """Shingles + minhash sketch per doc (one shingle definition, shared with
+    the sketch aggregation) — prefer minhash_sketches when the shingle
+    arrays aren't needed downstream; it avoids the join."""
+    sh = with_shingles(docs, n=n)
+    return sh.join(minhash_sketches(docs, n=n, k=k, shingled=sh), "doc_id")
 
 
 def lsh_bands(mh: DataFrame, bands: int = MINHASH_BANDS, k: int = MINHASH_K) -> DataFrame:

@@ -15,16 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sparkx.ops.dedup import _cosine
+from sparkx.ops.dedup import _cosine, sign_bucket_at
 
 
 def sign_bucket(col: str = "embedding", nbits: int = 4):
-    # try_element_at: dims past the vector length contribute 0-bits (NULL ≥ 0
-    # is false), matching SQL bracket-indexing semantics on short vectors
-    return sum(
-        F.when(F.try_element_at(col, F.lit(i + 1)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(nbits)
-    )
+    """Sign-LSH bucket over the first nbits dims — single definition shared
+    with the dedup banding (sign_bucket_at), so NULL/short-vector semantics
+    can never diverge between ANN and dedup."""
+    return sign_bucket_at(col, 1, nbits)
 
 
 def _with_query(emb: DataFrame, query_vec_id: int) -> DataFrame:

@@ -168,15 +168,18 @@ def extract_blocks(
     cost, because extraction is per-turn and needs no co-location:
 
     * ``"auto"`` (default): salt only when the input has fewer partitions
-      than the target — i.e. it arrived under-parallel (one huge file, a
-      collapsed join, a micro-batch), which is exactly when a long
-      conversation can pin one worker.  A healthy parquet scan is already
-      byte-split (``maxPartitionBytes``), so a 100 TB input comes in
-      ~800k balanced splits and salting it would mean shuffling the entire
-      kernel payload for nothing (measured ~20% of the hybrid wall at
-      sf-bench scale).
+      than the target — the under-parallel case (one huge file, a collapsed
+      join, a micro-batch).  A healthy parquet scan is already byte-split
+      (``maxPartitionBytes``), so a 100 TB input comes in ~800k balanced
+      splits and salting it would mean shuffling the entire kernel payload
+      for nothing (measured ~20% of the hybrid wall at sf-bench scale).
+      CAVEAT: partition COUNT is a parallelism probe, not a balance probe —
+      an upstream that clustered by conversation into many-but-skewed
+      partitions (e.g. ``repartition("conv_id")``) passes the probe unsalted;
+      such callers must pass ``True``.
     * ``True``: always salt (the r1 behavior — correct for arbitrary
-      upstream layouts, wasteful for scan-shaped ones).
+      upstream layouts including conv-clustered ones, wasteful for
+      scan-shaped ones).
     * ``False``: never (callers that already repartitioned).
 
     ``native_simple_path`` routes turns with no structured payload through

@@ -32,9 +32,12 @@ from typing import Any
 
 class ExecutorRegistry:
     """Process-level keyed singleton cache (thread-safe: local-mode executors
-    may run several task threads in one worker)."""
+    may run several task threads in one worker).  Loads take a PER-KEY lock
+    so a slow factory for one model never serializes loads of unrelated
+    keys; the class lock only guards the dictionaries."""
 
     _lock = threading.Lock()
+    _key_locks: dict[Any, threading.Lock] = {}
     _instances: dict[Any, Any] = {}
     _load_counts: dict[Any, int] = {}
 
@@ -44,10 +47,18 @@ class ExecutorRegistry:
         ``factory`` exactly once per process (ModelCache.load_* semantics,
         cache.py:44-62)."""
         with cls._lock:
-            if key not in cls._instances:
-                cls._instances[key] = factory()
+            if key in cls._instances:
+                return cls._instances[key]
+            klock = cls._key_locks.setdefault(key, threading.Lock())
+        with klock:  # concurrent loads of DIFFERENT keys proceed in parallel
+            with cls._lock:
+                if key in cls._instances:
+                    return cls._instances[key]
+            instance = factory()
+            with cls._lock:
+                cls._instances[key] = instance
                 cls._load_counts[key] = cls._load_counts.get(key, 0) + 1
-            return cls._instances[key]
+            return instance
 
     @classmethod
     def unload(cls, key: Any | None = None) -> None:

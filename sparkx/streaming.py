@@ -58,6 +58,7 @@ def start_extraction_stream(
     """Start (or resume, via checkpoint_dir) the incremental extraction
     stream.  Returns the StreamingQuery."""
     run_id = run_id or f"stream_{uuid.uuid4().hex[:8]}"
+    _guard_stream_identity(out_path, checkpoint_dir, mode)
     transcripts = stream_transcripts(spark, in_dir)
 
     writer = (
@@ -68,6 +69,43 @@ def start_extraction_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _guard_stream_identity(out_path: str, checkpoint_dir: str, mode: str) -> None:
+    """Fail fast when a stream restarts against an out_path it did not
+    commit: batch ids are meaningful only relative to ONE checkpoint's
+    file-to-batch slicing, so pointing a FRESH checkpoint at a directory
+    with committed ``batch_id=`` output would re-number batches from 0 and
+    overwrite differently-sliced data (the streaming analog of the batch
+    ledger's parameter-drift guard in sparkx.checkpoint)."""
+    meta_path = os.path.join(out_path, "_ledger", "stream_meta.json")
+    params = {
+        "checkpoint_dir": os.path.abspath(checkpoint_dir),
+        "mode": mode,
+    }
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
+        if {k: prev.get(k) for k in params} != params:
+            raise ValueError(
+                f"stream output {out_path} was committed under {prev}, but this "
+                f"start uses {params}; reuse the original checkpoint dir (and "
+                f"mode) or write to a fresh out_path"
+            )
+        if not os.path.isdir(params["checkpoint_dir"]):
+            raise ValueError(
+                f"stream output {out_path} has committed batches but its "
+                f"checkpoint {params['checkpoint_dir']} is gone; restarting "
+                f"would re-slice batch ids from 0 over committed data — use a "
+                f"fresh out_path"
+            )
+        return
+    led = os.path.dirname(meta_path)
+    os.makedirs(led, exist_ok=True)
+    tmp = os.path.join(led, f".tmp_{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(params, f)
+    os.replace(tmp, meta_path)
 
 
 def make_batch_sink(out_path: str, mode: str = "fastpath", run_id: str = "stream"):

@@ -53,6 +53,10 @@ def test_checkpoint_b_null_string_and_fallbacks(spark):
         (3, None, "0.25", True, None, False),
         (4, "keep me", "1.5", False, None, False),
         (5, "would keep", "0.9", False, "n5", True),
+        # ' null ' is truthy and lower() != 'null' (the reference does NOT
+        # strip before comparing, validation.py:486) → KEPT verbatim
+        (6, " null ", "0.1", True, None, False),
+        (7, "Null", "0.2", True, None, False),  # mixed case IS normalized
     ]
     df = spark.createDataFrame(
         rows,
@@ -72,6 +76,8 @@ def test_checkpoint_b_null_string_and_fallbacks(spark):
     assert got[5].revised_answer is None
     assert got[5].verdict_score == 0.5
     assert got[5].validator_notes.startswith("Validation error: ")
+    assert got[6].revised_answer == " null "  # unstripped comparison
+    assert got[7].revised_answer is None
 
 
 def test_save_answers_json_roundtrip(spark, tmp_path):

@@ -22,6 +22,16 @@ def docs_pdf():
     return pd.read_parquet(f"{SF}/documents.parquet")
 
 
+def test_sample_gate_rounds_not_truncates():
+    """0.29*10000 is 2899.999… in binary; int() would shift the gate by one
+    bucket vs an engine mirroring it with round(rate*10000)."""
+    from sparkx.ops.corpus import _gate
+
+    assert _gate(0.29) == 2900
+    assert _gate(0.07) == 700
+    assert _gate(0.2) == 2000 and _gate(1.0) == 10000 and _gate(0.0) == 0
+
+
 def test_deterministic_sample_is_deterministic_and_salted(spark, docs):
     from sparkx.ops.corpus import deterministic_sample
 

@@ -75,6 +75,26 @@ def test_sink_replay_is_idempotent(spark, tmp_path):
     assert sorted(second.chunk_id) == sorted(first.chunk_id)
 
 
+def test_stream_restart_identity_guard(spark, tmp_path):
+    """A committed stream out_path refuses (a) a different checkpoint dir —
+    fresh checkpoints re-number batches from 0 over committed batch dirs —
+    and (b) a restart whose checkpoint was lost."""
+    import shutil
+
+    import pytest
+
+    in_dir, _ = _write_input_files(tmp_path, n_files=1, seed0=90)
+    out, ckpt = str(tmp_path / "gout"), str(tmp_path / "gckpt")
+    q = start_extraction_stream(spark, str(in_dir), out, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    with pytest.raises(ValueError, match="committed under"):
+        start_extraction_stream(spark, str(in_dir), out, str(tmp_path / "ckpt2"))
+    shutil.rmtree(ckpt)
+    with pytest.raises(ValueError, match="is gone"):
+        start_extraction_stream(spark, str(in_dir), out, ckpt)
+
+
 def test_stream_resume_processes_only_new_files(spark, tmp_path):
     in_dir, _ = _write_input_files(tmp_path, n_files=2, seed0=70)
     out = tmp_path / "out"
