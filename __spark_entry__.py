@@ -517,6 +517,31 @@ def _q_quantiles_by_lang(spark, sf_dir):
     )
 
 
+def _q_corpus_funnel(spark, sf_dir):
+    """The end-to-end corpus-build funnel (extract → dedup → quality gate →
+    deterministic sample) as one row of stage counts — the composed
+    training-data pipeline, oracle-verified."""
+    from sparkx.corpus_build import corpus_flags
+
+    flagged = corpus_flags(
+        _blocks(spark, sf_dir, "fastpath"),
+        min_tokens=5, max_tokens=5000, min_quality=0.0, sample_rate=0.5,
+        salt="corpus0",
+    )
+    return flagged.agg(
+        F.count("*").alias("blocks_in"),
+        F.sum(F.col("is_canonical").cast("long")).alias("after_dedup"),
+        F.sum((F.col("is_canonical") & F.col("passes_quality")).cast("long")).alias(
+            "after_quality"
+        ),
+        F.sum(
+            (F.col("is_canonical") & F.col("passes_quality") & F.col("sampled")).cast(
+                "long"
+            )
+        ).alias("after_sample"),
+    )
+
+
 def _q_stream_extract(spark, sf_dir):
     """The Structured-Streaming ingest path, driver-verified: the derived
     transcripts are written to a temp dir, streamed through the SAME
@@ -621,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_filter": _q_cur_filter,
         "tb_rollup": _q_tb_rollup,
         "quantiles_by_lang": _q_quantiles_by_lang,
+        "corpus_funnel": _q_corpus_funnel,
         "stream_extract": _q_stream_extract,
         # temporal/event operators
         "sessionize": _q_sessionize,
@@ -1180,6 +1206,25 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
                    round(quantile_cont({_TA_TOKENS}, 0.9), 4) AS p90,
                    round(quantile_cont({_TA_TOKENS}, 0.99), 4) AS p99
             FROM documents GROUP BY lang""",
+        "corpus_funnel": _BLOCKS_CTE + f"""
+            , tb AS (
+              SELECT st_fast AS text, chunk_id FROM blocks
+              WHERE status = 'accepted' AND chunk_type = 'text'
+            ), flags AS (
+              SELECT chunk_id,
+                row_number() OVER (
+                  PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                  ORDER BY chunk_id) = 1 AS is_canonical,
+                ({_TA_TOKENS} >= 5 AND {_TA_TOKENS} <= 5000
+                 AND {_TA_QUALITY} >= 0.0) AS passes_quality,
+                ('0x' || substr(md5('corpus0|' || chunk_id), 1, 8))::BIGINT % 10000
+                  < 5000 AS sampled
+              FROM tb)
+            SELECT count(*) AS blocks_in,
+              CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS after_dedup,
+              CAST(sum(CASE WHEN is_canonical AND passes_quality THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
+              CAST(sum(CASE WHEN is_canonical AND passes_quality AND sampled THEN 1 ELSE 0 END) AS BIGINT) AS after_sample
+            FROM flags""",
         "stream_extract": _BLOCKS_CTE + """
             SELECT conv_id, turn_idx, chunk_type, block_idx,
                    st_fast AS structured_text, conf_fast AS confidence, status

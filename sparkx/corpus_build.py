@@ -1,0 +1,126 @@
+"""End-to-end corpus build: the full training-data funnel as ONE Spark DAG.
+
+    transcripts ─ extract_blocks ─ surviving text blocks
+        → exact near-dup removal   (normalized-fingerprint canonical pick)
+        → quality + length gate    (C4/Gopher-style heuristics)
+        → deterministic sampling   (hash gate, reproducible)
+        → corpus parquet (bucketed) + one-pass funnel metrics
+
+Design for 100 TB:
+
+* **Single materialization.** Every stage is expressed as a COLUMN FLAG on
+  the surviving-block frame (``is_canonical``, ``passes_quality``,
+  ``sampled``), so the funnel metrics and the final filter come from the
+  same cached pass — no per-stage jobs re-reading the input.
+* **Shuffle budget: exactly two.** The dedup canonical pick is one shuffle
+  (window over the 16-byte fingerprint — equivalently a groupBy; the payload
+  shuffled is the block row once).  The metrics rollup is the second (tiny,
+  post-aggregation).  Quality, sampling, and the write are narrow.
+* **Dedup = keep the lexicographically-first chunk_id per normalized
+  fingerprint** — deterministic under any partitioning, and chunk_id is
+  itself deterministic (sha256 of coordinates), so re-runs pick identical
+  canonicals.
+* **Reproducible subset**: the sample gate is the md5 hash gate from
+  sparkx.ops.corpus — same salt+rate selects the same corpus on any engine,
+  which is what makes a training-data cut auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkx.ops.corpus import _gate, sample_bucket
+from sparkx.ops.textstats import quality_score, token_count
+from sparkx.pipeline import extract_blocks, surviving
+
+
+def corpus_flags(
+    blocks: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 5000,
+    min_quality: float = 0.3,
+    sample_rate: float = 1.0,
+    salt: str = "corpus0",
+) -> DataFrame:
+    """Annotate surviving text blocks with the funnel stage flags."""
+    text_blocks = surviving(blocks).filter(F.col("chunk_type") == "text")
+    fp = F.md5(
+        F.lower(F.trim(F.regexp_replace(F.col("structured_text"), r"\s+", " ")))
+    )
+    w = Window.partitionBy("fp").orderBy("chunk_id")
+    n = token_count("structured_text")
+    return (
+        text_blocks.withColumn("fp", fp)
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+        .withColumn(
+            "passes_quality",
+            (n >= min_tokens)
+            & (n <= max_tokens)
+            & (quality_score("structured_text") >= min_quality),
+        )
+        .withColumn(
+            "sampled",
+            sample_bucket("chunk_id", salt) < F.lit(_gate(sample_rate)),
+        )
+    )
+
+
+def build_corpus(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_path: str,
+    mode: str = "fastpath",
+    min_tokens: int = 20,
+    max_tokens: int = 5000,
+    min_quality: float = 0.3,
+    sample_rate: float = 1.0,
+    salt: str = "corpus0",
+    run_id: str = "corpus_0",
+) -> dict:
+    """Run the funnel, write the corpus + metrics, return the funnel counts.
+
+    Returns dict with: blocks_in, after_dedup, after_quality, after_sample
+    (each counting rows surviving UP TO that stage, stages applied in
+    order dedup → quality → sample).
+    """
+    flagged = corpus_flags(
+        extract_blocks(transcripts, mode=mode, run_id=run_id),
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        min_quality=min_quality,
+        sample_rate=sample_rate,
+        salt=salt,
+    ).persist()
+    try:
+        funnel = flagged.agg(
+            F.count("*").alias("blocks_in"),
+            F.sum(F.col("is_canonical").cast("long")).alias("after_dedup"),
+            F.sum(
+                (F.col("is_canonical") & F.col("passes_quality")).cast("long")
+            ).alias("after_quality"),
+            F.sum(
+                (
+                    F.col("is_canonical")
+                    & F.col("passes_quality")
+                    & F.col("sampled")
+                ).cast("long")
+            ).alias("after_sample"),
+        ).collect()[0]
+        final = flagged.filter(
+            F.col("is_canonical") & F.col("passes_quality") & F.col("sampled")
+        ).drop("fp", "is_canonical", "passes_quality", "sampled")
+        final.write.mode("overwrite").partitionBy("conv_bucket").parquet(
+            f"{out_path}/corpus"
+        )
+        (
+            flagged.groupBy("is_canonical", "passes_quality", "sampled")
+            .agg(F.count("*").alias("n"))
+            .withColumn("run_id", F.lit(run_id))
+            .write.mode("append")
+            .parquet(f"{out_path}/metrics")
+        )
+        return {k: int(funnel[k]) for k in
+                ("blocks_in", "after_dedup", "after_quality", "after_sample")}
+    finally:
+        flagged.unpersist()
