@@ -468,6 +468,42 @@ def _q_p11_prompt_build(spark, sf_dir):
 # ───────────────── corpus curation + streaming path ────────────────────────
 
 
+def _q_ta_scrub(spark, sf_dir):
+    """PII scrub (emails then phone-like spans) over documents with
+    synthesized contact strings appended — redaction counts + scrubbed text,
+    cross-engine regex-verified."""
+    from sparkx.ops.textstats import scrub_pii
+
+    d = _docs(spark, sf_dir)
+    s = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact: user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    out = scrub_pii(d.select("doc_id", s.alias("text")))
+    return out.select("doc_id", "n_emails", "n_phones", "scrubbed")
+
+
+def _q_ta_repetition(spark, sf_dir):
+    """Gopher-style repeated-line ratio over synthesized multi-line docs
+    (every third doc gets a duplicated line)."""
+    from sparkx.ops.textstats import line_repetition_ratio
+
+    d = _docs(spark, sf_dir)
+    lang = F.coalesce(F.col("lang"), F.lit(""))
+    source = F.coalesce(F.col("source"), F.lit(""))
+    s = F.concat_ws(
+        "\n",
+        lang,
+        source,
+        F.when(F.col("doc_id") % 3 == 0, lang).otherwise(
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40)
+        ),
+    )
+    return d.select("doc_id", line_repetition_ratio(s).alias("rep_ratio"))
+
+
 def _q_cur_sample(spark, sf_dir):
     """Deterministic hash-gate sampling (reproducible 20% subset, no RNG)."""
     from sparkx.ops import corpus as C
@@ -640,6 +676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u6_retrieval_context": _q_u6_retrieval_context,
         "u6_context_assembled": _q_u6_context_assembled,
         "p11_prompt_build": _q_p11_prompt_build,
+        # text scrub / repetition (r2)
+        "ta_scrub": _q_ta_scrub,
+        "ta_repetition": _q_ta_repetition,
         # corpus curation + streaming path
         "cur_sample": _q_cur_sample,
         "cur_stratified": _q_cur_stratified,
@@ -848,6 +887,9 @@ WITH sh AS (
 SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= {threshold}
 """
 
+
+from sparkx.ops.textstats import EMAIL_RE as _EMAIL_RE
+from sparkx.ops.textstats import PHONE_RE as _PHONE_RE
 
 # deterministic sampling hash gate (mirrors sparkx.ops.corpus.sample_bucket,
 # salt 's0', SAMPLE_BUCKETS 10000)
@@ -1183,6 +1225,38 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
                       THEN chr(10) || '[RETRY] Low confidence. Be conservative; flag unknowns explicitly.'
                       ELSE '' END AS prompt
             FROM blocks WHERE status = 'accepted' AND chunk_type IN ('text', 'table')""",
+        "ta_scrub": f"""
+            WITH s AS (
+              SELECT doc_id,
+                coalesce(text, '') || ' contact: user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +1 (555) 010-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+              FROM documents),
+            r AS (
+              SELECT doc_id, text,
+                regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+              FROM s)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(no_email, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+              regexp_replace(no_email, '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+            FROM r""",
+        "ta_repetition": """
+            WITH s AS (
+              SELECT doc_id,
+                coalesce(lang, '') || chr(10) || coalesce(source, '') || chr(10) ||
+                CASE WHEN doc_id % 3 = 0 THEN coalesce(lang, '')
+                     ELSE substr(coalesce(text, ''), 1, 40) END AS t
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                list_filter(string_split(t, chr(10)), x -> x != '') AS lines
+              FROM s)
+            SELECT doc_id,
+              CASE WHEN len(lines) <= 0 THEN 0.0
+                   ELSE round(1.0 - len(list_distinct(lines)) / len(lines), 4)
+              END AS rep_ratio
+            FROM l""",
         "cur_sample": f"""
             SELECT doc_id, lang, n_chars FROM documents
             WHERE {_HASH_GATE} < 2000""",

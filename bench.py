@@ -91,6 +91,7 @@ def main() -> int:
         "mm_decode", "mm_frame_sample",
         # r2 additions: corpus curation + answer-phase skeletons
         "cur_sample", "cur_filter", "tb_rollup", "quantiles_by_lang",
+        "ta_scrub", "ta_repetition",
         "s7_answer_trunc", "u5_answer_validation", "p11_prompt_build",
     ]
     for name in suite:

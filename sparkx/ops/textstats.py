@@ -115,6 +115,41 @@ def with_shingles(docs: DataFrame, col: str = "text", n: int = 3,
     ).drop("_toks")
 
 
+# PII patterns kept to syntax both Java regex and RE2 share (no lookaround,
+# no possessive quantifiers) so the scrub is cross-engine verifiable.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def scrub_pii(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Redact emails/phone-like spans and report per-doc hit counts — the
+    pre-training scrub pass.  Pure regexp_replace / regexp_count column
+    expressions: a narrow map, no shuffle, scan-pushable upstream filters
+    untouched."""
+    c = F.col(col)
+    return docs.withColumn("n_emails", F.regexp_count(c, F.lit(EMAIL_RE))) \
+        .withColumn("n_phones", F.regexp_count(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), F.lit(PHONE_RE))) \
+        .withColumn(
+            "scrubbed",
+            F.regexp_replace(
+                F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+            ),
+        )
+
+
+def line_repetition_ratio(col: str | Column = "text") -> Column:
+    """Gopher-style repeated-line ratio: 1 − distinct(lines)/lines over
+    non-empty lines (0.0 for docs with no non-empty lines).  Native
+    split/filter/array_distinct — no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, r"\n"), lambda x: x != F.lit(""))
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(lines)) / n, 4)
+    )
+
+
 def text_profile(docs: DataFrame) -> DataFrame:
     """One-pass profile: doc_id, token counts, ratios, quality, lang, md5."""
     return docs.select(

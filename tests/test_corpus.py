@@ -100,6 +100,54 @@ def test_time_bucket_rollup_conserves_totals(spark):
     assert out.value_e4.sum() == int(round(raw.value * 10000).sum())
 
 
+def test_scrub_pii_matches_python(spark):
+    import pandas as pd
+
+    from sparkx.ops.textstats import EMAIL_RE, PHONE_RE, scrub_pii
+
+    texts = [
+        "mail me at jo.doe+x@sub.example.co.uk now",
+        "call +1 (555) 010-9999 or 555-123-4567 today",
+        "both a@b.io and +49 30 1234567!",
+        "nothing here",
+        "",
+        "fake@ @no.tld a@b.c",  # a@b.c: single-char TLD fails {2,}
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        "doc_id long, text string",
+    )
+    got = scrub_pii(df).toPandas().set_index("doc_id")
+
+    for i, t in enumerate(texts):
+        assert got.loc[i, "n_emails"] == len(re.findall(EMAIL_RE, t)), t
+        no_email = re.sub(EMAIL_RE, "<EMAIL>", t)
+        assert got.loc[i, "n_phones"] == len(re.findall(PHONE_RE, no_email)), t
+        assert got.loc[i, "scrubbed"] == re.sub(PHONE_RE, "<PHONE>", no_email), t
+    assert got.loc[0, "n_emails"] == 1 and got.loc[1, "n_phones"] >= 1
+    assert "<EMAIL>" in got.loc[2, "scrubbed"] and "<PHONE>" in got.loc[2, "scrubbed"]
+
+
+def test_line_repetition_ratio_matches_python(spark):
+    import pandas as pd
+
+    from sparkx.ops.textstats import line_repetition_ratio
+
+    texts = ["a\nb\na", "x\nx\nx\nx", "solo", "", "\n\n", "p\n\nq\np\nq"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.rr
+        for r in df.select("doc_id", line_repetition_ratio().alias("rr")).collect()
+    }
+    for i, t in enumerate(texts):
+        lines = [x for x in t.split("\n") if x != ""]
+        want = 0.0 if not lines else round(1.0 - len(set(lines)) / len(lines), 4)
+        assert got[i] == pytest.approx(want), (i, t)
+
+
 def test_token_quantiles_match_numpy(spark, docs, docs_pdf):
     import numpy as np
 
