@@ -826,7 +826,7 @@ def _simhash_oracle_sql() -> str:
     ham = "bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi))"
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
   FROM documents
 ), hashed AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_lo,
@@ -855,11 +855,11 @@ def _minhash_oracle_sql(threshold: float = 0.05) -> str:
     return f"""
 WITH sh AS (
   SELECT doc_id, list_distinct(
-    CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) < 3 THEN []
-    ELSE list_transform(range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 1),
-      i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' ||
-           regexp_split_to_array(lower(trim(text)), '\\s+')[i+1] || ' ' ||
-           regexp_split_to_array(lower(trim(text)), '\\s+')[i+2]) END) AS shingles
+    CASE WHEN len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) < 3 THEN []
+    ELSE list_transform(range(1, len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) - 1),
+      i -> regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')[i] || ' ' ||
+           regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')[i+1] || ' ' ||
+           regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')[i+2]) END) AS shingles
   FROM documents
 ), mh AS (
   -- double hashing (Kirsch–Mitzenmacher): ONE md5 per shingle, k-th hash =
@@ -895,9 +895,9 @@ from sparkx.ops.textstats import PHONE_RE as _PHONE_RE
 # salt 's0', SAMPLE_BUCKETS 10000)
 _HASH_GATE = "(('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)"
 
-_TA_TOKENS = "len(regexp_split_to_array(trim(text), '\\s+'))"
+_TA_TOKENS = "len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))"
 _TA_EN = (
-    "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+    "len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),"
     " t -> t IN ('the','a','and','of','to','is')))"
 )
 _TA_PUNCT = "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)"
@@ -916,7 +916,7 @@ def _langid_sql() -> str:
         "es": "('el','los','las','y','es','una')",
     }
     cnt = {
-        k: f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t IN {v}))"
+        k: f"len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), t -> t IN {v}))"
         for k, v in sets.items()
     }
     best = f"greatest({cnt['en']}, {cnt['de']}, {cnt['fr']}, {cnt['es']})"
@@ -1003,7 +1003,7 @@ def oracle_sql() -> dict[str, str]:
                    round({_TA_STOP}, 4) AS stopword_ratio,
                    {_TA_QUALITY} AS quality,
                    {_langid_sql()} AS lang_pred,
-                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5
+                   md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp_md5
             FROM documents""",
         "ta_lang_agg": f"""
             SELECT lang, count(*) AS n_docs,
@@ -1012,17 +1012,17 @@ def oracle_sql() -> dict[str, str]:
                          / count(*) / 10000.0, 4) AS avg_quality
             FROM documents GROUP BY lang""",
         "dedup_exact": """
-            SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+            SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp,
                    min(doc_id) AS keep_doc_id, count(*) AS group_size
             FROM documents GROUP BY 1""",
         "dedup_ngram_jaccard": f"""
 WITH sh AS (
   SELECT doc_id, list_distinct(
-    CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) < 3 THEN []
-    ELSE list_transform(range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 1),
-      i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' ||
-           regexp_split_to_array(lower(trim(text)), '\\s+')[i+1] || ' ' ||
-           regexp_split_to_array(lower(trim(text)), '\\s+')[i+2]) END) AS shingles
+    CASE WHEN len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) < 3 THEN []
+    ELSE list_transform(range(1, len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) - 1),
+      i -> regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')[i] || ' ' ||
+           regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')[i+1] || ' ' ||
+           regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')[i+2]) END) AS shingles
   FROM documents
 ), posting AS (
   SELECT doc_id, unnest(shingles) AS s FROM sh
@@ -1071,7 +1071,7 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
         "ann_text_topk": """
             WITH toks AS (
               SELECT doc_id AS id,
-                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+                     unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
               FROM documents),
             w AS (
               SELECT id, CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS INT) AS dim,
@@ -1149,7 +1149,7 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
         "u7_embed_weights": """
             WITH toks AS (
               SELECT doc_id AS id,
-                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+                     unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
               FROM documents)
             SELECT id, CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS INT) AS dim,
                    CAST(SUM(CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
@@ -1287,7 +1287,7 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
             ), flags AS (
               SELECT chunk_id,
                 row_number() OVER (
-                  PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                  PARTITION BY md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
                   ORDER BY chunk_id) = 1 AS is_canonical,
                 ({_TA_TOKENS} >= 5 AND {_TA_TOKENS} <= 5000
                  AND {_TA_QUALITY} >= 0.0) AS passes_quality,

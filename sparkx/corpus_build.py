@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkx.ops.corpus import _gate, sample_bucket
-from sparkx.ops.textstats import quality_score, token_count
+from sparkx.ops.textstats import fingerprint, quality_score, token_count
 from sparkx.pipeline import extract_blocks, surviving
 
 
@@ -45,9 +45,7 @@ def corpus_flags(
 ) -> DataFrame:
     """Annotate surviving text blocks with the funnel stage flags."""
     text_blocks = surviving(blocks).filter(F.col("chunk_type") == "text")
-    fp = F.md5(
-        F.lower(F.trim(F.regexp_replace(F.col("structured_text"), r"\s+", " ")))
-    )
+    fp = fingerprint("structured_text")  # ONE normalization definition
     w = Window.partitionBy("fp").orderBy("chunk_id")
     n = token_count("structured_text")
     return (
@@ -76,14 +74,21 @@ def build_corpus(
     min_quality: float = 0.3,
     sample_rate: float = 1.0,
     salt: str = "corpus0",
-    run_id: str = "corpus_0",
+    run_id: str | None = None,
 ) -> dict:
     """Run the funnel, write the corpus + metrics, return the funnel counts.
 
     Returns dict with: blocks_in, after_dedup, after_quality, after_sample
     (each counting rows surviving UP TO that stage, stages applied in
-    order dedup → quality → sample).
+    order dedup → quality → sample).  Two passes over the cached frame:
+    the ≤8-row flag-combination rollup (from which the funnel dict is
+    derived driver-side — no separate agg job) and the corpus write.
+    ``run_id`` defaults to a fresh unique id so appended metrics rows from
+    repeated runs into one out_path stay distinguishable.
     """
+    import uuid
+
+    run_id = run_id or f"corpus_{uuid.uuid4().hex[:8]}"
     flagged = corpus_flags(
         extract_blocks(transcripts, mode=mode, run_id=run_id),
         min_tokens=min_tokens,
@@ -93,34 +98,39 @@ def build_corpus(
         salt=salt,
     ).persist()
     try:
-        funnel = flagged.agg(
-            F.count("*").alias("blocks_in"),
-            F.sum(F.col("is_canonical").cast("long")).alias("after_dedup"),
-            F.sum(
-                (F.col("is_canonical") & F.col("passes_quality")).cast("long")
-            ).alias("after_quality"),
-            F.sum(
-                (
-                    F.col("is_canonical")
-                    & F.col("passes_quality")
-                    & F.col("sampled")
-                ).cast("long")
-            ).alias("after_sample"),
-        ).collect()[0]
+        rollup = (
+            flagged.groupBy("is_canonical", "passes_quality", "sampled")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        funnel = {
+            "blocks_in": sum(r.n for r in rollup),
+            "after_dedup": sum(r.n for r in rollup if r.is_canonical),
+            "after_quality": sum(
+                r.n for r in rollup if r.is_canonical and r.passes_quality
+            ),
+            "after_sample": sum(
+                r.n
+                for r in rollup
+                if r.is_canonical and r.passes_quality and r.sampled
+            ),
+        }
         final = flagged.filter(
             F.col("is_canonical") & F.col("passes_quality") & F.col("sampled")
         ).drop("fp", "is_canonical", "passes_quality", "sampled")
         final.write.mode("overwrite").partitionBy("conv_bucket").parquet(
             f"{out_path}/corpus"
         )
-        (
-            flagged.groupBy("is_canonical", "passes_quality", "sampled")
-            .agg(F.count("*").alias("n"))
-            .withColumn("run_id", F.lit(run_id))
-            .write.mode("append")
-            .parquet(f"{out_path}/metrics")
+        metrics = spark.createDataFrame(
+            [
+                (bool(r.is_canonical), bool(r.passes_quality), bool(r.sampled),
+                 int(r.n), run_id)
+                for r in rollup
+            ] or [(True, True, True, 0, run_id)],
+            "is_canonical boolean, passes_quality boolean, sampled boolean, "
+            "n long, run_id string",
         )
-        return {k: int(funnel[k]) for k in
-                ("blocks_in", "after_dedup", "after_quality", "after_sample")}
+        metrics.write.mode("append").parquet(f"{out_path}/metrics")
+        return funnel
     finally:
         flagged.unpersist()

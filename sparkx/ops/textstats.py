@@ -115,10 +115,12 @@ def with_shingles(docs: DataFrame, col: str = "text", n: int = 3,
     ).drop("_toks")
 
 
-# PII patterns kept to syntax both Java regex and RE2 share (no lookaround,
-# no possessive quantifiers) so the scrub is cross-engine verifiable.
+# PII patterns kept to syntax Java regex, RE2, and Python re all interpret
+# identically (no lookaround, no possessive quantifiers, and NO bare \s —
+# Java's \s includes \x0B where RE2's does not, and Python's is
+# Unicode-aware; the whitespace inside the phone class is spelled out).
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+PHONE_RE = "\\+?[0-9][0-9()\\- \\t\\n\\x0B\\f\\r]{6,}[0-9]"
 
 
 def scrub_pii(docs: DataFrame, col: str = "text") -> DataFrame:
@@ -142,7 +144,7 @@ def line_repetition_ratio(col: str | Column = "text") -> Column:
     """Gopher-style repeated-line ratio: 1 − distinct(lines)/lines over
     non-empty lines (0.0 for docs with no non-empty lines).  Native
     split/filter/array_distinct — no UDF."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
     lines = F.filter(F.split(c, r"\n"), lambda x: x != F.lit(""))
     n = F.size(lines)
     return F.when(n <= 0, F.lit(0.0)).otherwise(

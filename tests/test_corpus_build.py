@@ -3,8 +3,6 @@ tail, deterministic sampling, dedup parity with a pandas recompute."""
 
 from __future__ import annotations
 
-import re
-
 import pandas as pd
 import pytest
 
@@ -52,6 +50,26 @@ def test_corpus_build_funnel(spark, tmp_path, transcripts_pdf):
     # metrics sidecar partitions the same totals
     m = spark.read.parquet(f"{out}/metrics").toPandas()
     assert m.n.sum() == funnel["blocks_in"]
+
+
+def test_corpus_build_empty_funnel(spark, tmp_path):
+    """Zero surviving text blocks must yield a zero-count funnel, not a
+    TypeError from int(None) on NULL sums."""
+    t = pd.DataFrame(
+        {
+            "conv_id": ["c0", "c1"],
+            "turn_idx": pd.array([0, 0], dtype="int32"),
+            "role": ["user", "user"],
+            "text": ["tiny", "also tiny"],  # both < 40 chars → dropped_short
+            "tool": ["", ""],
+            "ts": [pd.Timestamp("2026-01-01")] * 2,
+        }
+    )
+    df = spark.createDataFrame(t, schema=TRANSCRIPTS)
+    funnel = build_corpus(spark, df, str(tmp_path / "empty_out"))
+    assert funnel == {
+        "blocks_in": 0, "after_dedup": 0, "after_quality": 0, "after_sample": 0,
+    }
 
 
 def test_corpus_build_is_reproducible(spark, tmp_path, transcripts_pdf):

@@ -70,6 +70,14 @@ def main() -> int:
             "TakeOrderedAndProject instead of a full sort for the top-k.",
         ),
         (
+            "Corpus-build funnel (extract → dedup → quality → sample, one DAG)",
+            fmt(E.queries()["corpus_funnel"](spark, sf)),
+            "What to check: the whole funnel is ONE plan — extraction branches feed\n"
+            "the fingerprint window (the dedup shuffle, the plan's only wide exchange\n"
+            "besides the final 1-row aggregate); quality and sampling are codegen'd\n"
+            "predicates layered as flags, never separate jobs.",
+        ),
+        (
             "Embedding near-dup (banded sign-LSH)",
             fmt(E.queries()["dedup_embedding_lsh"](spark, sf)),
             "What to check: bucket keys are codegen'd sign sums (try_element_at, no\n"
