@@ -1,10 +1,13 @@
 """Adversarial contract gate: every queries()↔oracle_sql() pair must still
 agree on hostile data — NULL/empty/whitespace text, repeated tokens, quotes,
-backslashes, carriage returns, 15k-char documents, NULL event values and
-malformed/NULL JSON props.  The driver's testdata is clean; 100 TB of real
-transcripts is not.  (This gate found two real bugs on first run: DuckDB's
-json_extract_string crashing on empty input, and the multimodal decode kernel
-crashing on NULL payload bytes.)"""
+backslashes, carriage returns, vertical tabs (the one char where Java's \\s
+and RE2's \\s disagree — r2 pinned all oracle whitespace to an explicit
+class), NBSP/ideographic spaces, embedded emails/phones, repeated lines,
+15k-char documents, NULL event values and malformed/NULL JSON props.  The
+driver's testdata is clean; 100 TB of real transcripts is not.  (This gate
+found two real bugs on first run: DuckDB's json_extract_string crashing on
+empty input, and the multimodal decode kernel crashing on NULL payload
+bytes.)"""
 
 from __future__ import annotations
 
@@ -13,7 +16,7 @@ import shutil
 import pytest
 
 import __spark_entry__ as E
-from tools.check_contract import normalize
+from tools.check_contract import dtype_kind, normalize
 
 SRC = "/root/testdata/sf0.001"
 
@@ -39,7 +42,11 @@ COPY (
     (6, 'quote" and back\\slash and braces {x} here the end', 'zh', 'src5', 48),
     (7, 'the the the the the the the the the the', 'en', 'src6', 40),
     (8, chr(13) || 'carriage' || chr(13) || 'returns everywhere the and of to is', 'en', 'src7', 40),
-    (9, 'normal prose document with enough text to pass all the gates easily here', 'en', 'src8', 70)
+    (9, 'normal prose document with enough text to pass all the gates easily here', 'en', 'src8', 70),
+    (10, 'vertical' || chr(11) || 'tab' || chr(11) || 'whitespace the a of to is pad pad', 'en', 'src9', 40),
+    (11, 'nbsp' || chr(160) || 'and' || chr(12288) || 'ideographic space the of to is words', 'en', 'src9', 44),
+    (12, 'contact real.user+tag@mail.example.org or call +44 20 7946 0958 now the a of', 'en', 'src10', 60),
+    (13, 'line one' || chr(10) || 'line one' || chr(10) || 'line two repeated lines the of to', 'en', 'src10', 40)
   ) t(doc_id, text, lang, source, n_chars)
 ) TO 'DEST/documents.parquet' (FORMAT PARQUET)""".replace("DEST", str(adv))
     )
@@ -88,6 +95,12 @@ def test_adversarial_query_matches_oracle(spark, adv_duck, adv_dir, name):
     want = adv_duck.execute(E.oracle_sql()[name]).df()
     assert sorted(got.columns) == sorted(want.columns)
     assert len(got) == len(want), f"{name}: {len(got)} != {len(want)}"
+    bad_kinds = {
+        c: (str(got[c].dtype), str(want[c].dtype))
+        for c in got.columns
+        if dtype_kind(got[c].dtype) != dtype_kind(want[c].dtype)
+    }
+    assert not bad_kinds, f"{name}: dtype kind mismatch {bad_kinds}"
     g, w = normalize(got), normalize(want)
     for c in g.columns:
         assert g[c].equals(w[c]), f"{name}: column {c} differs on adversarial data"
