@@ -62,14 +62,26 @@ def main() -> int:
         synth_spark(spark, n_convs=VOLUME_TURNS // 100, turns_per_conv=100,
                     n_partitions=2 * CPUS).write.mode("overwrite").parquet(vol_path)
     transcripts = spark.read.parquet(vol_path)
+    # volume queries run the 100-TB configuration (emit_raw=False: the raw
+    # text is consumed by Checkpoint-A inside the kernel, not duplicated into
+    # the output — the input table already holds it); correctness suites keep
+    # emit_raw=True to byte-compare raw_content.  Measured ~20% of the wall.
     _count(surviving(extract_blocks(transcripts)))  # warm pass (python workers)
     n_surv = timed(
         "ext_fastpath_volume",
-        lambda: _count(surviving(extract_blocks(transcripts, mode="fastpath"))),
+        lambda: _count(
+            surviving(extract_blocks(transcripts, mode="fastpath", emit_raw=False))
+        ),
     )
     timed(
         "ext_agentic_volume",
-        lambda: _count(surviving(extract_blocks(transcripts, mode="agentic", validate=True))),
+        lambda: _count(
+            surviving(
+                extract_blocks(
+                    transcripts, mode="agentic", validate=True, emit_raw=False
+                )
+            )
+        ),
     )
     extras["volume_turns"] = VOLUME_TURNS
     extras["volume_surviving_blocks"] = n_surv
