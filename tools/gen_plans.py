@@ -44,6 +44,21 @@ def main() -> int:
             "ReadSchema on the native side is pruned to the 3 needed columns.",
         ),
         (
+            "Extraction over a scan-shaped input (adaptive salt: no shuffle)",
+            fmt(
+                surviving(
+                    extract_blocks(t, n_partitions=t.rdd.getNumPartitions())
+                ).select("chunk_id", "structured_text")
+            ),
+            "What to check (r2): when the input is already at target parallelism —\n"
+            "the shape every byte-split parquet scan has at 100 TB — salt_repartition\n"
+            "'auto' skips the skew shuffle entirely: the kernel branch is\n"
+            "scan→Filter→MapInPandas with NO Exchange (contrast with the salted plan\n"
+            "above, which keeps the Exchange because its input arrives\n"
+            "under-parallel).  Shuffling 100 TB to 'balance' an already-balanced\n"
+            "scan would be the single largest avoidable cost in the pipeline.",
+        ),
+        (
             "MinHash+LSH dedup",
             fmt(E.queries()["dedup_minhash_lsh"](spark, sf)),
             "What to check (r2 shape): minhash sketches are explode → codegen'd hash\n"
