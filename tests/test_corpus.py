@@ -100,6 +100,32 @@ def test_time_bucket_rollup_conserves_totals(spark):
     assert out.value_e4.sum() == int(round(raw.value * 10000).sum())
 
 
+def test_token_quantiles_sketch_path_close_to_exact(spark, docs):
+    """The documented 100-TB swap (percentile → approx_percentile t-digest)
+    must stay within sketch tolerance of the exact path — same call shape,
+    mergeable partial aggregates."""
+    from pyspark.sql import functions as F
+
+    from sparkx.ops.corpus import token_quantiles_by
+    from sparkx.ops.textstats import token_count
+
+    exact = {r.grp: (r.p50, r.p90) for r in token_quantiles_by(docs).collect()}
+    d = docs.select(F.col("lang").alias("grp"), token_count().alias("n"))
+    approx = {
+        r.grp: (r.p50, r.p90)
+        for r in d.groupBy("grp")
+        .agg(
+            F.approx_percentile("n", F.lit(0.5), F.lit(10000)).alias("p50"),
+            F.approx_percentile("n", F.lit(0.9), F.lit(10000)).alias("p90"),
+        )
+        .collect()
+    }
+    for grp, (p50, p90) in exact.items():
+        a50, a90 = approx[grp]
+        assert abs(a50 - p50) <= max(2.0, 0.05 * p50), (grp, a50, p50)
+        assert abs(a90 - p90) <= max(2.0, 0.05 * p90), (grp, a90, p90)
+
+
 def test_scrub_pii_matches_python(spark):
     import pandas as pd
 

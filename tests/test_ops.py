@@ -199,6 +199,38 @@ def test_ann_topk_matches_numpy(spark, emb_pdf):
     assert [(r.cosine, r.vec_id) for r in got] == order
 
 
+def test_ann_bucket_layout_prunes_partitions(spark, tmp_path):
+    """The scale claim in similarity.topk_lsh: when the vector table is
+    WRITTEN partitioned by the sign bucket, the probe's bucket filter prunes
+    at scan time — verify the physical plan reads only the probed partitions
+    and the pruned read returns the same candidates."""
+    from pyspark.sql import functions as F
+
+    from sparkx.ops.similarity import sign_bucket
+
+    emb, _ = _clustered_embeddings(spark)
+    path = str(tmp_path / "emb_bucketed")
+    emb.withColumn("bucket", sign_bucket(nbits=8)).write.partitionBy(
+        "bucket"
+    ).parquet(path)
+    table = spark.read.parquet(path)
+    probe_buckets = [r.bucket for r in
+                     table.filter("vec_id < 3").select("bucket").distinct().collect()]
+    probed = table.filter(F.col("bucket").isin(probe_buckets))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # pruned scan touches a strict subset of partition directories
+    n_all = table.select("bucket").distinct().count()
+    assert 0 < len(probe_buckets) < n_all
+    got = {r.vec_id for r in probed.select("vec_id").collect()}
+    want = {
+        r.vec_id
+        for r in table.collect()
+        if r.bucket in set(probe_buckets)
+    }
+    assert got == want
+
+
 def test_exact_dedup_groups(spark, docs, docs_pdf):
     from sparkx.ops.dedup import exact_dedup
 
