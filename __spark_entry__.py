@@ -586,13 +586,26 @@ def _q_stream_extract(spark, sf_dir):
     blocks CTE — streaming and batch must be value-identical."""
     import hashlib as _hl
     import os as _os
+    import subprocess as _sp
 
     from sparkx.streaming import start_extraction_stream
 
-    # stable per-sf_dir workspace: the input materializes once; re-invocations
-    # resume from the streaming checkpoint (no new batches) and re-read the
-    # same committed output instead of re-running the whole stream.
-    base = f"/tmp/sparkx_stream_q_{_hl.md5(sf_dir.encode()).hexdigest()[:12]}"
+    # stable per-(sf_dir, code revision) workspace: the input materializes
+    # once; re-invocations WITHIN a revision resume from the streaming
+    # checkpoint (no new batches) and re-read the committed output.  The
+    # revision key prevents cross-round staleness: without it, a checkpoint
+    # committed by an older engine would keep serving old output after the
+    # extraction semantics change.
+    try:
+        rev = _sp.check_output(
+            ["git", "-C", _os.path.dirname(_os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            text=True, stderr=_sp.DEVNULL,
+        ).strip()
+    except Exception:
+        rev = "dev"
+    key = _hl.md5(f"{sf_dir}|{rev}".encode()).hexdigest()[:12]
+    base = f"/tmp/sparkx_stream_q_{key}"
     if not _os.path.isdir(f"{base}/in"):
         transcripts_from_documents(spark, sf_dir).coalesce(4).write.mode(
             "overwrite"
