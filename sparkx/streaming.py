@@ -163,20 +163,38 @@ def surviving_stream_writer(transcripts: DataFrame):
 # extraction stream.
 
 CONV_STATE_SCHEMA = "n_turns long, n_chars long"
-CONV_PROGRESS_SCHEMA = "conv_id string, n_turns long, n_chars long"
+CONV_PROGRESS_SCHEMA = "conv_id string, n_turns long, n_chars long, evicted boolean"
 
 
-def _conv_progress_fn(key, pdfs, state):
-    """Accumulate (turn count, char volume) per conv_id across micro-batches."""
+def _conv_progress_fn(timeout_ms, key, pdfs, state):
+    """Accumulate (turn count, char volume) per conv_id across micro-batches.
+
+    State EVICTION is mandatory on an unbounded stream: without a timeout,
+    state for conversations that never recur is retained forever — the state
+    store grows O(all conv_ids ever seen).  A group idle past ``timeout_ms``
+    of processing time emits its final totals with ``evicted=True`` and is
+    removed; a late arrival after eviction re-keys from zero (readers treat
+    evicted rows as closed segments and sum segments per conv_id)."""
     import pandas as pd
 
-    n_turns, n_chars = state.get if state.exists else (0, 0)  # .get is a property
+    if state.hasTimedOut:
+        n_turns, n_chars = state.get  # .get is a property
+        state.remove()
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "n_turns": [n_turns], "n_chars": [n_chars],
+             "evicted": [True]}
+        )
+        return
+    n_turns, n_chars = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n_turns += len(pdf)
         n_chars += int(pdf["text"].fillna("").str.len().sum())
     state.update((n_turns, n_chars))
+    if timeout_ms is not None:
+        state.setTimeoutDuration(timeout_ms)
     yield pd.DataFrame(
-        {"conv_id": [key[0]], "n_turns": [n_turns], "n_chars": [n_chars]}
+        {"conv_id": [key[0]], "n_turns": [n_turns], "n_chars": [n_chars],
+         "evicted": [False]}
     )
 
 
@@ -186,19 +204,45 @@ def start_conv_progress_stream(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    idle_timeout_ms: int | None = 60_000,
 ):
     """Stateful per-conversation progress tracker over the transcript stream.
     State lives in Spark's streaming state store (RocksDB/HDFS-backed on a
-    real cluster), keyed by conv_id — survives restarts via the checkpoint."""
+    real cluster), keyed by conv_id — survives restarts via the checkpoint.
+
+    ``idle_timeout_ms`` bounds the state store: a conversation idle that long
+    (processing time) is evicted with a final ``evicted=True`` row.  ``None``
+    disables eviction — ONLY for bounded catch-up runs over closed inputs;
+    never on an unbounded stream.
+
+    ``available_now=True`` runs SYNCHRONOUSLY: processing-time timers count
+    as pending work, so neither Trigger.AvailableNow (never terminates; Spark
+    4's planner loop can even stack-overflow re-planning the empty timer
+    batches) nor ``processAllAvailable()`` (with ProcessingTimeTimeout the
+    engine fires an empty timer-check batch EVERY trigger interval, so the
+    query never quiesces — status polling never sees an idle window either).
+    Catch-up therefore watches PROGRESS: once the source is drained and two
+    consecutive zero-input batches have completed (due timers fire inside
+    those), it stops — the returned query is already terminated.  Timers not
+    yet due when catch-up stops, and timers that expire BETWEEN runs, fire on
+    the next run's first batches (state + deadlines live in the checkpoint),
+    which is exactly the eviction contract an incremental catch-up schedule
+    needs."""
+    import functools
+
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     transcripts = stream_transcripts(spark, in_dir)
     progress = transcripts.groupBy("conv_id").applyInPandasWithState(
-        _conv_progress_fn,
+        functools.partial(_conv_progress_fn, idle_timeout_ms),
         outputStructType=CONV_PROGRESS_SCHEMA,
         stateStructType=CONV_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     from pyspark.sql import functions as F
 
@@ -214,6 +258,38 @@ def start_conv_progress_stream(
         .foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    if not available_now:
+        return writer.start()
+    q = writer.trigger(processingTime="200 milliseconds").start()
+    deadline = time.time() + 600
+    last_batch_id = -1
+    empty_after_drain = 0
+    quiet_polls = 0
+    while time.time() < deadline:
+        if q.exception() is not None:
+            break
+        p = q.lastProgress
+        if p is not None and p["batchId"] != last_batch_id:
+            last_batch_id = p["batchId"]
+            if p["numInputRows"] > 0:
+                empty_after_drain = 0
+            elif not q.status["isDataAvailable"]:
+                empty_after_drain += 1
+                if empty_after_drain >= 2:
+                    break
+        # fallback for engines that stop triggering when no timers are due:
+        # a sustained fully-idle status also means drained
+        s = q.status
+        if not s["isDataAvailable"] and not s["isTriggerActive"]:
+            quiet_polls += 1
+            if quiet_polls >= 20:
+                break
+        else:
+            quiet_polls = 0
+        time.sleep(0.1)
+    exc = q.exception()
+    q.stop()
+    q.awaitTermination()
+    if exc is not None:
+        raise exc
+    return q

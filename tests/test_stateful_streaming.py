@@ -40,3 +40,64 @@ def test_stateful_progress_accumulates_across_restarts(spark, tmp_path):
     for conv_id, row in want.iterrows():
         assert int(latest.loc[conv_id, "n_turns"]) == int(row.n_turns), conv_id
         assert int(latest.loc[conv_id, "n_chars"]) == int(row.n_chars), conv_id
+
+
+def test_stateful_progress_evicts_idle_state(spark, tmp_path):
+    """ProcessingTimeTimeout eviction: a conversation idle past the timeout
+    is emitted with evicted=True and removed from the state store; a late
+    arrival re-keys from ZERO (not the old cumulative totals)."""
+    import time
+
+    (tmp_path / "in").mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    timeout_ms = 500
+
+    # run 1: conv A only → state created
+    p1 = _write(tmp_path, "a.parquet", seed=5, suffix="_a")
+    q = start_conv_progress_stream(
+        spark, str(tmp_path / "in"), out, ckpt, idle_timeout_ms=timeout_ms
+    )
+    q.awaitTermination(120)
+
+    # idle past the timeout, then run 2 with conv B only: A's timer fires
+    time.sleep(2.0)
+    _write(tmp_path, "b.parquet", seed=6, suffix="_b")
+    q2 = start_conv_progress_stream(
+        spark, str(tmp_path / "in"), out, ckpt, idle_timeout_ms=timeout_ms
+    )
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(f"{out}/batches").toPandas()
+    a_convs = set(p1["conv_id"])
+    evicted = got[got.evicted]
+    # every A conv is evicted by end of run 2 (its timers expired in the
+    # inter-run idle at the latest); whether B's 500 ms timers ALSO fired
+    # inside run 2 depends on batch timing, so no assertion about B
+    assert a_convs <= set(evicted.conv_id)
+    # the eviction row carries the FINAL totals for the closed segment
+    want1 = p1.groupby("conv_id").agg(
+        n_turns=("turn_idx", "size"), n_chars=("text", lambda s: s.str.len().sum())
+    )
+    ev = evicted[evicted.conv_id.isin(a_convs)].set_index("conv_id")
+    for conv_id, row in want1.iterrows():
+        assert int(ev.loc[conv_id, "n_turns"]) == int(row.n_turns), conv_id
+
+    # run 3: conv A recurs AFTER eviction → re-keyed from zero (segment 2
+    # counts only the new file, not cumulative with segment 1)
+    time.sleep(2.0)
+    p3 = _write(tmp_path, "c.parquet", seed=7, suffix="_a")
+    q3 = start_conv_progress_stream(
+        spark, str(tmp_path / "in"), out, ckpt, idle_timeout_ms=timeout_ms
+    )
+    q3.awaitTermination(120)
+    got3 = spark.read.parquet(f"{out}/batches").toPandas()
+    seg2 = (
+        got3[(~got3.evicted) & got3.conv_id.isin(set(p3["conv_id"]))]
+        .sort_values("batch_id")
+        .groupby("conv_id")
+        .last()
+    )
+    want3 = p3.groupby("conv_id").agg(n_turns=("turn_idx", "size"))
+    for conv_id, row in want3.iterrows():
+        assert int(seg2.loc[conv_id, "n_turns"]) == int(row.n_turns), conv_id
