@@ -77,11 +77,30 @@ def _pair_jaccard(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        max_shingle_df: int | None = 10_000) -> DataFrame:
     """Exact near-dup pairs by token n-gram Jaccard.  Candidates = pairs
-    sharing ≥1 shingle (shared-shingle equi-join), then exact verification."""
+    sharing ≥1 shingle (shared-shingle equi-join), then exact verification.
+
+    ``max_shingle_df`` is the posting-list frequency cap (the standard
+    stop-shingle trick): shingles appearing in more than this many docs are
+    dropped from the CANDIDATE join only — without it, one boilerplate
+    shingle ("of the and") shared by n docs produces n² candidate rows.
+    Verification still uses the full shingle sets, so reported Jaccard values
+    are exact; the only recall loss is a pair whose EVERY shared shingle is
+    hot (such pairs overlap mostly in boilerplate and are below any useful
+    threshold in practice).  ``None`` disables the cap (the brute-exact
+    verification path)."""
     sh = with_shingles(docs, n=n).select("doc_id", "shingles")
     posting = sh.select(F.col("doc_id"), F.explode("shingles").alias("sh"))
+    if max_shingle_df is not None:
+        hot = (
+            posting.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        posting = posting.join(F.broadcast(hot), "sh", "left_anti")
     cand = (
         posting.alias("a")
         .join(posting.alias("b"), "sh")
@@ -142,8 +161,16 @@ def with_minhash(docs: DataFrame, n: int = 3, k: int = MINHASH_K) -> DataFrame:
 
 def lsh_bands(mh: DataFrame, bands: int = MINHASH_BANDS, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, band, bucket) rows: bucket = md5 of the band's minhash slice
-    (decimal-stringified — engine-portable)."""
+    (decimal-stringified — engine-portable).
+
+    Empty-shingle docs (all-NULL sketch: <n tokens) are filtered out BEFORE
+    banding: concat_ws skips NULLs, so every such doc would hash to the same
+    md5('') bucket in every band — a quadratic candidate self-join among
+    short docs at corpus scale.  Correctness is unaffected (an empty shingle
+    set can never reach any Jaccard threshold; the verify stage dropped those
+    candidates anyway) — this only removes the candidate blowup."""
     r = k // bands
+    mh = mh.filter(F.element_at("minhash", 1).isNotNull())
     return mh.select(
         "doc_id",
         F.posexplode(
@@ -175,6 +202,77 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> Da
         .join(sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh")), "b_id")
     )
     return _pair_jaccard(joined, threshold)
+
+
+# ── near-dup cluster resolution (connected components) ──────────────────────
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: one
+    ``(node_id, cluster_id)`` row per node appearing in any pair, where
+    ``cluster_id`` is the minimum node id in the node's connected component —
+    the canonical representative a corpus build keeps.
+
+    Algorithm: iterative min-label propagation with pointer doubling (the
+    alternating-min-join family — Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014).  Each round does
+    (1) a propagate join — every node offers its current label to each
+    neighbor, min-aggregated (map-side combinable), and
+    (2) a path-halving join — ``label ← label(label)`` — which is what turns
+    O(diameter) rounds into O(log n): a chain of length 2^k collapses in ~k
+    rounds.  Each round is two bounded shuffles on node id; the frame is
+    localCheckpoint'd per round so the plan does not grow with iterations
+    (on a real cluster use a reliable checkpoint dir instead).
+
+    Convergence is detected by counting changed labels (one tiny action per
+    round); web-scale components of near-dup text are shallow (dup clusters,
+    not social graphs), so this terminates in a handful of rounds.
+    """
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges["u"] == labels["id"]).select(
+            F.col("v").alias("id"), "label"
+        )
+        # checkpoint the aggregate BEFORE the path-halving self-join: the
+        # self-join then references one materialized plan (flat lineage, and
+        # it sidesteps Catalyst's attribute-rewrite trouble when local-
+        # checkpointing a self-joined aggregate)
+        new = (
+            labels.select("id", "label")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        # path halving: label ← label's own label (labels are node ids, so
+        # every label resolves; inner join is total)
+        right = new.select(
+            F.col("id").alias("r_id"), F.col("label").alias("r_label")
+        )
+        halved = new.join(right, new["label"] == right["r_id"]).select(
+            "id", F.col("r_label").alias("label")
+        )
+        changed = (
+            halved.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = halved
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("node_id"), F.col("label").alias("cluster_id"))
 
 
 # ── SimHash ──────────────────────────────────────────────────────────────────

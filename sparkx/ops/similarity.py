@@ -88,31 +88,53 @@ def text_topk(docs: DataFrame, query_doc_id: int, k: int = 5) -> DataFrame:
     return scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(k)
 
 
+def probe_masks(nbits: int, probe_hamming: int) -> list[int]:
+    """XOR masks for multi-probe (Lv et al., VLDB 2007): the query's own
+    bucket (mask 0), all Hamming-1 neighbors, and — at ``probe_hamming=2`` —
+    all Hamming-2 neighbors.  Probe count: 1, 1+nbits, 1+nbits+C(nbits,2)."""
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << i for i in range(nbits)]
+    if probe_hamming >= 2:
+        masks += [(1 << i) | (1 << j) for i in range(nbits) for j in range(i + 1, nbits)]
+    if probe_hamming >= 3:
+        raise ValueError("probe_hamming > 2 not supported (probe count explodes)")
+    return masks
+
+
 def topk_lsh(
     emb: DataFrame,
     query_vec_id: int,
     k: int = 10,
     nbits: int = 16,
     multiprobe: bool = True,
+    probe_hamming: int | None = None,
 ) -> DataFrame:
-    """Sign-LSH probe with Hamming-1 multi-probe (Lv et al., VLDB 2007).
+    """Sign-LSH probe with Hamming-distance multi-probe (Lv et al., VLDB 2007).
 
     Vectors are bucketed by the sign pattern of their first ``nbits`` dims
     (2^16 buckets at the default — the r1 4-bit variant left each bucket
     ~1/16 of the corpus, effectively a scan).  The query probes its own
-    bucket plus all ``nbits`` Hamming-1 neighbors — the buckets a
+    bucket plus all Hamming-``probe_hamming`` neighbors — the buckets a
     near-boundary sign flip would land in — via a broadcast join on the
     exploded probe list, so the big side is touched once and partition
     pruning on ``bucket`` applies when the table is written bucket-
-    partitioned."""
+    partitioned (verified in tests/test_ops.py + PLANS.md).
+
+    ``probe_hamming`` is the recall knob: 0 probes 1 bucket, 1 probes
+    1+nbits, 2 probes 1+nbits+C(nbits,2) (recall-vs-probes measured in
+    tests/test_ops.py::test_ann_lsh_probe_recall_monotone).  Defaults to 1
+    when ``multiprobe`` (kept for API compat) else 0."""
+    if probe_hamming is None:
+        probe_hamming = 1 if multiprobe else 0
     b = emb.withColumn("bucket", sign_bucket(nbits=nbits))
     q = b.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q_embedding"), F.col("bucket")
     )
-    if multiprobe:
+    masks = probe_masks(nbits, probe_hamming)
+    if len(masks) > 1:
         probes = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(nbits)],
+            *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
         )
         q = q.select(
             "q_embedding", F.explode(probes).alias("bucket")
@@ -125,3 +147,56 @@ def topk_lsh(
     return scored.filter(F.col("vec_id") != query_vec_id).orderBy(
         F.desc("cosine"), F.asc("vec_id")
     ).limit(k)
+
+
+def knn_join(
+    emb: DataFrame,
+    k: int = 5,
+    nbits: int = 8,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Batch kNN self-join: for EVERY row, its top-k cosine neighbors —
+    the shape semantic dedup and retrieval evaluation need at corpus scale
+    (one query at a time is a driver loop; this is one distributed plan).
+
+    Execution: sign-LSH bucketing on both sides; each query row probes its
+    own bucket plus Hamming-``probe_hamming`` neighbor buckets (probe list
+    exploded on the QUERY side — the data side is touched once, partition
+    pruning on ``bucket`` applies when bucket-partitioned); candidate pairs
+    deduped (a pair can collide in several probe buckets), then per-query
+    top-k via a row_number window partitioned by query id.  The window input
+    is the candidate set (bounded per bucket), never the full cross product.
+
+    Recall note: like every LSH probe, a true neighbor whose bucket differs
+    in > probe_hamming of the first ``nbits`` sign bits is missed; recall is
+    measured against brute force in tests/test_ops.py.  Raise
+    ``probe_hamming`` / lower ``nbits`` for recall, reverse for speed."""
+    from pyspark.sql import Window
+
+    b = emb.select("vec_id", "embedding").withColumn(
+        "bucket", sign_bucket(nbits=nbits)
+    )
+    probes = F.array(
+        *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in probe_masks(nbits, probe_hamming)]
+    )
+    q = b.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.explode(probes).alias("bucket"),
+    )
+    pairs = (
+        q.join(b, "bucket")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(_cosine("q_embedding", "embedding"), 4).alias("cosine"),
+        )
+        .distinct()  # same pair via multiple probe buckets
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )

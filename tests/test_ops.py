@@ -231,6 +231,109 @@ def test_ann_bucket_layout_prunes_partitions(spark, tmp_path):
     assert got == want
 
 
+def test_connected_components_resolves_clusters(spark):
+    """Min-label propagation with path halving: chains collapse to the
+    component minimum in O(log n) rounds; disjoint components stay apart."""
+    from sparkx.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (4, 2)], "a_id long, b_id long"
+    )
+    got = {r.node_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    # a 64-node chain exercises pointer doubling (plain propagation would
+    # need 64 rounds; max_iter=25 only suffices with halving)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a_id long, b_id long"
+    )
+    got2 = {r.node_id: r.cluster_id for r in connected_components(chain).collect()}
+    assert len(got2) == 64 and set(got2.values()) == {0}
+
+
+def test_knn_join_lsh_recall_vs_bruteforce(spark):
+    """Batch kNN self-join: per-row neighbor sets match the numpy brute-force
+    top-k with high recall on clustered vectors, ranks are cosine-descending,
+    and no row exceeds k neighbors."""
+    import numpy as np
+
+    from sparkx.ops.similarity import knn_join
+
+    emb, pdf = _clustered_embeddings(spark)
+    k = 5
+    got = knn_join(emb, k=k, nbits=8, probe_hamming=1).toPandas()
+    assert got.groupby("q_id").size().max() <= k
+    # ranks are 1..n with cosine non-increasing per q_id
+    for _, g in got.sort_values(["q_id", "rank"]).groupby("q_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g.cosine.diff().dropna() <= 1e-12).all()
+
+    M = np.stack(pdf.sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = Mn @ Mn.T
+    np.fill_diagonal(cos, -2)
+    hits = total = 0
+    for q in range(len(M)):
+        order = sorted(
+            ((round(c, 4), i) for i, c in enumerate(cos[q])), key=lambda t: (-t[0], t[1])
+        )[:k]
+        want = {i for _, i in order}
+        found = set(got[got.q_id == q].vec_id)
+        hits += len(want & found)
+        total += k
+    recall = hits / total
+    assert recall >= 0.9, f"kNN-join recall vs brute force: {recall:.2f}"
+
+
+def test_ann_lsh_probe_recall_monotone(spark):
+    """The probe_hamming recall knob: candidate coverage grows monotonically
+    with probe distance (0 → 1 → 2), and Hamming-2 probes the documented
+    1 + nbits + C(nbits,2) buckets."""
+    from sparkx.ops.similarity import probe_masks, topk_lsh
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    nbits = 8
+    counts = {}
+    for h in (0, 1, 2):
+        counts[h] = topk_lsh(
+            emb, query_vec_id=0, k=10**6, nbits=nbits, probe_hamming=h
+        ).count()
+    assert counts[0] <= counts[1] <= counts[2]
+    assert counts[2] > counts[0]  # the knob actually widens coverage here
+    assert len(probe_masks(nbits, 2)) == 1 + nbits + nbits * (nbits - 1) // 2
+
+
+def test_ngram_posting_cap_bounds_hot_shingle(spark):
+    """The posting-list frequency cap: a stop-shingle shared by every doc no
+    longer yields O(n²) candidates; pairs that also share a rare shingle
+    survive with IDENTICAL (exact) Jaccard values."""
+    import pandas as pd
+
+    from sparkx.ops.dedup import ngram_jaccard_pairs
+
+    n = 20
+    rows = []
+    for i in range(n):
+        # every doc shares the hot shingle "the same boilerplate"; doc pairs
+        # (2j, 2j+1) additionally share a rare shingle "rare token <j>"
+        rows.append((i, f"the same boilerplate rare token {i // 2} tail{i}"))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    uncapped = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_shingle_df=None).collect()
+    }
+    capped = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_shingle_df=3).collect()
+    }
+    # uncapped: all n(n-1)/2 pairs are candidates through the hot shingle
+    assert len(uncapped) == n * (n - 1) // 2
+    # capped: only the rare-shingle partners remain — bounded, not quadratic
+    assert set(capped) == {(2 * j, 2 * j + 1) for j in range(n // 2)}
+    for pair, jac in capped.items():
+        assert jac == uncapped[pair]  # verification still exact
+
+
 def test_exact_dedup_groups(spark, docs, docs_pdf):
     from sparkx.ops.dedup import exact_dedup
 
