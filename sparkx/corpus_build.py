@@ -12,14 +12,18 @@ Design for 100 TB:
   the surviving-block frame (``is_canonical``, ``passes_quality``,
   ``sampled``), so the funnel metrics and the final filter come from the
   same cached pass — no per-stage jobs re-reading the input.
-* **Shuffle budget: exactly two.** The dedup canonical pick is one shuffle
-  (window over the 16-byte fingerprint — equivalently a groupBy; the payload
-  shuffled is the block row once).  The metrics rollup is the second (tiny,
-  post-aggregation).  Quality, sampling, and the write are narrow.
+* **Skew-safe shuffles.** The dedup canonical pick is
+  ``groupBy(fp).agg(min(chunk_id))`` (map-side combinable) + an equi-join
+  back (AQE-skew-splittable) — never a window, which cannot be partially
+  aggregated and pins a hot fingerprint's every duplicate in one task.  The
+  metrics rollup is tiny and post-aggregation.  Quality, sampling, and the
+  write are narrow.
 * **Dedup = keep the lexicographically-first chunk_id per normalized
   fingerprint** — deterministic under any partitioning, and chunk_id is
   itself deterministic (sha256 of coordinates), so re-runs pick identical
-  canonicals.
+  canonicals.  ``dedup_mode="minhash"`` additionally resolves MinHash-LSH
+  near-dup pairs to connected-component clusters and keeps one canonical per
+  cluster — fuzzy dedup that actually removes near-dups, not just lists them.
 * **Reproducible subset**: the sample gate is the md5 hash gate from
   sparkx.ops.corpus — same salt+rate selects the same corpus on any engine,
   which is what makes a training-data cut auditable.
@@ -27,10 +31,11 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkx.ops.corpus import _gate, sample_bucket
+from sparkx.ops.dedup import connected_components, minhash_lsh_pairs
 from sparkx.ops.textstats import fingerprint, quality_score, token_count
 from sparkx.pipeline import extract_blocks, surviving
 
@@ -42,16 +47,63 @@ def corpus_flags(
     min_quality: float = 0.3,
     sample_rate: float = 1.0,
     salt: str = "corpus0",
+    dedup_mode: str = "exact",
+    jaccard_threshold: float = 0.5,
+    ngram_n: int = 3,
 ) -> DataFrame:
-    """Annotate surviving text blocks with the funnel stage flags."""
+    """Annotate surviving text blocks with the funnel stage flags.
+
+    ``dedup_mode``:
+
+    * ``"exact"`` — ``is_canonical`` = lowest chunk_id per normalized
+      fingerprint.  The pick is ``groupBy(fp).agg(min(chunk_id))`` + an
+      equi-join back, NOT a row_number window: the groupBy partially
+      aggregates map-side and the join is AQE-skew-splittable, so one
+      boilerplate string duplicated 10^8 times costs a combiner, not a
+      single 10^8-row window task (windows cannot be partially aggregated
+      and AQE does not split skewed window partitions).
+    * ``"minhash"`` — exact pass first, then MinHash-LSH near-dup pairs over
+      the exact canonicals are resolved to CLUSTERS (connected components,
+      sparkx.ops.dedup.connected_components); ``is_canonical`` keeps only the
+      min-chunk_id member of each near-dup cluster.  This is what actually
+      removes fuzzy duplicates from a training corpus — pairs alone cannot.
+      The cluster-loser set is a near-dup-only frame (tiny relative to the
+      corpus), joined back as a null-flagging left join (AQE picks
+      broadcast-hash when the frame is actually tiny).
+    """
     text_blocks = surviving(blocks).filter(F.col("chunk_type") == "text")
     fp = fingerprint("structured_text")  # ONE normalization definition
-    w = Window.partitionBy("fp").orderBy("chunk_id")
     n = token_count("structured_text")
+    flagged = text_blocks.withColumn("fp", fp)
+    canon = flagged.groupBy("fp").agg(F.min("chunk_id").alias("_canon_chunk_id"))
+    flagged = flagged.join(canon, "fp").withColumn(
+        "is_canonical", F.col("chunk_id") == F.col("_canon_chunk_id")
+    ).drop("_canon_chunk_id")
+    if dedup_mode == "minhash":
+        reps = flagged.filter("is_canonical").select(
+            F.col("chunk_id").alias("doc_id"),
+            F.col("structured_text").alias("text"),
+        )
+        pairs = minhash_lsh_pairs(reps, n=ngram_n, threshold=jaccard_threshold)
+        clusters = connected_components(pairs)
+        losers = clusters.filter(F.col("node_id") != F.col("cluster_id")).select(
+            F.col("node_id").alias("chunk_id"), F.lit(True).alias("_near_dup_loser")
+        )
+        # no broadcast hint: near-dup losers are usually small, but a crawl
+        # can be ~30% near-dup — let AQE pick broadcast-hash when the frame
+        # is actually tiny and fall back to a shuffled join when it is not
+        flagged = (
+            flagged.join(losers, "chunk_id", "left")
+            .withColumn(
+                "is_canonical",
+                F.col("is_canonical") & F.col("_near_dup_loser").isNull(),
+            )
+            .drop("_near_dup_loser")
+        )
+    elif dedup_mode != "exact":
+        raise ValueError(f"unknown dedup_mode {dedup_mode!r}")
     return (
-        text_blocks.withColumn("fp", fp)
-        .withColumn("is_canonical", F.row_number().over(w) == 1)
-        .withColumn(
+        flagged.withColumn(
             "passes_quality",
             (n >= min_tokens)
             & (n <= max_tokens)
@@ -75,6 +127,8 @@ def build_corpus(
     sample_rate: float = 1.0,
     salt: str = "corpus0",
     run_id: str | None = None,
+    dedup_mode: str = "exact",
+    jaccard_threshold: float = 0.5,
 ) -> dict:
     """Run the funnel, write the corpus + metrics, return the funnel counts.
 
@@ -96,6 +150,8 @@ def build_corpus(
         min_quality=min_quality,
         sample_rate=sample_rate,
         salt=salt,
+        dedup_mode=dedup_mode,
+        jaccard_threshold=jaccard_threshold,
     ).persist()
     try:
         rollup = (

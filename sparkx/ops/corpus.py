@@ -23,10 +23,10 @@ Scale notes:
 * ``time_bucket_rollup`` — date_trunc + groupBy: one shuffle on (bucket,
   key), map-side partial aggregation; value sums in integer micro-units so
   results are partitioning-independent (engine-parity rule).
-* ``token_quantiles_by`` — exact interpolated percentiles per group via the
-  built-in ``percentile`` aggregate (one shuffle).  At 100 TB swap in
-  ``approx_percentile`` (t-digest sketch, mergeable) — same call shape; the
-  exact form is kept here because it is cross-engine verifiable.
+* ``token_quantiles_by`` — DEFAULT is ``approx_percentile`` (mergeable
+  quantile sketch, map-side combinable — the 100 TB shape); ``exact=True``
+  keeps the interpolated ``percentile`` aggregate for the cross-engine
+  oracle gate.
 """
 
 from __future__ import annotations
@@ -105,13 +105,32 @@ def time_bucket_rollup(events: DataFrame, bucket_seconds: int = 3600,
 
 
 def token_quantiles_by(docs: DataFrame, by: str = "lang",
-                       qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> DataFrame:
-    """Exact interpolated token-count percentiles per group (the corpus
-    length-distribution report).  Swap percentile → approx_percentile for
-    the sketch-based scale path; identical output schema."""
+                       qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                       exact: bool = False,
+                       accuracy: int = 10_000) -> DataFrame:
+    """Token-count percentiles per group (the corpus length-distribution
+    report).  Identical output schema in both modes.
+
+    The DEFAULT is ``approx_percentile`` — a mergeable quantile sketch
+    (Greenwald–Khanna style) that partially aggregates map-side, so the
+    shuffle carries one bounded sketch per (partition, group) instead of
+    every row: the only shape that survives a 100 TB group.  Rank error is
+    ≤ 1/``accuracy``, tolerance-tested in tests/test_ops.py.
+
+    ``exact=True`` uses the interpolated ``percentile`` aggregate — a full
+    per-group sort, kept for the cross-engine oracle gate (DuckDB
+    ``quantile_cont``) and small-data reports."""
     n = token_count().alias("n_tokens")
     d = docs.select(F.col(by).alias("grp"), n)
-    cols = [
-        F.percentile("n_tokens", F.lit(q)).alias(f"p{int(q * 100)}") for q in qs
-    ]
+    if exact:
+        cols = [
+            F.percentile("n_tokens", F.lit(q)).alias(f"p{int(q * 100)}") for q in qs
+        ]
+    else:
+        cols = [
+            F.approx_percentile("n_tokens", F.lit(q), F.lit(accuracy))
+            .cast("double")
+            .alias(f"p{int(q * 100)}")
+            for q in qs
+        ]
     return d.groupBy("grp").agg(F.count("*").alias("n_docs"), *cols)

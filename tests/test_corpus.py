@@ -101,25 +101,16 @@ def test_time_bucket_rollup_conserves_totals(spark):
 
 
 def test_token_quantiles_sketch_path_close_to_exact(spark, docs):
-    """The documented 100-TB swap (percentile → approx_percentile t-digest)
-    must stay within sketch tolerance of the exact path — same call shape,
-    mergeable partial aggregates."""
-    from pyspark.sql import functions as F
-
+    """The DEFAULT path is now the mergeable approx_percentile sketch (the
+    100-TB shape); it must stay within sketch tolerance of the exact path
+    (exact=True, kept for the oracle gate)."""
     from sparkx.ops.corpus import token_quantiles_by
-    from sparkx.ops.textstats import token_count
 
-    exact = {r.grp: (r.p50, r.p90) for r in token_quantiles_by(docs).collect()}
-    d = docs.select(F.col("lang").alias("grp"), token_count().alias("n"))
-    approx = {
+    exact = {
         r.grp: (r.p50, r.p90)
-        for r in d.groupBy("grp")
-        .agg(
-            F.approx_percentile("n", F.lit(0.5), F.lit(10000)).alias("p50"),
-            F.approx_percentile("n", F.lit(0.9), F.lit(10000)).alias("p90"),
-        )
-        .collect()
+        for r in token_quantiles_by(docs, exact=True).collect()
     }
+    approx = {r.grp: (r.p50, r.p90) for r in token_quantiles_by(docs).collect()}
     for grp, (p50, p90) in exact.items():
         a50, a90 = approx[grp]
         assert abs(a50 - p50) <= max(2.0, 0.05 * p50), (grp, a50, p50)
@@ -180,7 +171,7 @@ def test_token_quantiles_match_numpy(spark, docs, docs_pdf):
     from sparkx.ops.corpus import token_quantiles_by
 
     got = {r.grp: (r.n_docs, r.p50, r.p90, r.p99)
-           for r in token_quantiles_by(docs, by="lang").collect()}
+           for r in token_quantiles_by(docs, by="lang", exact=True).collect()}
     for lang, grp in docs_pdf.groupby("lang"):
         toks = grp.text.map(lambda t: len(re.split(r"\s+", t.strip()))).to_numpy()
         n, p50, p90, p99 = got[lang]

@@ -72,6 +72,44 @@ def test_corpus_build_empty_funnel(spark, tmp_path):
     }
 
 
+def test_corpus_build_minhash_mode_removes_near_dups(spark, tmp_path, transcripts_pdf):
+    """dedup_mode='minhash': near-duplicate blocks (one word changed — exact
+    fingerprints differ, so the exact pass keeps BOTH) are resolved to
+    clusters and only the min-chunk_id member stays canonical."""
+    near = transcripts_pdf.head(8).copy()
+    near["conv_id"] = near["conv_id"] + "_near"
+    near["text"] = near["text"] + " trailing variation"
+    pdf = pd.concat([transcripts_pdf, near], ignore_index=True)
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPTS)
+
+    exact = build_corpus(
+        spark, df, str(tmp_path / "exact"), min_tokens=5, min_quality=0.0,
+    )
+    fuzzy = build_corpus(
+        spark, df, str(tmp_path / "fuzzy"), min_tokens=5, min_quality=0.0,
+        dedup_mode="minhash", jaccard_threshold=0.5,
+    )
+    assert fuzzy["blocks_in"] == exact["blocks_in"]
+    # the near-dups survive exact dedup but not the cluster pass
+    assert fuzzy["after_dedup"] < exact["after_dedup"]
+    # funnel stays monotone and the written corpus equals the tail
+    assert (
+        fuzzy["blocks_in"] >= fuzzy["after_dedup"]
+        >= fuzzy["after_quality"] >= fuzzy["after_sample"] > 0
+    )
+    written = spark.read.parquet(f"{tmp_path}/fuzzy/corpus").toPandas()
+    assert len(written) == fuzzy["after_sample"]
+    # no surviving pair is a near-dup at the build threshold
+    from sparkx.ops.dedup import ngram_jaccard_pairs
+
+    surv = spark.createDataFrame(
+        written[["chunk_id", "structured_text"]].rename(
+            columns={"chunk_id": "doc_id", "structured_text": "text"}
+        )
+    )
+    assert ngram_jaccard_pairs(surv, n=3, threshold=0.5).count() == 0
+
+
 def test_corpus_build_is_reproducible(spark, tmp_path, transcripts_pdf):
     df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS)
     a = build_corpus(spark, df, str(tmp_path / "a"), sample_rate=0.5, salt="s")
