@@ -85,10 +85,20 @@ def run_resumable(
     # n_groups (pmod(xxhash64(conv_id), n_groups)), so resuming a ledger
     # written under different n_groups would silently drop/duplicate
     # conversations; a mode/validate change would mix incompatible outputs.
-    params = {"n_groups": n_groups, "mode": mode, "validate": validate}
+    params = {
+        "n_groups": n_groups,
+        "mode": mode,
+        "validate": validate,
+        # n_buckets shapes committed output too (conv_bucket values/partition
+        # layout): resuming under a different n_buckets would silently mix
+        # bucket layouts across committed and newly-run groups.
+        "n_buckets": n_buckets,
+    }
     for g, m in done.items():
+        # compare only keys the manifest recorded (older ledgers predate
+        # n_buckets) — a missing key is not drift, a differing one is
         prev = {k: m[k] for k in params if k in m}
-        if prev and prev != params:
+        if prev and prev != {k: params[k] for k in prev}:
             raise ValueError(
                 f"ledger group {g} was committed with {prev}, but this run "
                 f"uses {params}; resume with the original parameters or use "
@@ -127,6 +137,7 @@ def run_resumable(
                 "n_groups": n_groups,
                 "mode": mode,
                 "validate": validate,
+                "n_buckets": n_buckets,
                 "status_counts": status_counts,
                 "n_surviving": sum(
                     v for k, v in status_counts.items() if k in ("accepted", "corrected")

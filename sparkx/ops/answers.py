@@ -98,6 +98,40 @@ def checkpoint_b(results: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def query_stats(results: DataFrame, id_col: str = "query_id") -> DataFrame:
+    """A5: the LangGraph stats record, composed exactly as the reference's
+    graph nodes fill it (``src/core/langgraph_pipeline.py``):
+
+    * ``retrieved_count`` = len(hits)                 (:545, _retrieve)
+    * ``answer_length``   = len(raw answer)           (:569, _generate)
+    * ``is_grounded``     = validation verdict        (:605, _validate)
+    * ``hallucination_count`` = len(hallucinations)   (:606, _validate)
+    * ``was_revised``     — set True ONLY in the revise node (:295), which is
+      reached iff ``needs_revision = not is_grounded and revised_answer is
+      not None`` (:604); otherwise the ``stats.get('was_revised', False)``
+      default applies (:351,723).  Hence the column form:
+      ``(NOT is_grounded) AND revised_answer IS NOT NULL``.
+
+    Input columns: ``id_col``, retrieved_count int, answer string,
+    is_grounded boolean, hallucinations array<string>, revised_answer string
+    (the Checkpoint-B outputs — compose with :func:`checkpoint_b`).
+    """
+    return results.select(
+        F.col(id_col),
+        F.col("retrieved_count").cast("long").alias("retrieved_count"),
+        F.length(F.coalesce(F.col("answer"), F.lit(""))).cast("long").alias(
+            "answer_length"
+        ),
+        F.col("is_grounded"),
+        F.coalesce(F.size("hallucinations"), F.lit(0)).cast("long").alias(
+            "hallucination_count"
+        ),
+        (~F.col("is_grounded") & F.col("revised_answer").isNotNull()).alias(
+            "was_revised"
+        ),
+    )
+
+
 def enumerate_context(ranked_hits: DataFrame) -> DataFrame:
     """W3+U6: per-hit numbered context parts (orchestrator.py:232-240).
 

@@ -98,7 +98,7 @@ def _native_simple_blocks(df: DataFrame, mode: str, validate: bool,
     else:  # agentic: text defaults + lowconf retry hook (extraction.py:125, base.py:42)
         lowconf = F.contains(raw, F.lit("[[LOWCONF]]"))
         conf = F.when(~alive, F.lit(0.0)).when(lowconf, F.lit(0.4)).otherwise(F.lit(0.7))
-        notes = F.when(alive, F.lit("")).otherwise(F.lit(""))
+        notes = F.lit("")
         retried = alive & (conf < 0.5)
 
     null_b = F.lit(None).cast("boolean")
@@ -129,7 +129,7 @@ def _native_simple_blocks(df: DataFrame, mode: str, validate: bool,
         cols.append(raw.alias("raw_content"))
     cols += [
         structured.alias("structured_text"),
-        F.when(alive, F.lit("")).otherwise(F.lit("")).alias("intuition_summary"),
+        F.lit("").alias("intuition_summary"),
         F.array().cast("array<string>").alias("key_concepts"),
         conf.cast("double").alias("confidence"),
         F.when(alive, notes).otherwise(F.lit("")).alias("agent_notes"),

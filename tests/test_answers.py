@@ -161,3 +161,35 @@ def test_prompt_build_matches_reference(spark):
     assert RETRY_SUFFIX == (
         "\n[RETRY] Low confidence. Be conservative; flag unknowns explicitly."
     )
+
+
+def test_query_stats_reference_semantics(spark):
+    """A5 (langgraph_pipeline.py:545,569,605-606,295,723): answer_length =
+    len(answer), hallucination_count = len(list), was_revised fires ONLY via
+    the revise node — (NOT is_grounded) AND revised_answer IS NOT NULL —
+    else the stats.get('was_revised', False) default."""
+    from sparkx.ops.answers import query_stats
+
+    rows = [
+        # grounded, halls listed anyway, revision present → NOT revised
+        (1, 4, "hello", True, ["x"], "rev"),
+        # ungrounded + revision → revised (the revise-node path)
+        (2, 2, None, False, None, "rev"),
+        # ungrounded, no revision → warning-prefix path, was_revised False
+        (3, 0, "answer text", False, ["a", "b"], None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, retrieved_count int, answer string, is_grounded boolean,"
+        " hallucinations array<string>, revised_answer string",
+    )
+    got = {
+        r.query_id: (
+            r.retrieved_count, r.answer_length, r.is_grounded,
+            r.hallucination_count, r.was_revised,
+        )
+        for r in query_stats(df).collect()
+    }
+    assert got[1] == (4, 5, True, 1, False)
+    assert got[2] == (2, 0, False, 0, True)
+    assert got[3] == (0, 11, False, 2, False)

@@ -77,6 +77,8 @@ def test_resume_rejects_parameter_drift(spark, tmp_path):
         dict(n_groups=8),
         dict(n_groups=4, mode="agentic"),
         dict(n_groups=4, validate=False),
+        # ADVICE r2: n_buckets shapes committed output (conv_bucket layout)
+        dict(n_groups=4, n_buckets=64),
     ):
         with pytest.raises(ValueError, match="committed with"):
             run_resumable(spark, df, out, **bad)
