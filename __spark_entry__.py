@@ -200,6 +200,27 @@ def _q_ann_text_topk(spark, sf_dir):
     return S.text_topk(_docs(spark, sf_dir), query_doc_id=9, k=5)
 
 
+def _q_ann_knn_join(spark, sf_dir):
+    """Batch kNN self-join: per-row top-3 neighbors via sign-LSH bucketing +
+    Hamming-1 multiprobe + per-query window top-k (the corpus-scale shape —
+    one distributed plan, not a per-query driver loop).  The oracle mirrors
+    the LSH probe exactly; recall vs brute force is measured in
+    tests/test_ops.py."""
+    return S.knn_join(_emb(spark, sf_dir), k=3, nbits=8, probe_hamming=1)
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER resolution: MinHash-LSH pairs → connected components
+    (iterative min-label propagation with path halving), one
+    (doc_id, cluster_id) row per doc in any near-dup pair.  cluster_id = min
+    doc_id of the component — the canonical a corpus build keeps.  Oracle:
+    recursive CTE transitive closure over the same pairs."""
+    pairs = D.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.05)
+    return D.connected_components(pairs).select(
+        F.col("node_id").alias("doc_id"), "cluster_id"
+    )
+
+
 # ───────────────────── reference joins / scalar ops ────────────────────────
 
 
@@ -541,10 +562,12 @@ def _q_tb_rollup(spark, sf_dir):
 
 
 def _q_quantiles_by_lang(spark, sf_dir):
-    """Exact token-length quantiles per language (corpus length report)."""
+    """Exact token-length quantiles per language (corpus length report).
+    exact=True is the oracle-gate mode; the engine DEFAULT is the mergeable
+    approx_percentile sketch (benched separately as quantiles_sketch)."""
     from sparkx.ops import corpus as C
 
-    out = C.token_quantiles_by(_docs(spark, sf_dir), by="lang")
+    out = C.token_quantiles_by(_docs(spark, sf_dir), by="lang", exact=True)
     return out.select(
         "grp", "n_docs",
         F.round("p50", 4).alias("p50"),
@@ -578,6 +601,77 @@ def _q_corpus_funnel(spark, sf_dir):
     )
 
 
+def _q_corpus_funnel_fuzzy(spark, sf_dir):
+    """The corpus funnel with dedup_mode='minhash': near-dup PAIRS over the
+    exact canonicals are resolved to clusters and only one member per
+    cluster stays canonical — fuzzy dedup that actually shrinks the corpus.
+    Oracle: the same funnel with a recursive-CTE connected-components pass."""
+    from sparkx.corpus_build import corpus_flags
+
+    flagged = corpus_flags(
+        _blocks(spark, sf_dir, "fastpath"),
+        min_tokens=5, max_tokens=5000, min_quality=0.0, sample_rate=0.5,
+        salt="corpus0", dedup_mode="minhash", jaccard_threshold=0.05,
+    )
+    return flagged.agg(
+        F.count("*").alias("blocks_in"),
+        F.sum(F.col("is_canonical").cast("long")).alias("after_dedup"),
+        F.sum((F.col("is_canonical") & F.col("passes_quality")).cast("long")).alias(
+            "after_quality"
+        ),
+        F.sum(
+            (F.col("is_canonical") & F.col("passes_quality") & F.col("sampled")).cast(
+                "long"
+            )
+        ).alias("after_sample"),
+    )
+
+
+def _q_a5_query_stats(spark, sf_dir):
+    """A5: the LangGraph stats record (langgraph_pipeline.py:545,569,605-606,
+    295,723) COMPOSED from the engine's own pieces: retrieved_count from the
+    U6 context build (n_hits of the J2-merged hit set), the validation fields
+    from the U5 Checkpoint-B skeleton, was_revised from the revise-node rule
+    ((NOT is_grounded) AND revised IS NOT NULL)."""
+    from sparkx.ops.answers import (
+        assemble_context,
+        checkpoint_b,
+        enumerate_context,
+        query_stats,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    raw = d.select(
+        "doc_id",
+        F.when(doc_id % 5 == 0, F.lit("null"))
+        .when(doc_id % 5 == 1, F.lit("NULL"))
+        .when(doc_id % 5 == 2, F.lit(""))
+        .when(doc_id % 5 == 3, F.lit(None).cast("string"))
+        .otherwise(F.substring("text", 1, 50))
+        .alias("revised_answer_raw"),
+        F.lit("0.8").alias("verdict_score_raw"),
+        (doc_id % 2 == 0).alias("is_grounded_raw"),
+        F.lit(None).cast("string").alias("validator_notes_raw"),
+        (doc_id % 7 == 0).alias("had_error"),
+        F.lit("model exploded").alias("error_msg"),
+    )
+    validated = checkpoint_b(raw)
+    answers = d.select(
+        "doc_id",
+        F.substring("text", 1, 120).alias("answer"),
+        F.when(doc_id % 3 == 1, F.array(F.lit("claim a"), F.lit("claim b")))
+        .when(doc_id % 3 == 2, F.array(F.lit("claim a")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("hallucinations"),
+    )
+    n_hits = assemble_context(
+        enumerate_context(_ranked_hits(spark, sf_dir))
+    ).select(F.col("n_hits").cast("int").alias("retrieved_count"))
+    composed = validated.join(answers, "doc_id").crossJoin(F.broadcast(n_hits))
+    return query_stats(composed, id_col="doc_id")
+
+
 def _q_stream_extract(spark, sf_dir):
     """The Structured-Streaming ingest path, driver-verified: the derived
     transcripts are written to a temp dir, streamed through the SAME
@@ -595,13 +689,24 @@ def _q_stream_extract(spark, sf_dir):
     # checkpoint (no new batches) and re-read the committed output.  The
     # revision key prevents cross-round staleness: without it, a checkpoint
     # committed by an older engine would keep serving old output after the
-    # extraction semantics change.
+    # extraction semantics change.  Working-tree state is folded in too
+    # (`git status --porcelain` + the diff vs HEAD): uncommitted kernel edits
+    # must NOT resume from a checkpoint committed by the unedited code — the
+    # guard would keep serving stale batch output until the change lands.
+    repo = _os.path.dirname(_os.path.abspath(__file__))
     try:
         rev = _sp.check_output(
-            ["git", "-C", _os.path.dirname(_os.path.abspath(__file__)),
-             "rev-parse", "--short", "HEAD"],
+            ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
             text=True, stderr=_sp.DEVNULL,
         ).strip()
+        dirty = _sp.check_output(
+            ["git", "-C", repo, "status", "--porcelain"],
+            text=True, stderr=_sp.DEVNULL,
+        ) + _sp.check_output(
+            ["git", "-C", repo, "diff", "HEAD"], text=True, stderr=_sp.DEVNULL
+        )
+        if dirty:
+            rev += "+" + _hl.md5(dirty.encode()).hexdigest()[:8]
     except Exception:
         rev = "dev"
     key = _hl.md5(f"{sf_dir}|{rev}".encode()).hexdigest()[:12]
@@ -670,10 +775,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         # similarity search
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_text_topk": _q_ann_text_topk,
+        "ann_knn_join": _q_ann_knn_join,
         # joins / window / scalar ops (J2, J3, W2, P6)
         "w2_topk_per_group": _q_w2_topk_per_group,
         "j2_dedup_merge": _q_j2_dedup_merge,
@@ -689,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u6_retrieval_context": _q_u6_retrieval_context,
         "u6_context_assembled": _q_u6_context_assembled,
         "p11_prompt_build": _q_p11_prompt_build,
+        "a5_query_stats": _q_a5_query_stats,
         # text scrub / repetition (r2)
         "ta_scrub": _q_ta_scrub,
         "ta_repetition": _q_ta_repetition,
@@ -699,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tb_rollup": _q_tb_rollup,
         "quantiles_by_lang": _q_quantiles_by_lang,
         "corpus_funnel": _q_corpus_funnel,
+        "corpus_funnel_fuzzy": _q_corpus_funnel_fuzzy,
         "stream_extract": _q_stream_extract,
         # temporal/event operators
         "sessionize": _q_sessionize,
@@ -863,42 +972,67 @@ FROM cand WHERE {ham} <= 3
 """
 
 
-def _minhash_oracle_sql(threshold: float = 0.05) -> str:
-    """MinHash(16)/4-band LSH in DuckDB, mirrored from with_minhash/lsh_bands."""
-    return f"""
-WITH sh AS (
-  SELECT doc_id, list_distinct(
-    CASE WHEN len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) < 3 THEN []
-    ELSE list_transform(range(1, len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) - 1),
-      i -> regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')[i] || ' ' ||
-           regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')[i+1] || ' ' ||
-           regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')[i+2]) END) AS shingles
-  FROM documents
-), mh AS (
+def _minhash_pairs_ctes(threshold: float, src: str = "documents",
+                        id_col: str = "doc_id", text_col: str = "text") -> str:
+    """CTE chain (no leading WITH) ending in ``mh_pairs`` — MinHash(16)/
+    4-band LSH near-dup pairs in DuckDB, mirrored from with_minhash/lsh_bands.
+    Parametrized so it composes over any (id, text) source (documents, the
+    blocks CTE, funnel canonicals)."""
+    split = f"regexp_split_to_array(lower(trim({text_col})), '[ \\t\\n\\x0b\\f\\r]+')"
+    return f"""mh_sh AS (
+  SELECT {id_col} AS mh_id, list_distinct(
+    CASE WHEN len({split}) < 3 THEN []
+    ELSE list_transform(range(1, len({split}) - 1),
+      i -> {split}[i] || ' ' || {split}[i+1] || ' ' || {split}[i+2]) END) AS shingles
+  FROM {src}
+), mh_mh AS (
   -- double hashing (Kirsch–Mitzenmacher): ONE md5 per shingle, k-th hash =
   -- h1 + k*h2 over the two 32-bit hex halves (mirrors with_minhash)
-  SELECT doc_id, shingles,
+  SELECT mh_id, shingles,
     list_transform(range(0, 16), k ->
       list_min(list_transform(shingles, s ->
         ('0x' || substr(md5(s), 1, 8))::BIGINT
         + k * ('0x' || substr(md5(s), 9, 8))::BIGINT))) AS minhash
-  FROM sh
-), bands AS (
-  SELECT doc_id, b AS band,
+  FROM mh_sh
+), mh_bands AS (
+  SELECT mh_id, b AS band,
     md5(array_to_string(list_transform(minhash[b*4+1:b*4+4],
         x -> CAST(x AS VARCHAR)), ',')) AS bucket
-  FROM mh, unnest([0,1,2,3]) AS t(b)
-), cand AS (
-  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-), verified AS (
+  FROM mh_mh, unnest([0,1,2,3]) AS t(b)
+), mh_cand AS (
+  SELECT DISTINCT a.mh_id AS a_id, b.mh_id AS b_id
+  FROM mh_bands a JOIN mh_bands b ON a.band = b.band AND a.bucket = b.bucket AND a.mh_id < b.mh_id
+), mh_verified AS (
   SELECT c.a_id, c.b_id,
     round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
       greatest(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)), 1), 4) AS jaccard
-  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id JOIN sh sb ON sb.doc_id = c.b_id
-)
-SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= {threshold}
-"""
+  FROM mh_cand c JOIN mh_sh sa ON sa.mh_id = c.a_id JOIN mh_sh sb ON sb.mh_id = c.b_id
+), mh_pairs AS (
+  SELECT a_id, b_id, jaccard FROM mh_verified WHERE jaccard >= {threshold}
+)"""
+
+
+# recursive-CTE transitive closure over mh_pairs → (cc_id, cc_cluster).
+# UNION (not UNION ALL) deduplicates reach rows, so the recursion terminates
+# once the closure is complete — mirrors sparkx.ops.dedup.connected_components
+# (min reachable id per node, edges both directions).
+_CC_CTES = """cc_edges AS (
+  SELECT a_id AS u, b_id AS v FROM mh_pairs
+  UNION SELECT b_id, a_id FROM mh_pairs
+), cc_reach AS (
+  SELECT u, v FROM cc_edges
+  UNION
+  SELECT r.u, e.v FROM cc_reach r JOIN cc_edges e ON r.v = e.u
+), cc AS (
+  SELECT u AS cc_id, least(min(v), u) AS cc_cluster FROM cc_reach GROUP BY u
+)"""
+
+
+def _minhash_oracle_sql(threshold: float = 0.05) -> str:
+    return (
+        "WITH " + _minhash_pairs_ctes(threshold)
+        + "\nSELECT a_id, b_id, jaccard FROM mh_pairs"
+    )
 
 
 from sparkx.ops.textstats import EMAIL_RE as _EMAIL_RE
@@ -1050,6 +1184,10 @@ FROM cand c JOIN sh sa ON sa.doc_id = c.a_id JOIN sh sb ON sb.doc_id = c.b_id
 WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
     greatest(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)), 1), 4) >= 0.12""",
         "dedup_minhash_lsh": _minhash_oracle_sql(0.05),
+        "dedup_clusters": (
+            "WITH RECURSIVE " + _minhash_pairs_ctes(0.05) + ",\n" + _CC_CTES
+            + "\nSELECT cc_id AS doc_id, cc_cluster AS cluster_id FROM cc"
+        ),
         "dedup_simhash": _simhash_oracle_sql(),
         "dedup_embedding": f"""
             SELECT a.vec_id AS a_id, q.vec_id AS b_id, {_COS} AS cosine
@@ -1081,6 +1219,25 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
             FROM b a JOIN probes q ON a.bucket = q.bucket
             WHERE a.vec_id != 0
             ORDER BY cosine DESC, a.vec_id ASC LIMIT 10""",
+        "ann_knn_join": f"""
+            WITH b AS (
+              SELECT vec_id, embedding, {_emb_bucket_sql(1, 8)} AS bucket FROM embeddings),
+            probes AS (
+              SELECT vec_id AS q_id, embedding AS q_embedding,
+                unnest([bucket, {", ".join(f"xor(bucket, {1 << i})" for i in range(8))}]) AS bucket
+              FROM b),
+            pairs AS (
+              SELECT DISTINCT q.q_id, a.vec_id,
+                round(list_dot_product(q.q_embedding::DOUBLE[], a.embedding::DOUBLE[]) /
+                  sqrt(list_dot_product(q.q_embedding::DOUBLE[], q.q_embedding::DOUBLE[]) *
+                       list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])), 4) AS cosine
+              FROM probes q JOIN b a ON q.bucket = a.bucket
+              WHERE q.q_id != a.vec_id),
+            ranked AS (
+              SELECT q_id, vec_id, cosine,
+                row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM pairs)
+            SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3""",
         "ann_text_topk": """
             WITH toks AS (
               SELECT doc_id AS id,
@@ -1312,6 +1469,63 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
               CAST(sum(CASE WHEN is_canonical AND passes_quality THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
               CAST(sum(CASE WHEN is_canonical AND passes_quality AND sampled THEN 1 ELSE 0 END) AS BIGINT) AS after_sample
             FROM flags""",
+        "corpus_funnel_fuzzy": (
+            _BLOCKS_CTE.replace("WITH transcripts", "WITH RECURSIVE transcripts", 1)
+            + f"""
+            , tb AS (
+              SELECT st_fast AS text, chunk_id FROM blocks
+              WHERE status = 'accepted' AND chunk_type = 'text'
+            ), fps AS (
+              SELECT chunk_id, text,
+                md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp
+              FROM tb
+            ), fcanon AS (
+              SELECT fp, min(chunk_id) AS canon_id FROM fps GROUP BY fp
+            ), reps AS (
+              SELECT f.chunk_id AS rep_id, f.text AS rep_text
+              FROM fps f JOIN fcanon c ON f.fp = c.fp AND f.chunk_id = c.canon_id
+            ), {_minhash_pairs_ctes(0.05, src="reps", id_col="rep_id", text_col="rep_text")},
+            {_CC_CTES},
+            losers AS (SELECT cc_id FROM cc WHERE cc_id != cc_cluster),
+            flags AS (
+              SELECT f.chunk_id,
+                (f.chunk_id = c.canon_id
+                 AND f.chunk_id NOT IN (SELECT cc_id FROM losers)) AS is_canonical,
+                ({_TA_TOKENS} >= 5 AND {_TA_TOKENS} <= 5000
+                 AND {_TA_QUALITY} >= 0.0) AS passes_quality,
+                ('0x' || substr(md5('corpus0|' || f.chunk_id), 1, 8))::BIGINT % 10000
+                  < 5000 AS sampled
+              FROM fps f JOIN fcanon c ON f.fp = c.fp)
+            SELECT count(*) AS blocks_in,
+              CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS after_dedup,
+              CAST(sum(CASE WHEN is_canonical AND passes_quality THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
+              CAST(sum(CASE WHEN is_canonical AND passes_quality AND sampled THEN 1 ELSE 0 END) AS BIGINT) AS after_sample
+            FROM flags"""
+        ),
+        "a5_query_stats": _RANKED_HITS_CTE + """
+            , nh AS (SELECT count(*) AS retrieved_count FROM meta),
+            raw AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'null' WHEN 1 THEN 'NULL'
+                  WHEN 2 THEN '' WHEN 3 THEN NULL ELSE substr(text, 1, 50) END AS rra,
+                doc_id % 7 = 0 AS had_error,
+                substr(text, 1, 120) AS answer,
+                CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS hcount
+              FROM documents),
+            cb AS (
+              SELECT doc_id, answer, hcount,
+                CASE WHEN had_error THEN TRUE ELSE doc_id % 2 = 0 END AS is_grounded,
+                CASE WHEN had_error THEN NULL
+                     WHEN rra IS NOT NULL AND rra != '' AND lower(rra) != 'null' THEN rra
+                     ELSE NULL END AS revised_answer
+              FROM raw)
+            SELECT doc_id,
+              CAST(nh.retrieved_count AS BIGINT) AS retrieved_count,
+              CAST(length(coalesce(answer, '')) AS BIGINT) AS answer_length,
+              is_grounded,
+              CAST(hcount AS BIGINT) AS hallucination_count,
+              ((NOT is_grounded) AND revised_answer IS NOT NULL) AS was_revised
+            FROM cb, nh""",
         "stream_extract": _BLOCKS_CTE + """
             SELECT conv_id, turn_idx, chunk_type, block_idx,
                    st_fast AS structured_text, conf_fast AS confidence, status

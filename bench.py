@@ -105,9 +105,24 @@ def main() -> int:
         "cur_sample", "cur_filter", "tb_rollup", "quantiles_by_lang",
         "ta_scrub", "ta_repetition",
         "s7_answer_trunc", "u5_answer_validation", "p11_prompt_build",
+        # r3 additions: cluster resolution, batch kNN join, A5 stats
+        "dedup_clusters", "ann_knn_join", "a5_query_stats",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))
+
+    # the scale-default quantile path (mergeable approx_percentile sketch) —
+    # quantiles_by_lang above times the exact oracle-gate mode
+    from sparkx.ops.corpus import token_quantiles_by
+
+    timed(
+        "quantiles_sketch",
+        lambda: _count(
+            token_quantiles_by(
+                spark.read.parquet(f"{SF_DIR}/documents.parquet"), by="lang"
+            )
+        ),
+    )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -87,10 +87,21 @@ def main() -> int:
         (
             "Corpus-build funnel (extract → dedup → quality → sample, one DAG)",
             fmt(E.queries()["corpus_funnel"](spark, sf)),
-            "What to check: the whole funnel is ONE plan — extraction branches feed\n"
-            "the fingerprint window (the dedup shuffle, the plan's only wide exchange\n"
-            "besides the final 1-row aggregate); quality and sampling are codegen'd\n"
-            "predicates layered as flags, never separate jobs.",
+            "What to check (r3 shape): the canonical pick is\n"
+            "HashAggregate(partial min)→Exchange→HashAggregate + an equi-join back —\n"
+            "NOT a Window.  A window cannot partially aggregate and AQE does not\n"
+            "split skewed window partitions, so one 10^8-duplicate fingerprint would\n"
+            "pin a single task; the groupBy form map-side combines and the join is\n"
+            "AQE-skew-splittable.  Quality and sampling are codegen'd predicates\n"
+            "layered as flags, never separate jobs.",
+        ),
+        (
+            "Batch kNN self-join (sign-LSH buckets + Hamming-1 multiprobe)",
+            fmt(E.queries()["ann_knn_join"](spark, sf)),
+            "What to check: probe fan-out is an explode on the QUERY side only; the\n"
+            "data side is scanned once and joined on the codegen'd bucket key; the\n"
+            "per-query top-k is a row_number window over the bounded candidate set\n"
+            "(never the full cross product); cosine is codegen zip_with/aggregate.",
         ),
         (
             "Embedding near-dup (banded sign-LSH)",
@@ -101,6 +112,35 @@ def main() -> int:
             "arrays ride a shuffle.",
         ),
     ]
+
+    # bucket-partitioned ANN probe: write the embeddings table partitioned by
+    # the sign bucket, then probe it — the physical plan must show
+    # PartitionFilters on bucket (scan prunes to the probed directories).
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from sparkx.ops.similarity import probe_masks, sign_bucket
+
+    bdir = _tf.mkdtemp(prefix="plans_") + "/emb_bucketed"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb.withColumn("bucket", sign_bucket(nbits=8)).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(bdir)
+    table = spark.read.parquet(bdir)
+    qb = table.filter("vec_id = 0").select("bucket").first().bucket
+    probe_set = [qb ^ m for m in probe_masks(8, 1)]
+    probed = table.filter(F.col("bucket").isin(probe_set))
+    sections.append(
+        (
+            "ANN probe over a bucket-PARTITIONED vector table (partition pruning)",
+            fmt(probed.select("vec_id", "bucket")),
+            "What to check: the scan carries PartitionFilters on the bucket column —\n"
+            "the Hamming-1 probe set (9 of 256 directories here) is pruned at PLANNING\n"
+            "time, so a 100 TB vector table reads ~9/256 of its files, not all of\n"
+            "them.  This is the storage layout topk_lsh/knn_join are designed for.",
+        )
+    )
 
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
