@@ -357,18 +357,25 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 # ── embedding cosine near-dup ────────────────────────────────────────────────
-def _cosine(a: str, b: str):
-    dot = F.expr(
+# NB these are higher-order-function lambdas — interpreted, NOT codegen'd.
+# Fine once per ROW; on a per-PAIR hot path hoist the norms to per-row
+# columns first (see similarity.knn_join) so each pair pays one traversal
+# (the dot), not four.
+def _dot(a: str, b: str):
+    return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
         f"cast(0 as double), (acc, v) -> acc + v)"
     )
-    na = F.expr(
+
+
+def _norm2(a: str):
+    return F.expr(
         f"aggregate({a}, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))"
     )
-    nb = F.expr(
-        f"aggregate({b}, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))"
-    )
-    return dot / F.sqrt(na * nb)
+
+
+def _cosine(a: str, b: str):
+    return _dot(a, b) / F.sqrt(_norm2(a) * _norm2(b))
 
 
 def sign_bucket_at(col: str, start_dim: int, nbits: int):

@@ -173,8 +173,20 @@ def knn_join(
     ``probe_hamming`` / lower ``nbits`` for recall, reverse for speed."""
     from pyspark.sql import Window
 
-    b = emb.select("vec_id", "embedding").withColumn(
-        "bucket", sign_bucket(nbits=nbits)
+    from sparkx.ops.dedup import _dot, _norm2
+
+    # norms hoisted to a per-ROW column on each side: the cosine lambdas are
+    # interpreted (not codegen'd), so per-PAIR work must be one traversal
+    # (the dot), not four — same arithmetic (dot / sqrt(na*nb), identical
+    # fold order) so values are bit-identical to _cosine
+    # (the join boundary keeps norm2 per-row: projections are evaluated on
+    # the join INPUTS, so the worst CollapseProject can do is re-evaluate the
+    # probe side's norm once per exploded probe row — #probes per vector,
+    # still never per pair)
+    b = (
+        emb.select("vec_id", "embedding")
+        .withColumn("bucket", sign_bucket(nbits=nbits))
+        .withColumn("norm2", _norm2("embedding"))
     )
     probes = F.array(
         *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in probe_masks(nbits, probe_hamming)]
@@ -182,6 +194,7 @@ def knn_join(
     q = b.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_embedding"),
+        F.col("norm2").alias("q_norm2"),
         F.explode(probes).alias("bucket"),
     )
     pairs = (
@@ -190,7 +203,11 @@ def knn_join(
         .select(
             "q_id",
             "vec_id",
-            F.round(_cosine("q_embedding", "embedding"), 4).alias("cosine"),
+            F.round(
+                _dot("q_embedding", "embedding")
+                / F.sqrt(F.col("q_norm2") * F.col("norm2")),
+                4,
+            ).alias("cosine"),
         )
         .distinct()  # same pair via multiple probe buckets
     )
