@@ -134,6 +134,39 @@ def _q_ta_profile(spark, sf_dir):
     return T.text_profile(_docs(spark, sf_dir))
 
 
+def _q_ta_token_counts(spark, sf_dir):
+    """Both tokenizer families per doc: whitespace word count (the reference's
+    base.py:307-317 analog) and the BPE-ish pretokenizer match count (word
+    runs + individual punctuation — the segmentation LLM token budgeting
+    uses).  Pure regexp column expressions, narrow map."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.token_count().alias("n_tokens_ws"),
+        T.bpe_ish_token_count().alias("n_tokens_bpe"),
+    )
+
+
+def _q_fp_winnow(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints — Schleimer et al.
+    SIGMOD 2003: per-doc sliding-window minima over positional shingle
+    hashes; any shared token run ≥ window+n−1 long is guaranteed a shared
+    fingerprint.  Oracle mirrors the window min in SQL."""
+    return T.winnow_fingerprints(_docs(spark, sf_dir), n=3, window=4)
+
+
+def _q_dedup_embedding_clusters(spark, sf_dir):
+    """Semantic near-dup CLUSTERS: banded sign-LSH pairs over embeddings
+    resolved by connected components — the embedding-space analog of
+    dedup_clusters (one canonical per semantic duplicate group)."""
+    pairs = D.embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.3, bucketed=True, nbits=8, n_bands=8
+    )
+    return D.connected_components(pairs).select(
+        F.col("node_id").alias("vec_id"), "cluster_id"
+    )
+
+
 def _q_ta_lang_agg(spark, sf_dir):
     # avg over integer micro-units (q is already round(.,4) so q*1e4 is exact):
     # the sum is an exact integer on both engines, so the final division is
@@ -800,6 +833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text scrub / repetition (r2)
         "ta_scrub": _q_ta_scrub,
         "ta_repetition": _q_ta_repetition,
+        "ta_token_counts": _q_ta_token_counts,
+        "fp_winnow": _q_fp_winnow,
+        "dedup_embedding_clusters": _q_dedup_embedding_clusters,
         # corpus curation + streaming path
         "cur_sample": _q_cur_sample,
         "cur_stratified": _q_cur_stratified,
@@ -1427,6 +1463,41 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
                    ELSE round(1.0 - len(list_distinct(lines)) / len(lines), 4)
               END AS rep_ratio
             FROM l""",
+        "ta_token_counts": f"""
+            SELECT doc_id, {_TA_TOKENS} AS n_tokens_ws,
+              len(regexp_extract_all(coalesce(text, ''),
+                  '[0-9A-Za-z_]+|[^0-9A-Za-z_ \\t\\n\\x0b\\f\\r]')) AS n_tokens_bpe
+            FROM documents""",
+        "fp_winnow": """
+            WITH t AS (
+              SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+              FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+              WHERE len(toks) >= 3),
+            wmin AS (
+              SELECT doc_id, pos,
+                min(('0x' || substr(md5(sh), 1, 8))::BIGINT)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+              FROM sh)
+            SELECT DISTINCT doc_id, fp FROM wmin WHERE pos >= 3""",
+        "dedup_embedding_clusters": f"""
+            WITH RECURSIVE eb AS (
+              SELECT vec_id, embedding,
+                unnest([{", ".join(_emb_bucket_sql(t * 8 + 1, 8) for t in range(8))}]) AS key,
+                unnest([{", ".join(str(t) for t in range(8))}]) AS band
+              FROM embeddings),
+            mh_pairs AS (
+              SELECT DISTINCT a.vec_id AS a_id, q.vec_id AS b_id
+              FROM eb a JOIN eb q ON a.band = q.band AND a.key = q.key
+                                 AND a.vec_id < q.vec_id
+              WHERE {_COS} >= 0.3),
+            {_CC_CTES}
+            SELECT cc_id AS vec_id, cc_cluster AS cluster_id FROM cc""",
         "cur_sample": f"""
             SELECT doc_id, lang, n_chars FROM documents
             WHERE {_HASH_GATE} < 2000""",

@@ -34,13 +34,21 @@ def token_count(col: str = "text") -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish pretokenizer pattern: a token is a maximal ASCII word run or one
+# non-word non-space character — the match-count form (alternation + classes
+# only) so Java regex, RE2 (DuckDB), and Python re read it identically; the
+# whitespace class is spelled out because Java's \s includes \x0B where
+# RE2's does not
+BPE_TOKEN_RE = r"[0-9A-Za-z_]+|[^0-9A-Za-z_ \t\n\x0b\f\r]"
+
+
 def bpe_ish_token_count(col: str = "text") -> Column:
-    """BPE-ish proxy: split on word boundaries/punct/digits — the regex family
-    used by byte-pair pretokenizers.  Deterministic and JVM-side."""
+    """BPE-ish proxy token count: word runs + individual punctuation marks,
+    the segmentation shape byte-pair pretokenizers use.  A single
+    regexp_extract_all — deterministic, JVM-side, no interpreted lambdas."""
     return F.size(
-        F.filter(
-            F.split(F.col(col), r"(\s+|(?=[^\w\s])|(?<=[^\w\s]))"),
-            lambda t: t != F.lit(""),
+        F.regexp_extract_all(
+            F.coalesce(F.col(col), F.lit("")), F.lit(BPE_TOKEN_RE), F.lit(0)
         )
     )
 
@@ -96,6 +104,60 @@ def normalized(col: str = "text") -> Column:
 def fingerprint(col: str = "text") -> Column:
     """Exact-content fingerprint: md5 of the normalized text."""
     return F.md5(normalized(col))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    n: int = 3,
+    window: int = 4,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003):
+    the rolling-hash fingerprint selection that guarantees any shared run of
+    ≥ ``window + n − 1`` tokens between two documents shares ≥ 1 selected
+    fingerprint, at ~2/(window+1) selection density — the overlap-detection
+    primitive (MOSS) a corpus pipeline uses for contamination checks.
+
+    Returns one ``(id_col, fp)`` row per distinct selected fingerprint.
+
+    Execution, 100-TB shape: positional token n-grams via posexplode (NOT
+    array_distinct — winnowing is positional), a 32-bit engine-portable hash
+    per shingle (md5 prefix as BIGINT, same trick as the minhash kernel),
+    then the per-document sliding-window minimum as a codegen'd window
+    aggregate (``ROWS BETWEEN window−1 PRECEDING AND CURRENT ROW``) and a
+    distinct.  One shuffle on ``id_col``; window state is bounded by the
+    document's own length, so no skew beyond document length itself (cap
+    pathological documents upstream).  Classic winnowing breaks min ties by
+    rightmost position; with 32-bit hashes ties are ~2^-32 per window and
+    the DISTINCT fingerprint set is identical under any tie-break, so the
+    plain windowed min is used (keeps the aggregate partially evaluable and
+    the oracle SQL byte-portable)."""
+    from pyspark.sql import Window as W
+
+    d = docs.select(
+        F.col(id_col), F.split(F.lower(F.trim(F.col(col))), r"\s+").alias("_toks")
+    )
+    parts = ", ' ', ".join(f"_toks[i+{k}]" for k in range(n))
+    sh = d.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(_toks) < {n} THEN cast(array() as array<string>) "
+                f"ELSE transform(sequence(0, size(_toks) - {n}), "
+                f"i -> concat({parts})) END"
+            )
+        ).alias("pos", "sh"),
+    )
+    h = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+    w = W.partitionBy(id_col).orderBy("pos").rowsBetween(-(window - 1), 0)
+    return (
+        sh.withColumn("fp", F.min(h).over(w))
+        .filter(F.col("pos") >= window - 1)  # only full windows select
+        .select(id_col, "fp")
+        .distinct()
+    )
 
 
 def with_shingles(docs: DataFrame, col: str = "text", n: int = 3,

@@ -365,3 +365,91 @@ def test_multimodal_real_decode_raises(spark, docs):
     with pytest.raises(Exception) as ei:
         decode_media(documents_as_media(docs), fake_decode=False).limit(1).collect()
     assert "NotImplementedError" in str(ei.value) or "real media decode" in str(ei.value)
+
+
+def test_bpe_token_count_matches_python_reference(spark):
+    """BPE_TOKEN_RE uses only alternation + explicit ASCII classes, so Java
+    regex (Spark), RE2 (DuckDB), and Python re segment identically — verify
+    the Spark count against Python findall on the exact same pattern."""
+    import re as _re
+
+    from sparkx.ops.textstats import BPE_TOKEN_RE, bpe_ish_token_count
+
+    rows = [
+        (0, "hello, world! it's 3.14"),
+        (1, ""),
+        (2, None),
+        (3, "a_b_c__d 12ab !!x"),
+        (4, "héllo wörld"),  # non-ASCII letters are punct-class chars
+        (5, "  tabs\tand\nnewlines\x0bvt  "),
+        (6, "...."),
+        (7, "snake_case CamelCase kebab-case dot.sep"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", bpe_ish_token_count().alias("n")).collect()
+    }
+    pat = _re.compile(BPE_TOKEN_RE)
+    for i, t in rows:
+        assert got[i] == len(pat.findall(t or "")), (i, t)
+
+
+def test_winnow_fingerprint_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): two documents sharing a
+    token run >= window + n - 1 long share >= 1 selected fingerprint; the
+    selection is deterministic and bounded by the full-window count."""
+    from sparkx.ops.textstats import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens >= 4+3-1
+    rows = [
+        (1, "xx yy " + shared + " zz"),
+        (2, "one two three " + shared + " four"),
+        (3, "totally different words without any overlap here at all ok"),
+        (4, "short doc"),  # < n tokens -> no shingles -> no fingerprints
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(docs, n=3, window=4).toPandas()
+    by = {i: set(fps[fps.doc_id == i].fp) for i in (1, 2, 3, 4)}
+    assert by[1] & by[2], "shared >=w+n-1 token run must share a fingerprint"
+    assert not (by[1] & by[3]) and not (by[2] & by[3])
+    assert by[4] == set()
+    # determinism + bound: fingerprints <= number of full windows per doc
+    for i, text in rows[:3]:
+        n_sh = len(text.split()) - 2
+        assert 0 < len(by[i]) <= max(n_sh - 3, 0)
+    again = winnow_fingerprints(docs, n=3, window=4).toPandas()
+    assert set(map(tuple, again.values.tolist())) == set(map(tuple, fps.values.tolist()))
+
+
+def test_embedding_clusters_match_union_find(spark):
+    """dedup_embedding_clusters composition: connected_components over the
+    banded-LSH pair set must equal a plain union-find over the same pairs."""
+    from sparkx.ops.dedup import connected_components, embedding_near_dup_pairs
+
+    emb, _ = _clustered_embeddings(spark)
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=0.3, bucketed=True, nbits=8, n_bands=8
+    )
+    pair_rows = [(r.a_id, r.b_id) for r in pairs.collect()]
+    assert pair_rows, "clustered fixture must produce near-dup pairs"
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    got = {
+        r.node_id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == want
