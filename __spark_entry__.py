@@ -155,6 +155,13 @@ def _q_fp_winnow(spark, sf_dir):
     return T.winnow_fingerprints(_docs(spark, sf_dir), n=3, window=4)
 
 
+def _q_fp_winnow_overlap(spark, sf_dir):
+    """Overlap/contamination report over the winnow fingerprints: pairs
+    sharing ≥2 selected fingerprints via an inverted-index self-join with a
+    posting-list frequency cap (MOSS-style candidate generation)."""
+    return T.winnow_overlap_pairs(_docs(spark, sf_dir), n=3, window=4, min_shared=2)
+
+
 def _q_dedup_embedding_clusters(spark, sf_dir):
     """Semantic near-dup CLUSTERS: banded sign-LSH pairs over embeddings
     resolved by connected components — the embedding-space analog of
@@ -835,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_repetition": _q_ta_repetition,
         "ta_token_counts": _q_ta_token_counts,
         "fp_winnow": _q_fp_winnow,
+        "fp_winnow_overlap": _q_fp_winnow_overlap,
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,
         # corpus curation + streaming path
         "cur_sample": _q_cur_sample,
@@ -1485,6 +1493,26 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
               FROM sh)
             SELECT DISTINCT doc_id, fp FROM wmin WHERE pos >= 3""",
+        "fp_winnow_overlap": """
+            WITH t AS (
+              SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+              FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+              WHERE len(toks) >= 3),
+            wmin AS (
+              SELECT doc_id, pos,
+                min(('0x' || substr(md5(sh), 1, 8))::BIGINT)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+              FROM sh),
+            fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos >= 3)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared_fps
+            FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2""",
         "dedup_embedding_clusters": f"""
             WITH RECURSIVE eb AS (
               SELECT vec_id, embedding,

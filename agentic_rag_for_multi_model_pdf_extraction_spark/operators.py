@@ -3,6 +3,7 @@
 from sparkx.kernels.blocks import parse_blocks  # noqa: F401
 from sparkx.kernels.extract import extract_batch, process_blocks, validate_blocks  # noqa: F401
 from sparkx.ops.dedup import (  # noqa: F401
+    connected_components,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -18,4 +19,4 @@ from sparkx.ops.multimodal import (  # noqa: F401
     frame_sample_plan,
     resize_plan,
 )
-from sparkx.ops.similarity import topk_bruteforce, topk_lsh  # noqa: F401
+from sparkx.ops.similarity import knn_join, topk_bruteforce, topk_lsh  # noqa: F401

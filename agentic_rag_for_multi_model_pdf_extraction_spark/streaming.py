@@ -1,3 +1,9 @@
-"""Structured-Streaming incremental ingest."""
+"""Structured-Streaming incremental ingest + stateful operators."""
 
-from sparkx.streaming import start_extraction_stream, stream_transcripts  # noqa: F401
+from sparkx.streaming import (  # noqa: F401
+    run_catchup,
+    start_conv_progress_stream,
+    start_extraction_stream,
+    stream_transcripts,
+)
+from sparkx.streaming_dedup import start_dedup_stream  # noqa: F401

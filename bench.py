@@ -107,7 +107,8 @@ def main() -> int:
         "s7_answer_trunc", "u5_answer_validation", "p11_prompt_build",
         # r3 additions: cluster resolution, batch kNN join, A5 stats
         "dedup_clusters", "ann_knn_join", "a5_query_stats",
-        "ta_token_counts", "fp_winnow", "dedup_embedding_clusters",
+        "ta_token_counts", "fp_winnow", "fp_winnow_overlap",
+        "dedup_embedding_clusters",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

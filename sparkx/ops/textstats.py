@@ -160,6 +160,47 @@ def winnow_fingerprints(
     )
 
 
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = 10_000,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints — the
+    contamination / overlap-detection report (MOSS-style): by the winnowing
+    guarantee, any pair sharing a token run ≥ ``window + n − 1`` long shows
+    up here.
+
+    Execution: fingerprint inverted-index self-join (equi-join on fp) +
+    count per pair.  ``max_fp_df`` is the posting-list frequency cap (same
+    trick as ``sparkx.ops.dedup.ngram_jaccard_pairs``): a boilerplate
+    fingerprint present in d documents would contribute d² candidate rows,
+    so fingerprints with document frequency > cap are dropped from the join
+    — they carry no discriminating signal anyway."""
+    fps = winnow_fingerprints(docs, n=n, window=window, id_col=id_col, col=col)
+    if max_fp_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def with_shingles(docs: DataFrame, col: str = "text", n: int = 3,
                   out: str = "shingles") -> DataFrame:
     """Add a distinct token n-gram shingle column (array<string>) — the

@@ -260,8 +260,22 @@ def start_conv_progress_stream(
     )
     if not available_now:
         return writer.start()
+    return run_catchup(writer)
+
+
+def run_catchup(writer, timeout_s: float = 600):
+    """Run a stateful-with-timers streaming writer SYNCHRONOUSLY to drain.
+
+    With ProcessingTimeTimeout the engine fires an empty timer-check batch
+    every trigger interval, so neither Trigger.AvailableNow nor
+    ``processAllAvailable()`` nor status polling can end the query (it never
+    quiesces).  This helper watches batch PROGRESS instead: once the source
+    is drained and two consecutive zero-input batches have completed (due
+    timers fire inside those), it stops — timers not yet due fire on the
+    next catch-up run's first batches.  Returns the terminated query;
+    re-raises any streaming exception."""
     q = writer.trigger(processingTime="200 milliseconds").start()
-    deadline = time.time() + 600
+    deadline = time.time() + timeout_s
     last_batch_id = -1
     empty_after_drain = 0
     quiet_polls = 0

@@ -453,3 +453,31 @@ def test_embedding_clusters_match_union_find(spark):
         r.node_id: r.cluster_id for r in connected_components(pairs).collect()
     }
     assert got == want
+
+
+def test_winnow_overlap_pairs_and_cap(spark):
+    """Overlap pairs: docs sharing a long run are reported; the posting-list
+    frequency cap drops ubiquitous fingerprints from the candidate join."""
+    from sparkx.ops.textstats import winnow_overlap_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    boiler = "standard footer text appears in every document here always"
+    rows = [
+        (1, shared + " one extra words here padding out the document"),
+        (2, "prefix tokens then " + shared + " and a different tail"),
+        (3, "no overlap with anything else at all in this one document"),
+        (4, boiler + " plus unique content four"),
+        (5, boiler + " plus unique content five"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a_id, r.b_id): r.shared_fps
+        for r in winnow_overlap_pairs(docs, n=3, window=4, min_shared=1).collect()
+    }
+    assert (1, 2) in got  # the guarantee pair
+    assert not any(3 in p for p in got)
+    assert (4, 5) in got  # boilerplate overlap found when uncapped at df=2
+    # cap at df > 1: fingerprints present in BOTH docs of a pair are exactly
+    # the df>=2 ones, so capping at 1 removes every candidate — the bound
+    capped = winnow_overlap_pairs(docs, n=3, window=4, min_shared=1, max_fp_df=1)
+    assert capped.count() == 0
