@@ -231,16 +231,28 @@ def connected_components(
     round); web-scale components of near-dup text are shallow (dup clusters,
     not social graphs), so this terminates in a handful of rounds.
     """
-    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # materialize the pair set BEFORE the symmetrize union: the union
+    # references its input twice, so an un-checkpointed (possibly expensive)
+    # upstream pair pipeline — an LSH candidate join — would be evaluated
+    # twice in the same job
+    base = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).localCheckpoint()
     edges = (
-        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .localCheckpoint()
     )
     labels = edges.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     ).localCheckpoint()
-    for _ in range(max_iter):
+    # convergence is only CHECKED every ``check_every`` rounds: the check is
+    # a full pass over the label frame (a join + count), and labels are
+    # monotonically non-increasing per node, so equality with the labels
+    # from k rounds ago proves nothing changed in any of those k rounds.
+    # Early rounds always change — counting them is a wasted action per
+    # round, on a 100 TB label frame a wasted full pass.
+    check_every = 3
+    checked = labels
+    for i in range(max_iter):
         msgs = edges.join(labels, edges["u"] == labels["id"]).select(
             F.col("v").alias("id"), "label"
         )
@@ -263,15 +275,18 @@ def connected_components(
         halved = new.join(right, new["label"] == right["r_id"]).select(
             "id", F.col("r_label").alias("label")
         )
-        changed = (
-            halved.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = halved
-        if changed == 0:
-            break
+        if (i + 1) % check_every == 0 or i + 1 == max_iter:
+            changed = (
+                labels.alias("n")
+                .join(checked.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            if changed == 0:
+                break
+            checked = labels.localCheckpoint()
+            labels = checked
     return labels.select(F.col("id").alias("node_id"), F.col("label").alias("cluster_id"))
 
 
