@@ -3,6 +3,7 @@
     spark-submit --py-files dist/sparkx.zip jobs/corpus_build.py \
         --input <transcripts parquet> --output <out> \
         [--sample-rate 0.5 --min-tokens 20 --min-quality 0.3] \
+        [--dedup-mode minhash --jaccard-threshold 0.5] \
         [--synth-convs 1000 --synth-turns 100]
 
 Prints one JSON line with the funnel counts
@@ -27,6 +28,10 @@ def main(argv=None) -> int:
     p.add_argument("--min-quality", type=float, default=0.3)
     p.add_argument("--sample-rate", type=float, default=1.0)
     p.add_argument("--salt", default="corpus0")
+    p.add_argument("--dedup-mode", choices=["exact", "minhash"], default="exact",
+                   help="minhash additionally resolves near-dup clusters and "
+                        "keeps one canonical per cluster")
+    p.add_argument("--jaccard-threshold", type=float, default=0.5)
     p.add_argument("--run-id", default=None)
     p.add_argument("--master", default=None)
     p.add_argument("--synth-convs", type=int, default=0)
@@ -60,6 +65,8 @@ def main(argv=None) -> int:
             sample_rate=args.sample_rate,
             salt=args.salt,
             run_id=args.run_id or f"corpus_{int(time.time())}",
+            dedup_mode=args.dedup_mode,
+            jaccard_threshold=args.jaccard_threshold,
         )
         print(json.dumps({**funnel, "wall_sec": round(time.time() - t0, 2)}))
         return 0

@@ -307,3 +307,69 @@ def run_catchup(writer, timeout_s: float = 600):
     if exc is not None:
         raise exc
     return q
+
+
+# ── event-time windowed aggregation with a watermark ─────────────────────────
+
+def start_turn_window_stream(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window_seconds: int = 3600,
+    watermark: str = "1 hour",
+):
+    """Event-time tumbling-window turn volume per role, with a watermark for
+    late data — the canonical Structured-Streaming rollup (the streaming twin
+    of ops.corpus.time_bucket_rollup).
+
+    Semantics (all standard append-mode watermark behavior, made explicit):
+
+    * windows aggregate by the turn's EVENT time (``ts``), not arrival time;
+    * the watermark trails the max event time seen by ``watermark``; a late
+      row older than the watermark is DROPPED, one inside it is still
+      counted (its window has not finalized);
+    * append output: a window emits exactly ONCE, when the watermark passes
+      its end — so the sink holds finalized, immutable rows (no reader-side
+      latest-per-key resolution needed), and the last open windows emit on a
+      LATER run once newer events advance the watermark.  That is the right
+      contract for an incremental catch-up schedule; a tail flush at stream
+      retirement would use update mode or a final marker event.
+
+    No timers are involved, so plain ``Trigger.AvailableNow`` terminates and
+    is used directly (contrast run_catchup, which exists only for
+    ProcessingTimeTimeout state)."""
+    from pyspark.sql import functions as F
+
+    transcripts = stream_transcripts(spark, in_dir)
+    agg = (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{window_seconds} seconds").alias("w"),
+            F.coalesce(F.col("role"), F.lit("")).alias("role"),
+        )
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("n_chars"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "role",
+            "n_turns",
+            "n_chars",
+        )
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(f"{out_dir}/windows")
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
