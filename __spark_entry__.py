@@ -616,6 +616,15 @@ def _q_quantiles_by_lang(spark, sf_dir):
     )
 
 
+def _q_cur_distinct_stats(spark, sf_dir):
+    """Distinct-content count per language (dedup-rate report).  exact=True
+    is the oracle-gate mode; the engine DEFAULT is the mergeable HLL++
+    sketch (benched separately as distinct_sketch)."""
+    from sparkx.ops.corpus import distinct_stats
+
+    return distinct_stats(_docs(spark, sf_dir), by="lang", exact=True)
+
+
 def _q_corpus_funnel(spark, sf_dir):
     """The end-to-end corpus-build funnel (extract → dedup → quality gate →
     deterministic sample) as one row of stage counts — the composed
@@ -850,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_filter": _q_cur_filter,
         "tb_rollup": _q_tb_rollup,
         "quantiles_by_lang": _q_quantiles_by_lang,
+        "cur_distinct_stats": _q_cur_distinct_stats,
         "corpus_funnel": _q_corpus_funnel,
         "corpus_funnel_fuzzy": _q_corpus_funnel_fuzzy,
         "stream_extract": _q_stream_extract,
@@ -1548,6 +1558,11 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
                    round(quantile_cont({_TA_TOKENS}, 0.5), 4) AS p50,
                    round(quantile_cont({_TA_TOKENS}, 0.9), 4) AS p90,
                    round(quantile_cont({_TA_TOKENS}, 0.99), 4) AS p99
+            FROM documents GROUP BY lang""",
+        "cur_distinct_stats": """
+            SELECT lang AS grp, count(*) AS n_docs,
+                   count(DISTINCT md5(lower(trim(regexp_replace(text,
+                       '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))) AS n_distinct
             FROM documents GROUP BY lang""",
         "corpus_funnel": _BLOCKS_CTE + f"""
             , tb AS (

@@ -103,6 +103,7 @@ def main() -> int:
         "mm_decode", "mm_frame_sample",
         # r2 additions: corpus curation + answer-phase skeletons
         "cur_sample", "cur_filter", "tb_rollup", "quantiles_by_lang",
+        "cur_distinct_stats",
         "ta_scrub", "ta_repetition",
         "s7_answer_trunc", "u5_answer_validation", "p11_prompt_build",
         # r3 additions: cluster resolution, batch kNN join, A5 stats
@@ -113,14 +114,23 @@ def main() -> int:
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))
 
-    # the scale-default quantile path (mergeable approx_percentile sketch) —
-    # quantiles_by_lang above times the exact oracle-gate mode
-    from sparkx.ops.corpus import token_quantiles_by
+    # the scale-default sketch paths (mergeable approx_percentile / HLL++) —
+    # quantiles_by_lang / cur_distinct_stats above time the exact oracle-gate
+    # modes
+    from sparkx.ops.corpus import distinct_stats, token_quantiles_by
 
     timed(
         "quantiles_sketch",
         lambda: _count(
             token_quantiles_by(
+                spark.read.parquet(f"{SF_DIR}/documents.parquet"), by="lang"
+            )
+        ),
+    )
+    timed(
+        "distinct_sketch",
+        lambda: _count(
+            distinct_stats(
                 spark.read.parquet(f"{SF_DIR}/documents.parquet"), by="lang"
             )
         ),

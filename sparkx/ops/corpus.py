@@ -134,3 +134,26 @@ def token_quantiles_by(docs: DataFrame, by: str = "lang",
             for q in qs
         ]
     return d.groupBy("grp").agg(F.count("*").alias("n_docs"), *cols)
+
+
+def distinct_stats(docs: DataFrame, by: str = "lang",
+                   exact: bool = False, rsd: float = 0.02) -> DataFrame:
+    """Distinct-content count per group — the corpus dedup-rate report
+    (n_docs vs n_distinct normalized fingerprints).  Identical output schema
+    in both modes.
+
+    The DEFAULT is ``approx_count_distinct`` (HyperLogLog++, Heule et al.
+    EDBT 2013): a bounded mergeable sketch per (partition, group), map-side
+    combinable — an exact distinct at 100 TB shuffles every fingerprint once
+    just to count them.  Relative standard deviation ``rsd``,
+    tolerance-tested in tests/test_corpus.py.
+
+    ``exact=True`` uses ``count_distinct`` — kept for the cross-engine
+    oracle gate and small-data reports."""
+    from sparkx.ops.textstats import fingerprint
+
+    d = docs.select(F.col(by).alias("grp"), fingerprint("text").alias("fp"))
+    n_distinct = (
+        F.count_distinct("fp") if exact else F.approx_count_distinct("fp", rsd)
+    ).alias("n_distinct")
+    return d.groupBy("grp").agg(F.count("*").alias("n_docs"), n_distinct)

@@ -179,3 +179,16 @@ def test_token_quantiles_match_numpy(spark, docs, docs_pdf):
         assert p50 == pytest.approx(np.percentile(toks, 50, method="linear"))
         assert p90 == pytest.approx(np.percentile(toks, 90, method="linear"))
         assert p99 == pytest.approx(np.percentile(toks, 99, method="linear"))
+
+
+def test_distinct_stats_sketch_close_to_exact(spark, docs):
+    """The DEFAULT distinct count is the mergeable HLL++ sketch (the 100-TB
+    shape); it must stay within rsd tolerance of the exact count
+    (exact=True, kept for the oracle gate)."""
+    from sparkx.ops.corpus import distinct_stats
+
+    exact = {r.grp: r.n_distinct for r in distinct_stats(docs, exact=True).collect()}
+    approx = {r.grp: r.n_distinct for r in distinct_stats(docs).collect()}
+    assert set(exact) == set(approx)
+    for grp, n in exact.items():
+        assert abs(approx[grp] - n) <= max(2, 0.1 * n), (grp, approx[grp], n)
