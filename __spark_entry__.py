@@ -200,7 +200,14 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
-    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.12)
+    # max_shingle_df=None: this query is the exact-verification contract and
+    # its oracle computes UNCAPPED shared-shingle candidates — mirroring the
+    # default cap here would silently diverge the moment a shingle's df
+    # exceeded it.  The capped scale path is covered by
+    # tests/test_ops.py::test_ngram_posting_cap_bounds_hot_shingle.
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.12, max_shingle_df=None
+    )
 
 
 def _q_dedup_minhash_lsh(spark, sf_dir):
@@ -743,23 +750,45 @@ def _q_stream_extract(spark, sf_dir):
     # must NOT resume from a checkpoint committed by the unedited code — the
     # guard would keep serving stale batch output until the change lands.
     repo = _os.path.dirname(_os.path.abspath(__file__))
+    # only paths that shape extraction semantics feed the key — a dirty
+    # PROGRESS.jsonl or docs edit must NOT defeat checkpoint resume (it did:
+    # the harness appends to PROGRESS.jsonl continuously, so the whole-tree
+    # key re-materialized the stream workspace on every invocation)
+    code_paths = ["sparkx", "__spark_entry__.py"]
     try:
         rev = _sp.check_output(
             ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
             text=True, stderr=_sp.DEVNULL,
         ).strip()
         dirty = _sp.check_output(
-            ["git", "-C", repo, "status", "--porcelain"],
+            ["git", "-C", repo, "status", "--porcelain", "--", *code_paths],
             text=True, stderr=_sp.DEVNULL,
         ) + _sp.check_output(
-            ["git", "-C", repo, "diff", "HEAD"], text=True, stderr=_sp.DEVNULL
+            ["git", "-C", repo, "diff", "HEAD", "--", *code_paths],
+            text=True, stderr=_sp.DEVNULL,
         )
         if dirty:
             rev += "+" + _hl.md5(dirty.encode()).hexdigest()[:8]
     except Exception:
         rev = "dev"
-    key = _hl.md5(f"{sf_dir}|{rev}".encode()).hexdigest()[:12]
-    base = f"/tmp/sparkx_stream_q_{key}"
+    sf_key = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    rev_key = _hl.md5(rev.encode()).hexdigest()[:8]
+    base = f"/tmp/sparkx_stream_q_{sf_key}_{rev_key}"
+    # reap THIS sf_dir's workspaces keyed by superseded revisions (each
+    # holds a materialized input + committed batches; without cleanup /tmp
+    # accumulates one per code revision).  Other sf_dirs' workspaces stay —
+    # their checkpoints are what makes their next invocation a resume.
+    import glob as _glob
+    import shutil as _shutil
+
+    import re as _re
+
+    for old in _glob.glob("/tmp/sparkx_stream_q_*"):
+        m = _re.fullmatch(r".*_q_([0-9a-f]{8})_([0-9a-f]{8})", old)
+        if m is None:  # pre-rename-scheme workspace, unreachable now
+            _shutil.rmtree(old, ignore_errors=True)
+        elif m.group(1) == sf_key and old != base:  # superseded revision
+            _shutil.rmtree(old, ignore_errors=True)
     if not _os.path.isdir(f"{base}/in"):
         transcripts_from_documents(spark, sf_dir).coalesce(4).write.mode(
             "overwrite"
@@ -1080,6 +1109,31 @@ _CC_CTES = """cc_edges AS (
 ), cc AS (
   SELECT u AS cc_id, least(min(v), u) AS cc_cluster FROM cc_reach GROUP BY u
 )"""
+
+
+def _winnow_fps_ctes(n: int = 3, window: int = 4) -> str:
+    """CTE chain (no leading WITH) ending in ``winnow_fps`` — the winnowing
+    fingerprint selection in DuckDB, mirrored from
+    sparkx.ops.textstats.winnow_fingerprints (positional n-gram shingles →
+    32-bit md5-prefix hash → per-doc sliding-window min → distinct).  ONE
+    definition shared by every winnow oracle so the SQL cannot drift from
+    itself."""
+    shingle = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+    return f"""wn_t AS (
+  SELECT doc_id,
+    regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
+  FROM documents),
+wn_sh AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, {shingle} AS sh
+  FROM wn_t, unnest(range(1, len(toks) - {n - 2})) AS u(i)
+  WHERE len(toks) >= {n}),
+wn_min AS (
+  SELECT doc_id, pos,
+    min(('0x' || substr(md5(sh), 1, 8))::BIGINT)
+      OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW) AS fp
+  FROM wn_sh),
+winnow_fps AS (SELECT DISTINCT doc_id, fp FROM wn_min WHERE pos >= {window - 1})"""
 
 
 def _minhash_oracle_sql(threshold: float = 0.05) -> str:
@@ -1486,43 +1540,17 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
               len(regexp_extract_all(coalesce(text, ''),
                   '[0-9A-Za-z_]+|[^0-9A-Za-z_ \\t\\n\\x0b\\f\\r]')) AS n_tokens_bpe
             FROM documents""",
-        "fp_winnow": """
-            WITH t AS (
-              SELECT doc_id,
-                regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
-              FROM documents),
-            sh AS (
-              SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
-              FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
-              WHERE len(toks) >= 3),
-            wmin AS (
-              SELECT doc_id, pos,
-                min(('0x' || substr(md5(sh), 1, 8))::BIGINT)
-                  OVER (PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
-              FROM sh)
-            SELECT DISTINCT doc_id, fp FROM wmin WHERE pos >= 3""",
-        "fp_winnow_overlap": """
-            WITH t AS (
-              SELECT doc_id,
-                regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
-              FROM documents),
-            sh AS (
-              SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
-              FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
-              WHERE len(toks) >= 3),
-            wmin AS (
-              SELECT doc_id, pos,
-                min(('0x' || substr(md5(sh), 1, 8))::BIGINT)
-                  OVER (PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
-              FROM sh),
-            fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos >= 3)
+        "fp_winnow": (
+            "WITH " + _winnow_fps_ctes()
+            + "\nSELECT doc_id, fp FROM winnow_fps"
+        ),
+        "fp_winnow_overlap": (
+            "WITH " + _winnow_fps_ctes() + """
             SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared_fps
-            FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-            GROUP BY 1, 2 HAVING count(*) >= 2""",
+            FROM winnow_fps a JOIN winnow_fps b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2"""
+        ),
         "dedup_embedding_clusters": f"""
             WITH RECURSIVE eb AS (
               SELECT vec_id, embedding,

@@ -79,7 +79,19 @@ def corpus_flags(
     flagged = flagged.join(canon, "fp").withColumn(
         "is_canonical", F.col("chunk_id") == F.col("_canon_chunk_id")
     ).drop("_canon_chunk_id")
+    cached_dep = None
     if dedup_mode == "minhash":
+        # persist the exact-canonical frame FIRST: connected_components
+        # localCheckpoints its input eagerly, which would otherwise run the
+        # whole extraction + canonical-pick pipeline once for the cluster
+        # pass and AGAIN when the caller materializes the returned plan —
+        # at the 100 TB design point the extraction pass is the expensive
+        # one, and it must run once.  The handle is stashed on the returned
+        # DataFrame so build_corpus can unpersist after its own
+        # materialization (a bare corpus_flags caller keeps the cache for
+        # the session, which is what a query over the frame wants anyway).
+        cached_dep = flagged.persist()
+        flagged = cached_dep
         reps = flagged.filter("is_canonical").select(
             F.col("chunk_id").alias("doc_id"),
             F.col("structured_text").alias("text"),
@@ -102,7 +114,7 @@ def corpus_flags(
         )
     elif dedup_mode != "exact":
         raise ValueError(f"unknown dedup_mode {dedup_mode!r}")
-    return (
+    out = (
         flagged.withColumn(
             "passes_quality",
             (n >= min_tokens)
@@ -114,6 +126,8 @@ def corpus_flags(
             sample_bucket("chunk_id", salt) < F.lit(_gate(sample_rate)),
         )
     )
+    out._sparkx_cached_dep = cached_dep  # see persist note above
+    return out
 
 
 def build_corpus(
@@ -190,3 +204,6 @@ def build_corpus(
         return funnel
     finally:
         flagged.unpersist()
+        dep = getattr(flagged, "_sparkx_cached_dep", None)
+        if dep is not None:
+            dep.unpersist()

@@ -279,6 +279,7 @@ def run_catchup(writer, timeout_s: float = 600):
     last_batch_id = -1
     empty_after_drain = 0
     quiet_polls = 0
+    drained = False
     while time.time() < deadline:
         if q.exception() is not None:
             break
@@ -290,13 +291,21 @@ def run_catchup(writer, timeout_s: float = 600):
             elif not q.status["isDataAvailable"]:
                 empty_after_drain += 1
                 if empty_after_drain >= 2:
+                    drained = True
                     break
-        # fallback for engines that stop triggering when no timers are due:
-        # a sustained fully-idle status also means drained
+        # fallback for engines that stop triggering when no timers are due
+        # (and for a genuinely EMPTY source, which never runs a batch at
+        # all): a sustained fully-idle status also means drained.  Source
+        # initialization also reports idle, so don't count polls until
+        # either a batch has completed or the status message moved past
+        # "Initializing..." — otherwise a slow cold start (>2 s) would stop
+        # the query before it processed anything.
         s = q.status
-        if not s["isDataAvailable"] and not s["isTriggerActive"]:
+        initializing = last_batch_id < 0 and "Initializing" in s.get("message", "")
+        if not s["isDataAvailable"] and not s["isTriggerActive"] and not initializing:
             quiet_polls += 1
             if quiet_polls >= 20:
+                drained = True
                 break
         else:
             quiet_polls = 0
@@ -306,6 +315,12 @@ def run_catchup(writer, timeout_s: float = 600):
     q.awaitTermination()
     if exc is not None:
         raise exc
+    if not drained:
+        raise TimeoutError(
+            f"streaming catch-up did not drain within {timeout_s}s "
+            f"(last batch id {last_batch_id}); output may be partial — rerun "
+            f"with the same checkpoint to continue from the committed offset"
+        )
     return q
 
 
