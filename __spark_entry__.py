@@ -632,6 +632,18 @@ def _q_cur_distinct_stats(spark, sf_dir):
     return distinct_stats(_docs(spark, sf_dir), by="lang", exact=True)
 
 
+def _q_cur_pack(spark, sf_dir):
+    """Sequence-packing assignment (concatenate-and-chunk into 512-token
+    training sequences, 8 shards per group).  The window is ordered within
+    (group, shard) — the shard hash is what keeps a group from collapsing
+    into one task at scale."""
+    from sparkx.ops.corpus import pack_assignments
+
+    return pack_assignments(
+        _docs(spark, sf_dir), budget_tokens=512, n_shards=8, by="lang"
+    )
+
+
 def _q_corpus_funnel(spark, sf_dir):
     """The end-to-end corpus-build funnel (extract → dedup → quality gate →
     deterministic sample) as one row of stage counts — the composed
@@ -889,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tb_rollup": _q_tb_rollup,
         "quantiles_by_lang": _q_quantiles_by_lang,
         "cur_distinct_stats": _q_cur_distinct_stats,
+        "cur_pack": _q_cur_pack,
         "corpus_funnel": _q_corpus_funnel,
         "corpus_funnel_fuzzy": _q_corpus_funnel_fuzzy,
         "stream_extract": _q_stream_extract,
@@ -1592,6 +1605,18 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
                    count(DISTINCT md5(lower(trim(regexp_replace(text,
                        '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))) AS n_distinct
             FROM documents GROUP BY lang""",
+        "cur_pack": f"""
+            WITH d AS (
+              SELECT doc_id, lang AS grp,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+                {_TA_TOKENS} AS n_tokens
+              FROM documents)
+            SELECT doc_id, grp, shard, n_tokens,
+              CAST(sum(n_tokens) OVER (PARTITION BY grp, shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset,
+              CAST(floor((sum(n_tokens) OVER (PARTITION BY grp, shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS bin
+            FROM d""",
         "corpus_funnel": _BLOCKS_CTE + f"""
             , tb AS (
               SELECT st_fast AS text, chunk_id FROM blocks

@@ -103,7 +103,7 @@ def main() -> int:
         "mm_decode", "mm_frame_sample",
         # r2 additions: corpus curation + answer-phase skeletons
         "cur_sample", "cur_filter", "tb_rollup", "quantiles_by_lang",
-        "cur_distinct_stats",
+        "cur_distinct_stats", "cur_pack",
         "ta_scrub", "ta_repetition",
         "s7_answer_trunc", "u5_answer_validation", "p11_prompt_build",
         # r3 additions: cluster resolution, batch kNN join, A5 stats

@@ -157,3 +157,54 @@ def distinct_stats(docs: DataFrame, by: str = "lang",
         F.count_distinct("fp") if exact else F.approx_count_distinct("fp", rsd)
     ).alias("n_distinct")
     return d.groupBy("grp").agg(F.count("*").alias("n_docs"), n_distinct)
+
+
+def pack_assignments(docs: DataFrame, budget_tokens: int = 2048,
+                     n_shards: int = 64, by: str = "lang",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Sequence-packing assignment: lay documents out in deterministic order
+    and chunk the token stream into fixed ``budget_tokens`` training
+    sequences — the concatenate-and-chunk policy LLM pretraining pipelines
+    use (documents may straddle a boundary; exact first-fit bin packing is
+    inherently sequential and is NOT what large pipelines do).
+
+    Returns one row per document: group, shard, token count, the document's
+    starting offset in its shard's token stream, and ``bin`` — the training
+    sequence its first token lands in (``offset div budget``).
+
+    Scale shape: the running sum is a window ORDERED within
+    ``(group, shard)``, where ``shard`` is an engine-portable md5 hash of
+    the document id into ``n_shards`` buckets.  Without the shard key a
+    per-group ordered window puts an entire group in ONE task — the
+    canonical window scale-killer; with it, parallelism is
+    ``groups × n_shards`` and each shard packs independently (exactly how
+    real packing runs: one stream per writer shard).  Offsets are exact
+    integers, so the result is engine-reproducible."""
+    from pyspark.sql import Window as W
+
+    from sparkx.ops.textstats import token_count
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % n_shards
+    )
+    d = docs.select(
+        F.col(id_col),
+        F.col(by).alias("grp"),
+        shard.alias("shard"),
+        token_count().alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("grp", "shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = F.sum("n_tokens").over(w)
+    return d.select(
+        id_col,
+        "grp",
+        "shard",
+        "n_tokens",
+        (running - F.col("n_tokens")).alias("start_offset"),
+        F.floor((running - F.col("n_tokens")) / budget_tokens).cast("long").alias("bin"),
+    )

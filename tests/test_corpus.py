@@ -192,3 +192,31 @@ def test_distinct_stats_sketch_close_to_exact(spark, docs):
     assert set(exact) == set(approx)
     for grp, n in exact.items():
         assert abs(approx[grp] - n) <= max(2, 0.1 * n), (grp, approx[grp], n)
+
+
+def test_pack_assignments_match_pandas(spark, docs, docs_pdf):
+    """Concatenate-and-chunk packing: offsets are exact per-(grp, shard)
+    running sums in doc_id order, bin = start_offset // budget, and every
+    document is assigned exactly once."""
+    import hashlib
+    import re
+
+    from sparkx.ops.corpus import pack_assignments
+
+    got = pack_assignments(docs, budget_tokens=512, n_shards=8).toPandas()
+    assert len(got) == len(docs_pdf)
+    ref = docs_pdf.copy()
+    ref["n_tokens"] = ref.text.map(lambda t: len(re.split(r"\s+", t.strip())))
+    ref["shard"] = ref.doc_id.map(
+        lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 8
+    )
+    ref = ref.sort_values("doc_id")
+    ref["start_offset"] = (
+        ref.groupby(["lang", "shard"]).n_tokens.cumsum() - ref.n_tokens
+    )
+    by_id = got.set_index("doc_id")
+    for _, r in ref.iterrows():
+        row = by_id.loc[r.doc_id]
+        assert row.shard == r.shard and row.n_tokens == r.n_tokens, r.doc_id
+        assert row.start_offset == r.start_offset, r.doc_id
+        assert row.bin == r.start_offset // 512, r.doc_id
