@@ -681,7 +681,7 @@ def _q_corpus_funnel_fuzzy(spark, sf_dir):
         min_tokens=5, max_tokens=5000, min_quality=0.0, sample_rate=0.5,
         salt="corpus0", dedup_mode="minhash", jaccard_threshold=0.05,
     )
-    return flagged.agg(
+    agg = flagged.agg(
         F.count("*").alias("blocks_in"),
         F.sum(F.col("is_canonical").cast("long")).alias("after_dedup"),
         F.sum((F.col("is_canonical") & F.col("passes_quality")).cast("long")).alias(
@@ -693,6 +693,16 @@ def _q_corpus_funnel_fuzzy(spark, sf_dir):
             )
         ).alias("after_sample"),
     )
+    # materialize the 1-row aggregate NOW so corpus_flags' minhash-mode cache
+    # (the extracted-blocks frame, persisted so cluster resolution and this
+    # aggregate share one extraction pass) can be released before the other
+    # gate queries run in the same session; return the tiny result as a
+    # literal frame with the identical schema
+    rows = agg.collect()
+    dep = getattr(flagged, "_sparkx_cached_dep", None)
+    if dep is not None:
+        dep.unpersist()
+    return spark.createDataFrame(rows, agg.schema)
 
 
 def _q_a5_query_stats(spark, sf_dir):
@@ -801,7 +811,10 @@ def _q_stream_extract(spark, sf_dir):
             _shutil.rmtree(old, ignore_errors=True)
         elif m.group(1) == sf_key and old != base:  # superseded revision
             _shutil.rmtree(old, ignore_errors=True)
-    if not _os.path.isdir(f"{base}/in"):
+    # _SUCCESS, not isdir: a run killed mid-write leaves a partial directory
+    # that would otherwise be streamed as truncated input forever (the reap
+    # above has already removed the previous revision's good workspace)
+    if not _os.path.exists(f"{base}/in/_SUCCESS"):
         transcripts_from_documents(spark, sf_dir).coalesce(4).write.mode(
             "overwrite"
         ).parquet(f"{base}/in")

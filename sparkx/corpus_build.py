@@ -90,8 +90,7 @@ def corpus_flags(
         # DataFrame so build_corpus can unpersist after its own
         # materialization (a bare corpus_flags caller keeps the cache for
         # the session, which is what a query over the frame wants anyway).
-        cached_dep = flagged.persist()
-        flagged = cached_dep
+        cached_dep = flagged.persist()  # persist() returns self (PySpark API)
         reps = flagged.filter("is_canonical").select(
             F.col("chunk_id").alias("doc_id"),
             F.col("structured_text").alias("text"),
@@ -126,7 +125,12 @@ def corpus_flags(
             sample_bucket("chunk_id", salt) < F.lit(_gate(sample_rate)),
         )
     )
-    out._sparkx_cached_dep = cached_dep  # see persist note above
+    # HIDDEN-CONTRACT WARNING: the cache handle rides on the returned
+    # DataFrame object.  If a transform is ever inserted between this return
+    # and the caller's getattr (e.g. a .repartition() before .persist() in
+    # build_corpus), the attribute is lost and the cache leaks silently —
+    # keep the return value the frame callers persist/inspect directly.
+    out._sparkx_cached_dep = cached_dep
     return out
 
 

@@ -275,6 +275,9 @@ def run_catchup(writer, timeout_s: float = 600):
     next catch-up run's first batches.  Returns the terminated query;
     re-raises any streaming exception."""
     q = writer.trigger(processingTime="200 milliseconds").start()
+    # the timeout is IDLE-based: re-armed on every completed batch, so a
+    # long but steadily-draining backlog is never killed mid-drain — only a
+    # query making no batch progress for timeout_s trips it
     deadline = time.time() + timeout_s
     last_batch_id = -1
     empty_after_drain = 0
@@ -286,6 +289,7 @@ def run_catchup(writer, timeout_s: float = 600):
         p = q.lastProgress
         if p is not None and p["batchId"] != last_batch_id:
             last_batch_id = p["batchId"]
+            deadline = time.time() + timeout_s
             if p["numInputRows"] > 0:
                 empty_after_drain = 0
             elif not q.status["isDataAvailable"]:
@@ -317,7 +321,7 @@ def run_catchup(writer, timeout_s: float = 600):
         raise exc
     if not drained:
         raise TimeoutError(
-            f"streaming catch-up did not drain within {timeout_s}s "
+            f"streaming catch-up made no batch progress for {timeout_s}s "
             f"(last batch id {last_batch_id}); output may be partial — rerun "
             f"with the same checkpoint to continue from the committed offset"
         )
