@@ -444,8 +444,15 @@ def embedding_near_dup_pairs(
                 for t in range(n_bands)
             ]
         )
-        b = e.select("vec_id", "embedding", F.explode(bands).alias("bk")).select(
-            "vec_id", "embedding", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        # norm2 hoisted to a per-ROW column before the band explode: the
+        # cosine lambdas are interpreted, so the per-CANDIDATE verify must
+        # pay one traversal (the dot), not four — same arithmetic
+        # (dot / sqrt(na*nb), identical fold order), bit-identical scores
+        b = e.withColumn("norm2", _norm2("embedding")).select(
+            "vec_id", "embedding", "norm2", F.explode(bands).alias("bk")
+        ).select(
+            "vec_id", "embedding", "norm2",
+            F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
         )
         return (
             b.alias("a")
@@ -454,7 +461,11 @@ def embedding_near_dup_pairs(
             .select(
                 F.col("a.vec_id").alias("a_id"),
                 F.col("b.vec_id").alias("b_id"),
-                F.round(_cosine("a.embedding", "b.embedding"), 4).alias("cosine"),
+                F.round(
+                    _dot("a.embedding", "b.embedding")
+                    / F.sqrt(F.col("a.norm2") * F.col("b.norm2")),
+                    4,
+                ).alias("cosine"),
             )
             .filter(F.col("cosine") >= threshold)
             .distinct()
