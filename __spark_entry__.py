@@ -650,11 +650,21 @@ def _q_corpus_funnel(spark, sf_dir):
     training-data pipeline, oracle-verified."""
     from sparkx.corpus_build import corpus_flags
 
-    flagged = corpus_flags(
+    cf = corpus_flags(
         _blocks(spark, sf_dir, "fastpath"),
         min_tokens=5, max_tokens=5000, min_quality=0.0, sample_rate=0.5,
         salt="corpus0",
     )
+    with cf as flagged:
+        agg = _funnel_agg(flagged)
+        # materialize now so the extraction cache releases before the other
+        # gate queries run in the same session; return the 1-row result as a
+        # literal frame with the identical schema
+        rows = agg.collect()
+    return spark.createDataFrame(rows, agg.schema)
+
+
+def _funnel_agg(flagged):
     return flagged.agg(
         F.count("*").alias("blocks_in"),
         F.sum(F.col("is_canonical").cast("long")).alias("after_dedup"),
@@ -676,32 +686,14 @@ def _q_corpus_funnel_fuzzy(spark, sf_dir):
     Oracle: the same funnel with a recursive-CTE connected-components pass."""
     from sparkx.corpus_build import corpus_flags
 
-    flagged = corpus_flags(
+    cf = corpus_flags(
         _blocks(spark, sf_dir, "fastpath"),
         min_tokens=5, max_tokens=5000, min_quality=0.0, sample_rate=0.5,
         salt="corpus0", dedup_mode="minhash", jaccard_threshold=0.05,
     )
-    agg = flagged.agg(
-        F.count("*").alias("blocks_in"),
-        F.sum(F.col("is_canonical").cast("long")).alias("after_dedup"),
-        F.sum((F.col("is_canonical") & F.col("passes_quality")).cast("long")).alias(
-            "after_quality"
-        ),
-        F.sum(
-            (F.col("is_canonical") & F.col("passes_quality") & F.col("sampled")).cast(
-                "long"
-            )
-        ).alias("after_sample"),
-    )
-    # materialize the 1-row aggregate NOW so corpus_flags' minhash-mode cache
-    # (the extracted-blocks frame, persisted so cluster resolution and this
-    # aggregate share one extraction pass) can be released before the other
-    # gate queries run in the same session; return the tiny result as a
-    # literal frame with the identical schema
-    rows = agg.collect()
-    dep = getattr(flagged, "_sparkx_cached_dep", None)
-    if dep is not None:
-        dep.unpersist()
+    with cf as flagged:
+        agg = _funnel_agg(flagged)
+        rows = agg.collect()
     return spark.createDataFrame(rows, agg.schema)
 
 

@@ -31,6 +31,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import dataclasses
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,6 +40,41 @@ from sparkx.ops.corpus import _gate, sample_bucket
 from sparkx.ops.dedup import connected_components, minhash_lsh_pairs
 from sparkx.ops.textstats import fingerprint, quality_score, token_count
 from sparkx.pipeline import extract_blocks, surviving
+
+# NULL-fingerprint sentinel for the canonical-pick join key: fp is an md5 hex
+# string, so no real fingerprint can collide with it.  Joining on a coalesced
+# key keeps NULL-fp rows (equality join keys drop NULLs silently) and groups
+# them as ONE dedup group — the same semantics a row_number window (and the
+# DuckDB window oracle) gives NULL partitions.
+_NULL_FP_KEY = "∅null-fp"
+
+
+@dataclasses.dataclass
+class CorpusFlags:
+    """The flagged corpus frame plus the EXPLICIT cache handles backing it.
+
+    ``corpus_flags`` persists intermediate frames so the expensive extraction
+    pass materializes exactly once per job; the handles ride here — not on a
+    hidden DataFrame attribute — so callers can't silently lose them by
+    transforming the frame.  Use as a context manager (unpersists on exit)
+    or call :meth:`unpersist` after the final action over ``frame``::
+
+        with corpus_flags(blocks) as flagged:
+            flagged.agg(...).collect()
+    """
+
+    frame: DataFrame
+    caches: tuple[DataFrame, ...] = ()
+
+    def unpersist(self) -> None:
+        for c in self.caches:
+            c.unpersist()
+
+    def __enter__(self) -> DataFrame:
+        return self.frame
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
 
 
 def corpus_flags(
@@ -50,8 +87,19 @@ def corpus_flags(
     dedup_mode: str = "exact",
     jaccard_threshold: float = 0.5,
     ngram_n: int = 3,
-) -> DataFrame:
+) -> CorpusFlags:
     """Annotate surviving text blocks with the funnel stage flags.
+
+    Returns a :class:`CorpusFlags` — the flagged frame plus the cache
+    handles that guarantee the extraction pass materializes ONCE per job:
+    the canonical pick self-joins the extracted frame, and without a
+    materialization point between extraction and that join, Catalyst expands
+    the full scan→MapInPandas subtree on BOTH join sides (extraction is the
+    dominant cost at the 100 TB design point — doubling it is the single
+    worst plan defect this module can have).  The extracted+fingerprinted
+    base is persisted (MEMORY_AND_DISK; a real deployment sizes executor
+    storage or swaps in a reliable checkpoint) so both sides of the pick
+    read the in-memory relation.
 
     ``dedup_mode``:
 
@@ -61,7 +109,10 @@ def corpus_flags(
       aggregates map-side and the join is AQE-skew-splittable, so one
       boilerplate string duplicated 10^8 times costs a combiner, not a
       single 10^8-row window task (windows cannot be partially aggregated
-      and AQE does not split skewed window partitions).
+      and AQE does not split skewed window partitions).  The join key is
+      NULL-coalesced (``_NULL_FP_KEY``): equality join keys silently drop
+      NULL rows, while the window form (and the DuckDB oracle) keeps a NULL
+      partition — coalescing preserves those rows as one dedup group.
     * ``"minhash"`` — exact pass first, then MinHash-LSH near-dup pairs over
       the exact canonicals are resolved to CLUSTERS (connected components,
       sparkx.ops.dedup.connected_components); ``is_canonical`` keeps only the
@@ -69,28 +120,33 @@ def corpus_flags(
       removes fuzzy duplicates from a training corpus — pairs alone cannot.
       The cluster-loser set is a near-dup-only frame (tiny relative to the
       corpus), joined back as a null-flagging left join (AQE picks
-      broadcast-hash when the frame is actually tiny).
+      broadcast-hash when the frame is actually tiny).  The exact-canonical
+      frame is persisted too (second cache handle): the cluster pass, the
+      loser join probe, and the caller's materialization all read it.
     """
     text_blocks = surviving(blocks).filter(F.col("chunk_type") == "text")
     fp = fingerprint("structured_text")  # ONE normalization definition
     n = token_count("structured_text")
-    flagged = text_blocks.withColumn("fp", fp)
-    canon = flagged.groupBy("fp").agg(F.min("chunk_id").alias("_canon_chunk_id"))
-    flagged = flagged.join(canon, "fp").withColumn(
-        "is_canonical", F.col("chunk_id") == F.col("_canon_chunk_id")
-    ).drop("_canon_chunk_id")
-    cached_dep = None
+    base = (
+        text_blocks.withColumn("fp", fp)
+        .withColumn("_fp_key", F.coalesce(F.col("fp"), F.lit(_NULL_FP_KEY)))
+        .persist()  # persist() returns self (PySpark API)
+    )
+    caches: tuple[DataFrame, ...] = (base,)
+    canon = base.groupBy("_fp_key").agg(F.min("chunk_id").alias("_canon_chunk_id"))
+    flagged = (
+        base.join(canon, "_fp_key")
+        .withColumn("is_canonical", F.col("chunk_id") == F.col("_canon_chunk_id"))
+        .drop("_canon_chunk_id", "_fp_key")
+    )
     if dedup_mode == "minhash":
-        # persist the exact-canonical frame FIRST: connected_components
-        # localCheckpoints its input eagerly, which would otherwise run the
-        # whole extraction + canonical-pick pipeline once for the cluster
-        # pass and AGAIN when the caller materializes the returned plan —
-        # at the 100 TB design point the extraction pass is the expensive
-        # one, and it must run once.  The handle is stashed on the returned
-        # DataFrame so build_corpus can unpersist after its own
-        # materialization (a bare corpus_flags caller keeps the cache for
-        # the session, which is what a query over the frame wants anyway).
-        cached_dep = flagged.persist()  # persist() returns self (PySpark API)
+        # persist the exact-canonical frame as well: connected_components
+        # localCheckpoints its input eagerly, and the frame is read three
+        # times (cluster pass, loser-join probe, caller materialization) —
+        # without this each read re-runs the canonical-pick shuffle over the
+        # cached base
+        flagged = flagged.persist()
+        caches = (base, flagged)
         reps = flagged.filter("is_canonical").select(
             F.col("chunk_id").alias("doc_id"),
             F.col("structured_text").alias("text"),
@@ -125,13 +181,7 @@ def corpus_flags(
             sample_bucket("chunk_id", salt) < F.lit(_gate(sample_rate)),
         )
     )
-    # HIDDEN-CONTRACT WARNING: the cache handle rides on the returned
-    # DataFrame object.  If a transform is ever inserted between this return
-    # and the caller's getattr (e.g. a .repartition() before .persist() in
-    # build_corpus), the attribute is lost and the cache leaks silently —
-    # keep the return value the frame callers persist/inspect directly.
-    out._sparkx_cached_dep = cached_dep
-    return out
+    return CorpusFlags(frame=out, caches=caches)
 
 
 def build_corpus(
@@ -161,7 +211,7 @@ def build_corpus(
     import uuid
 
     run_id = run_id or f"corpus_{uuid.uuid4().hex[:8]}"
-    flagged = corpus_flags(
+    cf = corpus_flags(
         extract_blocks(transcripts, mode=mode, run_id=run_id),
         min_tokens=min_tokens,
         max_tokens=max_tokens,
@@ -170,7 +220,8 @@ def build_corpus(
         salt=salt,
         dedup_mode=dedup_mode,
         jaccard_threshold=jaccard_threshold,
-    ).persist()
+    )
+    flagged = cf.frame.persist()
     try:
         rollup = (
             flagged.groupBy("is_canonical", "passes_quality", "sampled")
@@ -208,6 +259,4 @@ def build_corpus(
         return funnel
     finally:
         flagged.unpersist()
-        dep = getattr(flagged, "_sparkx_cached_dep", None)
-        if dep is not None:
-            dep.unpersist()
+        cf.unpersist()

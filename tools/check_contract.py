@@ -62,9 +62,11 @@ def main():
     spark = build_session("contract-check", master="local[8]", shuffle_partitions=8)
     qs, os_ = E.queries(), E.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as ex:
@@ -108,7 +110,8 @@ def main():
         else:
             print(f"✓ {name}: {len(got)} rows")
     spark.stop()
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} OK")
+    subset = f" (subset of {len(qs)} registered)" if only else ""
+    print(f"\n{checked - len(failures)}/{checked} OK{subset}")
     return 1 if failures else 0
 
 
