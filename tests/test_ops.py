@@ -233,22 +233,65 @@ def test_ann_bucket_layout_prunes_partitions(spark, tmp_path):
 
 def test_connected_components_resolves_clusters(spark):
     """Min-label propagation with path halving: chains collapse to the
-    component minimum in O(log n) rounds; disjoint components stay apart."""
+    component minimum in O(log n) rounds; disjoint components stay apart.
+    Both execution paths (driver union-find below the pair threshold,
+    distributed label propagation above / forced) must agree exactly."""
     from sparkx.ops.dedup import connected_components
 
     pairs = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (10, 11), (4, 2)], "a_id long, b_id long"
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
     got = {r.node_id: r.cluster_id for r in connected_components(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert got == want  # driver union-find path (5 pairs < threshold)
+    got_dist = {
+        r.node_id: r.cluster_id
+        for r in connected_components(pairs, driver_pairs_threshold=0).collect()
+    }
+    assert got_dist == want  # forced distributed path, identical output
 
     # a 64-node chain exercises pointer doubling (plain propagation would
-    # need 64 rounds; max_iter=25 only suffices with halving)
+    # need 64 rounds; max_iter=25 only suffices with halving) — force the
+    # distributed path, a driver union-find trivializes chains
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "a_id long, b_id long"
     )
-    got2 = {r.node_id: r.cluster_id for r in connected_components(chain).collect()}
+    got2 = {
+        r.node_id: r.cluster_id
+        for r in connected_components(chain, driver_pairs_threshold=0).collect()
+    }
     assert len(got2) == 64 and set(got2.values()) == {0}
+    # driver path agrees on the chain too
+    got2d = {r.node_id: r.cluster_id for r in connected_components(chain).collect()}
+    assert got2d == got2
+
+    # string ids (the corpus funnel's chunk_id case) through the driver path
+    spairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "a_id string, b_id string"
+    )
+    gots = {r.node_id: r.cluster_id for r in connected_components(spairs).collect()}
+    assert gots == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_warns_on_max_iter_exhaustion(spark):
+    """An unconverged distributed run must not return silently: split
+    clusters inflate dedup survivor counts (ADVICE r3)."""
+    import warnings
+
+    from sparkx.ops.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a_id long, b_id long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(
+            chain, max_iter=2, driver_pairs_threshold=0
+        ).collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "max_iter" in str(w.message)
+        for w in caught
+    )
 
 
 def test_knn_join_lsh_recall_vs_bruteforce(spark):
