@@ -166,15 +166,38 @@ CONV_STATE_SCHEMA = "n_turns long, n_chars long"
 CONV_PROGRESS_SCHEMA = "conv_id string, n_turns long, n_chars long, evicted boolean"
 
 
-def _conv_progress_fn(timeout_ms, key, pdfs, state):
+def _set_state_timeout(state, timeout_ms, timeout_mode, max_event_ts):
+    """Arm the group's eviction timer in the configured mode.
+
+    * ``processing`` — wall-clock idle timeout.  Simple, but NOT
+      replay-deterministic: a checkpoint replayed at a different speed
+      evicts a different key set.
+    * ``event`` — deadline = the group's max event time this batch +
+      ``timeout_ms``; the timer fires when the WATERMARK (data-derived)
+      passes it, so any replay of the same input evicts the same keys.
+      The engine requires the timestamp to be strictly ahead of the
+      current watermark — a group whose deadline is already expired is
+      armed at watermark+1 ms and evicted on the next watermark advance.
+    """
+    if timeout_ms is None or timeout_mode == "none":
+        return
+    if timeout_mode == "event":
+        deadline = int(max_event_ts.value // 1_000_000) + timeout_ms
+        state.setTimeoutTimestamp(max(deadline, state.getCurrentWatermarkMs() + 1))
+    else:
+        state.setTimeoutDuration(timeout_ms)
+
+
+def _conv_progress_fn(timeout_ms, timeout_mode, key, pdfs, state):
     """Accumulate (turn count, char volume) per conv_id across micro-batches.
 
     State EVICTION is mandatory on an unbounded stream: without a timeout,
     state for conversations that never recur is retained forever — the state
     store grows O(all conv_ids ever seen).  A group idle past ``timeout_ms``
-    of processing time emits its final totals with ``evicted=True`` and is
-    removed; a late arrival after eviction re-keys from zero (readers treat
-    evicted rows as closed segments and sum segments per conv_id)."""
+    (processing OR event time — see ``_set_state_timeout``) emits its final
+    totals with ``evicted=True`` and is removed; a late arrival after
+    eviction re-keys from zero (readers treat evicted rows as closed
+    segments and sum segments per conv_id)."""
     import pandas as pd
 
     if state.hasTimedOut:
@@ -186,12 +209,15 @@ def _conv_progress_fn(timeout_ms, key, pdfs, state):
         )
         return
     n_turns, n_chars = state.get if state.exists else (0, 0)
+    max_ts = None
     for pdf in pdfs:
         n_turns += len(pdf)
         n_chars += int(pdf["text"].fillna("").str.len().sum())
+        if timeout_mode == "event" and len(pdf):
+            m = pdf["ts"].max()
+            max_ts = m if max_ts is None else max(max_ts, m)
     state.update((n_turns, n_chars))
-    if timeout_ms is not None:
-        state.setTimeoutDuration(timeout_ms)
+    _set_state_timeout(state, timeout_ms, timeout_mode, max_ts)
     yield pd.DataFrame(
         {"conv_id": [key[0]], "n_turns": [n_turns], "n_chars": [n_chars],
          "evicted": [False]}
@@ -205,15 +231,31 @@ def start_conv_progress_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     idle_timeout_ms: int | None = 60_000,
+    timeout_mode: str = "processing",
+    watermark_delay: str = "0 seconds",
 ):
     """Stateful per-conversation progress tracker over the transcript stream.
     State lives in Spark's streaming state store (RocksDB/HDFS-backed on a
     real cluster), keyed by conv_id — survives restarts via the checkpoint.
 
     ``idle_timeout_ms`` bounds the state store: a conversation idle that long
-    (processing time) is evicted with a final ``evicted=True`` row.  ``None``
-    disables eviction — ONLY for bounded catch-up runs over closed inputs;
-    never on an unbounded stream.
+    is evicted with a final ``evicted=True`` row.  ``None`` disables eviction
+    — ONLY for bounded catch-up runs over closed inputs; never on an
+    unbounded stream.
+
+    ``timeout_mode``:
+
+    * ``"processing"`` — wall-clock idleness (the r3 behavior).  NOT
+      replay-deterministic: replaying the checkpoint slower evicts a
+      different key set.
+    * ``"event"`` — EVENT-time idleness: a conversation whose newest event
+      is older than ``idle_timeout_ms`` behind the stream's watermark
+      (``withWatermark(ts, watermark_delay)``) is evicted.  The watermark is
+      derived from the DATA, so any replay of the same input at any speed
+      evicts the identical key set — the mode an auditable incremental
+      pipeline should use.  Late rows older than the watermark may be
+      dropped by the engine before reaching the operator (standard watermark
+      semantics; size ``watermark_delay`` to the expected disorder).
 
     ``available_now=True`` runs SYNCHRONOUSLY: processing-time timers count
     as pending work, so neither Trigger.AvailableNow (never terminates; Spark
@@ -230,19 +272,15 @@ def start_conv_progress_stream(
     needs."""
     import functools
 
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
     transcripts = stream_transcripts(spark, in_dir)
+    if timeout_mode == "event" and idle_timeout_ms is not None:
+        transcripts = transcripts.withWatermark("ts", watermark_delay)
     progress = transcripts.groupBy("conv_id").applyInPandasWithState(
-        functools.partial(_conv_progress_fn, idle_timeout_ms),
+        functools.partial(_conv_progress_fn, idle_timeout_ms, timeout_mode),
         outputStructType=CONV_PROGRESS_SCHEMA,
         stateStructType=CONV_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if idle_timeout_ms is not None
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=_timeout_conf(idle_timeout_ms, timeout_mode),
     )
     from pyspark.sql import functions as F
 
@@ -261,6 +299,20 @@ def start_conv_progress_stream(
     if not available_now:
         return writer.start()
     return run_catchup(writer)
+
+
+def _timeout_conf(idle_timeout_ms, timeout_mode):
+    """GroupStateTimeout for the (timeout, mode) pair — shared by the
+    stateful operators so mode strings can't drift."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if idle_timeout_ms is None or timeout_mode == "none":
+        return GroupStateTimeout.NoTimeout
+    if timeout_mode == "event":
+        return GroupStateTimeout.EventTimeTimeout
+    if timeout_mode == "processing":
+        return GroupStateTimeout.ProcessingTimeTimeout
+    raise ValueError(f"unknown timeout_mode {timeout_mode!r}")
 
 
 def run_catchup(writer, timeout_s: float = 600):
@@ -348,12 +400,15 @@ def start_turn_window_stream(
     * the watermark trails the max event time seen by ``watermark``; a late
       row older than the watermark is DROPPED, one inside it is still
       counted (its window has not finalized);
-    * append output: a window emits exactly ONCE, when the watermark passes
-      its end — so the sink holds finalized, immutable rows (no reader-side
-      latest-per-key resolution needed), and the last open windows emit on a
-      LATER run once newer events advance the watermark.  That is the right
-      contract for an incremental catch-up schedule; a tail flush at stream
-      retirement would use update mode or a final marker event.
+    * append output: the ENGINE emits a window exactly once, when the
+      watermark passes its end — so each emitted row is finalized and
+      immutable, and the last open windows emit on a LATER run once newer
+      events advance the watermark.  The parquet SINK, however, is
+      at-least-once: a micro-batch retried after a partial write appends
+      again.  Every row is therefore stamped with ``batch_id`` so readers
+      deduplicate replays on (window_start, window_end, role, batch_id) —
+      same recipe as the conv-progress and dedup sinks.  A tail flush at
+      stream retirement would use update mode or a final marker event.
 
     No timers are involved, so plain ``Trigger.AvailableNow`` terminates and
     is used directly (contrast run_catchup, which exists only for
@@ -381,7 +436,9 @@ def start_turn_window_stream(
     )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(f"{out_dir}/windows")
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            f"{out_dir}/windows"
+        )
 
     q = (
         agg.writeStream.outputMode("append")

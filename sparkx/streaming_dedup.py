@@ -44,7 +44,7 @@ DEDUP_OUT_SCHEMA = (
 )
 
 
-def _dedup_fn(timeout_ms, key, pdfs, state):
+def _dedup_fn(timeout_ms, timeout_mode, key, pdfs, state):
     """Keep the first-seen chunk_id per fingerprint; drop the rest.
 
     Emits one row per NEW fingerprint (the canonical row, ``evicted=False``)
@@ -81,8 +81,10 @@ def _dedup_fn(timeout_ms, key, pdfs, state):
         first = batch.iloc[0]
         state.update((first.chunk_id, n_dups))
         out = batch.iloc[[0]]
-    if timeout_ms is not None:
-        state.setTimeoutDuration(timeout_ms)
+    from sparkx.streaming import _set_state_timeout
+
+    max_ts = batch["ts"].max() if timeout_mode == "event" and len(batch) else None
+    _set_state_timeout(state, timeout_ms, timeout_mode, max_ts)
     if len(out):
         yield pd.DataFrame(
             {
@@ -104,14 +106,21 @@ def start_dedup_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     idle_timeout_ms: int | None = 60_000,
+    timeout_mode: str = "processing",
+    watermark_delay: str = "0 seconds",
 ):
     """First-seen-wins dedup over the transcript stream, keyed by the
     normalized-content fingerprint.  Same synchronous catch-up contract as
     ``sparkx.streaming.start_conv_progress_stream`` (progress-watching stop;
-    timers due between runs fire on the next run's first batches)."""
+    timers due between runs fire on the next run's first batches), and the
+    same ``timeout_mode`` choice: ``"event"`` makes the dedup WINDOW
+    event-time-defined — a fingerprint is forgotten when its newest
+    occurrence falls ``idle_timeout_ms`` behind the watermark — so a
+    checkpoint replay at any speed forgets the identical fingerprint set
+    (processing-time eviction depends on wall-clock pacing)."""
     import functools
 
-    from pyspark.sql.streaming.state import GroupStateTimeout
+    from sparkx.streaming import _timeout_conf
 
     transcripts = stream_transcripts(spark, in_dir)
     rows = transcripts.select(
@@ -124,17 +133,16 @@ def start_dedup_stream(
         "conv_id",
         "turn_idx",
         "text",
+        "ts",
     )
+    if timeout_mode == "event" and idle_timeout_ms is not None:
+        rows = rows.withWatermark("ts", watermark_delay)
     deduped = rows.groupBy("fp").applyInPandasWithState(
-        functools.partial(_dedup_fn, idle_timeout_ms),
+        functools.partial(_dedup_fn, idle_timeout_ms, timeout_mode),
         outputStructType=DEDUP_OUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if idle_timeout_ms is not None
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=_timeout_conf(idle_timeout_ms, timeout_mode),
     )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
