@@ -76,9 +76,18 @@ def run_resumable(
     n_groups: int = 8,
     n_buckets: int = 32,
     fail_after_groups: int | None = None,
+    sink=None,
 ) -> dict:
     """Checkpointed extraction.  Safe to re-invoke after any failure; only
-    uncommitted groups re-run.  Returns summary incl. per-group manifests."""
+    uncommitted groups re-run.  Returns summary incl. per-group manifests.
+
+    ``sink`` (sparkx.table_sink.TableSink, default ParquetDirSink) is the
+    storage seam for the two data writes (group slice overwrite, metrics
+    append); swap in IcebergTableSink to make each group commit an Iceberg
+    snapshot — the JSON manifest then merely mirrors snapshot metadata."""
+    from sparkx.table_sink import DEFAULT_SINK
+
+    sink = sink or DEFAULT_SINK
     run_id = run_id or f"run_{int(time.time())}"
     done = completed_groups(out_path)
     # Fail fast on parameter drift: group membership is a function of
@@ -118,10 +127,13 @@ def run_resumable(
         blocks.persist()
         try:
             data_dir = f"{out_path}/extracted/commit_group={g}"
-            surviving(blocks).write.mode("overwrite").parquet(data_dir)
-            extraction_metrics(blocks, run_id).withColumn(
-                "detail", F.concat_ws("|", F.lit(f"group={g}"), "detail")
-            ).write.mode("append").parquet(f"{out_path}/metrics")
+            sink.overwrite_slice(surviving(blocks), data_dir)
+            sink.append(
+                extraction_metrics(blocks, run_id).withColumn(
+                    "detail", F.concat_ws("|", F.lit(f"group={g}"), "detail")
+                ),
+                f"{out_path}/metrics",
+            )
             status_counts = {
                 r["status"]: r["n"]
                 for r in blocks.groupBy("status").agg(F.count("*").alias("n")).collect()

@@ -64,13 +64,15 @@ def save_answers_json(answers: DataFrame, out_dir: str) -> None:
     serialized_answer(answers).coalesce(1).write.mode("overwrite").json(out_dir)
 
 
-def upsert_extracted(extracted: DataFrame, table_path: str) -> None:
+def upsert_extracted(extracted: DataFrame, table_path: str, sink=None) -> None:
     """Idempotent append-or-replace by conv_bucket partition (store.py:45-77
-    upsert semantics under deterministic ids)."""
-    spark = extracted.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        extracted.write.mode("overwrite").partitionBy("conv_bucket").parquet(table_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    upsert semantics under deterministic ids).  ``sink`` is the storage seam
+    (sparkx.table_sink.TableSink): the default ParquetDirSink gives dynamic
+    partition overwrite on a path; pass IcebergTableSink on a cluster with
+    the Iceberg runtime to make the same call a catalog-table snapshot
+    commit."""
+    from sparkx.table_sink import DEFAULT_SINK
+
+    (sink or DEFAULT_SINK).overwrite_partitions(
+        extracted, table_path, ["conv_bucket"]
+    )

@@ -97,3 +97,32 @@ class TestEmbedder:
         for r in embed_vectors(ex).collect():
             n = math.sqrt(sum(x * x for x in r.embedding))
             assert abs(n - 1.0) < 1e-5 or n == 0.0
+
+
+def test_table_sink_seam(spark, tmp_path):
+    """The storage seam: explicit ParquetDirSink behaves exactly like the
+    default (dynamic partition overwrite replaces only the partitions
+    present), and IcebergTableSink fails at CONSTRUCTION with an actionable
+    message when the Iceberg extensions are absent."""
+    import pytest
+
+    from sparkx.table_sink import IcebergTableSink, ParquetDirSink
+
+    sink = ParquetDirSink()
+    t = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame(
+        [(1, 0, "a"), (2, 1, "b")], "chunk_row long, conv_bucket int, v string"
+    )
+    sink.overwrite_partitions(df1, t, ["conv_bucket"])
+    # second upsert touches only bucket 1: bucket 0 must survive
+    df2 = spark.createDataFrame([(3, 1, "c")], "chunk_row long, conv_bucket int, v string")
+    sink.overwrite_partitions(df2, t, ["conv_bucket"])
+    got = {(r.chunk_row, r.conv_bucket, r.v) for r in spark.read.parquet(t).collect()}
+    assert got == {(1, 0, "a"), (3, 1, "c")}
+
+    sink.append(df2.drop("conv_bucket"), str(tmp_path / "log"))
+    sink.append(df2.drop("conv_bucket"), str(tmp_path / "log"))
+    assert spark.read.parquet(str(tmp_path / "log")).count() == 2
+
+    with pytest.raises(RuntimeError, match="Iceberg"):
+        IcebergTableSink(spark, "cat.db")
