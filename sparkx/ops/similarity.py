@@ -154,18 +154,29 @@ def knn_join(
     k: int = 5,
     nbits: int = 8,
     probe_hamming: int = 1,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
-    """Batch kNN self-join: for EVERY row, its top-k cosine neighbors —
-    the shape semantic dedup and retrieval evaluation need at corpus scale
+    """Batch kNN join: top-k cosine neighbors in ``emb`` for every query row
+    — the shape semantic dedup and retrieval evaluation need at corpus scale
     (one query at a time is a driver loop; this is one distributed plan).
+    ``queries=None`` is the self-join (every row is a query); pass a small
+    (vec_id, embedding) batch to probe a large corpus — the shape an
+    incremental ingest uses ("which existing docs does each NEW doc
+    near-match?").
 
     Execution: sign-LSH bucketing on both sides; each query row probes its
     own bucket plus Hamming-``probe_hamming`` neighbor buckets (probe list
-    exploded on the QUERY side — the data side is touched once, partition
-    pruning on ``bucket`` applies when bucket-partitioned); candidate pairs
-    deduped (a pair can collide in several probe buckets), then per-query
-    top-k via a row_number window partitioned by query id.  The window input
-    is the candidate set (bounded per bucket), never the full cross product.
+    exploded on the QUERY side — the data side is touched once).  When
+    ``emb`` already carries a ``bucket`` column — i.e. it was READ from a
+    bucket-partitioned table (``write.partitionBy("bucket")``, the layout
+    ann storage should use) — that scan column is the join key directly, so
+    Spark's dynamic partition pruning turns the small-query join into a
+    planning-time directory prune of the corpus scan (evidenced in
+    PLANS.md); otherwise the bucket is computed on the fly.  Candidate pairs
+    are deduped (a pair can collide in several probe buckets), then
+    per-query top-k via a row_number window partitioned by query id.  The
+    window input is the candidate set (bounded per bucket), never the full
+    cross product.
 
     Recall note: like every LSH probe, a true neighbor whose bucket differs
     in > probe_hamming of the first ``nbits`` sign bits is missed; recall is
@@ -183,15 +194,23 @@ def knn_join(
     # the join INPUTS, so the worst CollapseProject can do is re-evaluate the
     # probe side's norm once per exploded probe row — #probes per vector,
     # still never per pair)
-    b = (
-        emb.select("vec_id", "embedding")
-        .withColumn("bucket", sign_bucket(nbits=nbits))
-        .withColumn("norm2", _norm2("embedding"))
-    )
+    cols = ["vec_id", "embedding"] + (["bucket"] if "bucket" in emb.columns else [])
+    b = emb.select(*cols)
+    if "bucket" not in b.columns:
+        b = b.withColumn("bucket", sign_bucket(nbits=nbits))
+    b = b.withColumn("norm2", _norm2("embedding"))
+    if queries is None:
+        qsrc = b
+    else:
+        qsrc = (
+            queries.select("vec_id", "embedding")
+            .withColumn("bucket", sign_bucket(nbits=nbits))
+            .withColumn("norm2", _norm2("embedding"))
+        )
     probes = F.array(
         *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in probe_masks(nbits, probe_hamming)]
     )
-    q = b.select(
+    q = qsrc.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_embedding"),
         F.col("norm2").alias("q_norm2"),

@@ -524,3 +524,41 @@ def test_winnow_overlap_pairs_and_cap(spark):
     # the df>=2 ones, so capping at 1 removes every candidate — the bound
     capped = winnow_overlap_pairs(docs, n=3, window=4, min_shared=1, max_fp_df=1)
     assert capped.count() == 0
+
+
+def test_knn_join_query_batch_and_partition_pruning(spark, tmp_path):
+    """Query-batch kNN against a bucket-partitioned corpus: (1) results are
+    identical whether the bucket comes from the partitioned SCAN or is
+    recomputed from the embedding, (2) the scan-bucket plan carries a
+    dynamic-partition-pruning filter (the corpus reads only probed bucket
+    directories), (3) results equal the self-join restricted to the query
+    ids (same probe geometry)."""
+    from sparkx.ops.similarity import knn_join, sign_bucket
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bdir = str(tmp_path / "emb_bucketed")
+    emb.withColumn("bucket", sign_bucket(nbits=8)).write.partitionBy(
+        "bucket"
+    ).parquet(bdir)
+    table = spark.read.parquet(bdir)
+    qbatch = emb.filter("vec_id < 8")
+
+    from_scan = knn_join(table, k=3, nbits=8, probe_hamming=1, queries=qbatch)
+    plan = from_scan._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruning" in plan
+
+    got_scan = {(r.q_id, r.vec_id, r.cosine, r.rank) for r in from_scan.collect()}
+    got_computed = {
+        (r.q_id, r.vec_id, r.cosine, r.rank)
+        for r in knn_join(emb, k=3, nbits=8, probe_hamming=1, queries=qbatch).collect()
+    }
+    assert got_scan == got_computed and len(got_scan) > 0
+
+    self_join = knn_join(emb, k=3, nbits=8, probe_hamming=1)
+    got_self = {
+        (r.q_id, r.vec_id, r.cosine, r.rank)
+        for r in self_join.filter("q_id < 8").collect()
+    }
+    assert got_scan == got_self

@@ -10,6 +10,27 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
+def _funnel_plan(spark, fmt, t):
+    """Physical plan of the funnel aggregate over the flagged frame (the
+    corpus_funnel driver query collects this and returns a literal frame, so
+    the audit must plan the underlying DAG directly)."""
+    import re
+
+    import __spark_entry__ as E
+    from sparkx.corpus_build import corpus_flags
+    from sparkx.pipeline import extract_blocks
+
+    cf = corpus_flags(
+        extract_blocks(t, mode="fastpath"),
+        min_tokens=5, max_tokens=5000, min_quality=0.0, sample_rate=0.5,
+    )
+    plan = fmt(E._funnel_agg(cf.frame))
+    cf.unpersist()
+    n_mip = len(re.findall(r"^\s*\(\d+\)\s+MapInPandas", plan, re.M))
+    assert n_mip == 1, f"funnel plan has {n_mip} MapInPandas operators (want 1)"
+    return plan
+
+
 def main() -> int:
     import __spark_entry__ as E
     from sparkx.graft import transcripts_from_documents
@@ -86,14 +107,20 @@ def main() -> int:
         ),
         (
             "Corpus-build funnel (extract → dedup → quality → sample, one DAG)",
-            fmt(E.queries()["corpus_funnel"](spark, sf)),
-            "What to check (r3 shape): the canonical pick is\n"
+            _funnel_plan(spark, fmt, t),
+            "What to check (r4 shape): ONE extraction.  The extracted+fingerprinted\n"
+            "base is persisted before the canonical-pick self-join, so the plan shows\n"
+            "a single MapInPandas inside the InMemoryRelation definition and\n"
+            "InMemoryTableScan on BOTH sides of the pick join — r3's plan expanded\n"
+            "the full scan→Exchange→MapInPandas subtree twice, doubling the dominant\n"
+            "cost at the 100 TB design point.  The pick itself is\n"
             "HashAggregate(partial min)→Exchange→HashAggregate + an equi-join back —\n"
             "NOT a Window.  A window cannot partially aggregate and AQE does not\n"
             "split skewed window partitions, so one 10^8-duplicate fingerprint would\n"
             "pin a single task; the groupBy form map-side combines and the join is\n"
-            "AQE-skew-splittable.  Quality and sampling are codegen'd predicates\n"
-            "layered as flags, never separate jobs.",
+            "AQE-skew-splittable (NULL fingerprints ride a coalesced join key, one\n"
+            "group).  Quality and sampling are codegen'd predicates layered as\n"
+            "flags, never separate jobs.",
         ),
         (
             "Batch kNN self-join (sign-LSH buckets + Hamming-1 multiprobe)",
@@ -139,6 +166,29 @@ def main() -> int:
             "the Hamming-1 probe set (9 of 256 directories here) is pruned at PLANNING\n"
             "time, so a 100 TB vector table reads ~9/256 of its files, not all of\n"
             "them.  This is the storage layout topk_lsh/knn_join are designed for.",
+        )
+    )
+
+    # batch kNN of a SMALL query set against the bucket-partitioned corpus:
+    # the corpus scan must carry a dynamicpruningexpression PartitionFilter
+    # (DPP) — the probe-side bucket list prunes corpus directories at runtime
+    from sparkx.ops.similarity import knn_join
+
+    qbatch = emb.filter("vec_id < 5")
+    knn_plan = fmt(knn_join(table, k=3, nbits=8, probe_hamming=1, queries=qbatch))
+    assert "dynamicpruning" in knn_plan, "DPP did not fire on the knn_join probe"
+    sections.append(
+        (
+            "Batch kNN join of a query batch against the bucket-PARTITIONED corpus (DPP)",
+            knn_plan,
+            "What to check: the corpus-side parquet scan's PartitionFilters contain\n"
+            "``dynamicpruningexpression(bucket IN dynamicpruning#N)`` — Spark's dynamic\n"
+            "partition pruning builds the probed-bucket set from the (small) exploded\n"
+            "query side at runtime and skips every other bucket directory of the\n"
+            "corpus.  A 1k-doc incremental batch against a 100 TB vector table reads\n"
+            "only the ~(1+nbits)/2^nbits probed fraction of files.  The scan's bucket\n"
+            "column (not a recomputed expression) is the join key — that is what makes\n"
+            "the prune reach storage; knn_join reuses it automatically when present.",
         )
     )
 
