@@ -256,6 +256,18 @@ def _q_ann_knn_join(spark, sf_dir):
     return S.knn_join(_emb(spark, sf_dir), k=3, nbits=8, probe_hamming=1)
 
 
+def _q_ann_knn_batch(spark, sf_dir):
+    """Incremental-batch kNN: a small query batch (vec_id < 8 — 'the new
+    docs') probed against the full corpus via knn_join(queries=...).  Same
+    probe geometry as ann_knn_join; the corpus side is scanned once and,
+    when read from a bucket-partitioned table, dynamic partition pruning
+    reaches the scan (PLANS.md DPP section; tests/test_ops.py)."""
+    emb = _emb(spark, sf_dir)
+    return S.knn_join(
+        emb, k=3, nbits=8, probe_hamming=1, queries=emb.filter("vec_id < 8")
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTER resolution: MinHash-LSH pairs → connected components
     (iterative min-label propagation with path halving), one
@@ -883,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_pack": _q_cur_pack,
         "corpus_funnel_fuzzy": _q_corpus_funnel_fuzzy,
         "dedup_recall_report": _q_dedup_recall_report,
+        "ann_knn_batch": _q_ann_knn_batch,
         "corpus_funnel": _q_corpus_funnel,
         "stream_extract": _q_stream_extract,
         "sessionize": _q_sessionize,
@@ -1253,6 +1266,33 @@ _COS = (
 )
 
 
+def _knn_join_oracle_sql(query_where: str = "") -> str:
+    """kNN join oracle (mirrors similarity.knn_join probe geometry: 8-bit
+    sign bucket + Hamming-1 probes, per-query top-3).  ``query_where``
+    restricts the query side — '' is the self-join (ann_knn_join), a
+    vec_id predicate is the incremental-batch mode (ann_knn_batch)."""
+    xors = ", ".join(f"xor(bucket, {1 << i})" for i in range(8))
+    return f"""
+            WITH b AS (
+              SELECT vec_id, embedding, {_emb_bucket_sql(1, 8)} AS bucket FROM embeddings),
+            probes AS (
+              SELECT vec_id AS q_id, embedding AS q_embedding,
+                unnest([bucket, {xors}]) AS bucket
+              FROM b {query_where}),
+            pairs AS (
+              SELECT DISTINCT q.q_id, a.vec_id,
+                round(list_dot_product(q.q_embedding::DOUBLE[], a.embedding::DOUBLE[]) /
+                  sqrt(list_dot_product(q.q_embedding::DOUBLE[], q.q_embedding::DOUBLE[]) *
+                       list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])), 4) AS cosine
+              FROM probes q JOIN b a ON q.bucket = a.bucket
+              WHERE q.q_id != a.vec_id),
+            ranked AS (
+              SELECT q_id, vec_id, cosine,
+                row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM pairs)
+            SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ext_text_blocks": _BLOCKS_CTE + f"""
@@ -1398,25 +1438,8 @@ GROUP BY 1"""
             FROM b a JOIN probes q ON a.bucket = q.bucket
             WHERE a.vec_id != 0
             ORDER BY cosine DESC, a.vec_id ASC LIMIT 10""",
-        "ann_knn_join": f"""
-            WITH b AS (
-              SELECT vec_id, embedding, {_emb_bucket_sql(1, 8)} AS bucket FROM embeddings),
-            probes AS (
-              SELECT vec_id AS q_id, embedding AS q_embedding,
-                unnest([bucket, {", ".join(f"xor(bucket, {1 << i})" for i in range(8))}]) AS bucket
-              FROM b),
-            pairs AS (
-              SELECT DISTINCT q.q_id, a.vec_id,
-                round(list_dot_product(q.q_embedding::DOUBLE[], a.embedding::DOUBLE[]) /
-                  sqrt(list_dot_product(q.q_embedding::DOUBLE[], q.q_embedding::DOUBLE[]) *
-                       list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])), 4) AS cosine
-              FROM probes q JOIN b a ON q.bucket = a.bucket
-              WHERE q.q_id != a.vec_id),
-            ranked AS (
-              SELECT q_id, vec_id, cosine,
-                row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
-              FROM pairs)
-            SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3""",
+        "ann_knn_join": _knn_join_oracle_sql(),
+        "ann_knn_batch": _knn_join_oracle_sql(query_where="WHERE vec_id < 8"),
         "ann_text_topk": """
             WITH toks AS (
               SELECT doc_id AS id,
