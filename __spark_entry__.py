@@ -256,6 +256,44 @@ def _q_ann_knn_join(spark, sf_dir):
     return S.knn_join(_emb(spark, sf_dir), k=3, nbits=8, probe_hamming=1)
 
 
+def _q_fp_contamination(spark, sf_dir):
+    """Train/test contamination audit: even-doc_id documents are 'train',
+    odd are 'test'; per test doc, the fraction of its winnowing fingerprints
+    found anywhere in train (textstats.contamination_report — the
+    benchmark-leakage check a training-data release runs).  max_fp_df is
+    pinned None because the oracle computes the uncapped join (same
+    precedent as dedup_ngram_jaccard); the capped scale path is
+    pytest-covered."""
+    d = _docs(spark, sf_dir)
+    return T.contamination_report(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        n=3, window=4, max_fp_df=None,
+    )
+
+
+def _q_ann_bm25(spark, sf_dir):
+    """Lexical first-stage retrieval: Okapi BM25 top-10 for a fixed query
+    over the documents table — the sparse complement to the embedding
+    retrieval path (cosine A4 / ann_*).  Per-term partials are quantized to
+    a 1e-6 grid before the per-doc sum so Spark's and DuckDB's different
+    aggregation orders cannot change the 4-dp score."""
+    return S.bm25_topk(_docs(spark, sf_dir), "hash join vector scan", k=10)
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF-Flat ANN (k-means coarse quantizer, nprobe cells, exact scoring
+    inside — Jégou et al. TPAMI 2011): the data-adaptive scale path next to
+    the fixed-plane sign-LSH probes.  NO DuckDB oracle by design: k-means is
+    iterative and not SQL-expressible, so the driver records the weaker
+    rows-only check; correctness is pinned by
+    tests/test_ops.py::test_ivf_topk_recall_on_clustered_vectors (nprobe=1
+    recovers the query's cluster; nprobe=n_centroids equals brute force)."""
+    return S.ivf_topk(
+        _emb(spark, sf_dir), query_vec_id=0, k=10, n_centroids=8, nprobe=2
+    )
+
+
 def _q_ann_knn_batch(spark, sf_dir):
     """Incremental-batch kNN: a small query batch (vec_id < 8 — 'the new
     docs') probed against the full corpus via knn_join(queries=...).  Same
@@ -896,6 +934,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_funnel_fuzzy": _q_corpus_funnel_fuzzy,
         "dedup_recall_report": _q_dedup_recall_report,
         "ann_knn_batch": _q_ann_knn_batch,
+        "ann_bm25": _q_ann_bm25,
+        "fp_contamination": _q_fp_contamination,
+        "ann_ivf": _q_ann_ivf,  # rows-only: no oracle (iterative k-means)
         "corpus_funnel": _q_corpus_funnel,
         "stream_extract": _q_stream_extract,
         "sessionize": _q_sessionize,
@@ -1440,6 +1481,30 @@ GROUP BY 1"""
             ORDER BY cosine DESC, a.vec_id ASC LIMIT 10""",
         "ann_knn_join": _knn_join_oracle_sql(),
         "ann_knn_batch": _knn_join_oracle_sql(query_where="WHERE vec_id < 8"),
+        "ann_bm25": """
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS term
+              FROM documents),
+            toks2 AS (SELECT * FROM toks WHERE term != ''),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks2
+              WHERE term IN ('hash', 'join', 'vector', 'scan')
+              GROUP BY doc_id, term),
+            dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            part AS (
+              SELECT tf.doc_id,
+                CAST(round(
+                  ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                  * 1000000) AS BIGINT) AS p
+              FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), stats s)
+            SELECT doc_id, round(CAST(sum(p) AS DOUBLE) / 1000000, 4) AS bm25
+            FROM part GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 10""",
         "ann_text_topk": """
             WITH toks AS (
               SELECT doc_id AS id,
@@ -1644,6 +1709,23 @@ GROUP BY 1"""
             FROM winnow_fps a JOIN winnow_fps b
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2"""
+        ),
+        "fp_contamination": (
+            "WITH " + _winnow_fps_ctes() + """,
+            tr AS (SELECT doc_id AS train_id, fp FROM winnow_fps WHERE doc_id % 2 = 0),
+            te AS (SELECT doc_id, fp FROM winnow_fps WHERE doc_id % 2 = 1),
+            tot AS (SELECT doc_id, count(*) AS n_fps FROM te GROUP BY doc_id),
+            hits AS (
+              SELECT te.doc_id,
+                count(DISTINCT te.fp) AS n_shared_fps,
+                count(DISTINCT tr.train_id) AS n_train_docs
+              FROM te JOIN tr ON te.fp = tr.fp GROUP BY te.doc_id)
+            SELECT tot.doc_id AS test_id, tot.n_fps,
+              coalesce(h.n_shared_fps, 0) AS n_shared_fps,
+              coalesce(h.n_train_docs, 0) AS n_train_docs,
+              round(CAST(coalesce(h.n_shared_fps, 0) AS DOUBLE) / tot.n_fps, 4)
+                AS contamination
+            FROM tot LEFT JOIN hits h ON h.doc_id = tot.doc_id"""
         ),
         "dedup_embedding_clusters": f"""
             WITH RECURSIVE eb AS (

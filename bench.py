@@ -110,9 +110,11 @@ def main() -> int:
         "dedup_clusters", "ann_knn_join", "a5_query_stats",
         "ta_token_counts", "fp_winnow", "fp_winnow_overlap",
         "dedup_embedding_clusters",
-        # r4: dedup_recall_report stays untimed — it embeds the uncapped
-        # exact ngram_jaccard_pairs ground truth (quadratic verification
-        # path, same rationale as dedup_ngram_jaccard above)
+        # r4 additions: lexical retrieval, contamination audit, IVF ANN,
+        # incremental-batch kNN (dedup_recall_report stays untimed — it
+        # embeds the uncapped exact ngram_jaccard_pairs ground truth,
+        # quadratic verification path, same rationale as dedup_ngram_jaccard)
+        "ann_bm25", "fp_contamination", "ann_ivf", "ann_knn_batch",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

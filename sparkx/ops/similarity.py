@@ -88,6 +88,152 @@ def text_topk(docs: DataFrame, query_doc_id: int, k: int = 5) -> DataFrame:
     return scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(k)
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 7,
+    max_iter: int = 10,
+):
+    """Train an IVF coarse quantizer (k-means, the inverted-file layout of
+    Jégou et al., "Product Quantization for Nearest Neighbor Search", TPAMI
+    2011 — here IVF-Flat: coarse cells + exact residual scoring) and assign
+    every vector to its nearest centroid.
+
+    Returns ``(assigned, centroids)``: the input frame with an ``ivf_cell``
+    int column, and the centroid table as a small DataFrame
+    ``(ivf_cell, centroid array<double>)``.  At corpus scale the assigned
+    frame is written ``partitionBy("ivf_cell")`` so probes prune cell
+    directories exactly like the sign-LSH layout (PLANS.md) — k-means cells
+    track the data distribution where fixed sign-planes cannot, the classic
+    IVF advantage on clustered embeddings.
+
+    Training runs on a sample-sized frame by design (k-means over 100 TB is
+    never trained on all rows; fit on emb.sample(...) upstream and assign
+    with the model here if the corpus is huge — assignment itself is one
+    narrow pass).  Not SQL-expressible (iterative), so IVF queries carry no
+    DuckDB oracle; correctness is pinned by recall-vs-brute-force tests."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = emb.withColumn(
+        "_vec", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter,
+        featuresCol="_vec", predictionCol="ivf_cell",
+    ).fit(v)
+    assigned = model.transform(v).drop("_vec")
+    spark = emb.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "ivf_cell int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-Flat ANN: probe the ``nprobe`` cells whose centroids are nearest
+    the query (cosine), score exactly inside them.  Everything stays
+    in-plan: the centroid table (n_centroids rows) cross-joins the broadcast
+    1-row query to pick probe cells, then a broadcast semi-join restricts
+    the scored scan to those cells — ~nprobe/n_centroids of the corpus read
+    when the assigned table is partitioned by ``ivf_cell``.  Recall-vs-probe
+    trade measured in tests/test_ops.py."""
+    assigned, centroids = ivf_assign(emb, n_centroids=n_centroids, seed=seed)
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("ivf_cell", _cosine("centroid", "q_embedding").alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("ivf_cell"))
+        .limit(nprobe)
+        .select("ivf_cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probe_cells), "ivf_cell")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine("embedding", "q_embedding"), 4).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("vec_id") != query_vec_id).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    ).limit(k)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Lexical retrieval: Okapi BM25 top-k (Robertson & Zaragoza, "The
+    Probabilistic Relevance Framework: BM25 and Beyond", FnTIR 2009) with the
+    Lucene-style smoothed idf ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — the
+    sparse complement to the embedding retrieval path (A4), and the
+    first-stage ranker a RAG pipeline runs before reranking.
+
+    Fully relational, no UDFs: term frequencies via explode+groupBy
+    (map-side combinable), document frequencies and the corpus aggregates
+    (N, avgdl) as broadcast 1-row/term-row frames, the per-(doc, term)
+    partial scores summed per doc.  One shuffle on (doc_id, term), one on
+    doc_id; the query-term frame (a handful of rows) broadcasts, so at
+    corpus scale this is one scan + two bounded shuffles.
+
+    Determinism across engines: each per-term partial score is quantized to
+    a 1e-6 grid BEFORE the per-document sum (floating-point addition is not
+    associative, and Spark and DuckDB aggregate in different orders — the
+    integer-grid sum is order-free), then the total is rounded to 4 dp.
+    Ties broken by doc_id ascending."""
+    q_terms = [t for t in query.lower().split() if t]
+    if not q_terms:
+        raise ValueError("empty BM25 query")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(q_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    part = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        # quantize the per-term partial so the cross-engine sum order can't
+        # change the 4-dp result
+        .select("doc_id", F.round(part * 1e6).cast("long").alias("_p"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_p") / 1e6, 4).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+
+
 def probe_masks(nbits: int, probe_hamming: int) -> list[int]:
     """XOR masks for multi-probe (Lv et al., VLDB 2007): the query's own
     bucket (mask 0), all Hamming-1 neighbors, and — at ``probe_hamming=2`` —

@@ -201,6 +201,62 @@ def winnow_overlap_pairs(
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 3,
+    window: int = 4,
+    max_fp_df: int | None = 10_000,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Train/test contamination audit: per TEST document, how much of its
+    winnowing fingerprint set appears anywhere in the TRAIN corpus — the
+    benchmark-leakage check every training-data release runs (winnowing
+    guarantee: any verbatim run of ≥ ``window + n − 1`` shared tokens is
+    caught).  Returns one row per test doc with ≥ ``window + n − 1`` tokens:
+    ``(test_id, n_fps, n_shared_fps, n_train_docs, contamination)`` where
+    contamination = shared/total fingerprints (0.0 = clean, 1.0 = fully
+    covered by training text).
+
+    Execution: winnow both sides (per-doc window aggregates, one shuffle
+    each), equi-join on the 32-bit fingerprint — the train side can be
+    billions of rows; the join key is an 8-byte hash and the per-test
+    aggregation is map-side combinable.  ``max_fp_df`` caps boilerplate
+    fingerprints on the TRAIN side (a fp present in d train docs joins d
+    times per test hit; capped fps carry no leakage signal — same trick as
+    winnow_overlap_pairs)."""
+    tr = winnow_fingerprints(train, n=n, window=window, id_col=id_col, col=col).select(
+        F.col(id_col).alias("_train_id"), "fp"
+    )
+    if max_fp_df is not None:
+        hot = (
+            tr.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_fp_df)
+            .select("fp")
+        )
+        tr = tr.join(F.broadcast(hot), "fp", "left_anti")
+    te = winnow_fingerprints(test, n=n, window=window, id_col=id_col, col=col)
+    tot = te.groupBy(id_col).agg(F.count("*").alias("n_fps"))  # fps distinct per doc
+    hits = (
+        te.join(tr, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("fp").alias("n_shared_fps"),
+            F.countDistinct("_train_id").alias("n_train_docs"),
+        )
+    )
+    shared = F.coalesce(F.col("n_shared_fps"), F.lit(0))
+    return tot.join(hits, id_col, "left").select(
+        F.col(id_col).alias("test_id"),
+        "n_fps",
+        shared.alias("n_shared_fps"),
+        F.coalesce(F.col("n_train_docs"), F.lit(0)).alias("n_train_docs"),
+        F.round(shared / F.col("n_fps"), 4).alias("contamination"),
+    )
+
+
 def with_shingles(docs: DataFrame, col: str = "text", n: int = 3,
                   out: str = "shingles") -> DataFrame:
     """Add a distinct token n-gram shingle column (array<string>) — the

@@ -562,3 +562,85 @@ def test_knn_join_query_batch_and_partition_pruning(spark, tmp_path):
         for r in self_join.filter("q_id < 8").collect()
     }
     assert got_scan == got_self
+
+
+def test_bm25_matches_python_reference(spark, docs, docs_pdf):
+    """BM25 top-k vs a loop-based Python computation (same Lucene-style idf,
+    same 1e-6 partial quantization)."""
+    import math
+
+    from sparkx.ops.similarity import bm25_topk
+
+    q_terms = ["hash", "join", "vector", "scan"]
+    tok = {
+        row.doc_id: [t for t in re.split(r"\s+", str(row.text).lower().strip()) if t]
+        for _, row in docs_pdf.iterrows()
+        if isinstance(row.text, str)
+    }
+    dl = {d: len(ts) for d, ts in tok.items() if ts}
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    df = {
+        t: sum(1 for ts in tok.values() if t in ts)
+        for t in q_terms
+    }
+    scores = {}
+    for d, ts in tok.items():
+        if not ts:
+            continue
+        total = 0
+        for t in q_terms:
+            tf = ts.count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            part = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl[d] / avgdl))
+            total += round(part * 1e6)
+        if total:
+            scores[d] = round(total / 1e6, 4)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r.doc_id, r.bm25) for r in bm25_topk(docs, "hash join vector scan", k=10).collect()]
+    assert got == want
+
+
+def test_contamination_report_detects_seeded_leak(spark):
+    """A test doc that verbatim-copies a train passage is flagged with
+    contamination > 0 and the right train-doc count; an unrelated doc
+    reports 0.0."""
+    from sparkx.ops.textstats import contamination_report
+
+    leak = "the quick brown fox jumps over the lazy dog near the river bank today"
+    train = spark.createDataFrame(
+        [(0, f"training corpus passage alpha {leak} and trailing content here"),
+         (2, "completely different training text about spark physical plans etc")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(1, f"benchmark question referencing {leak} verbatim inside it"),
+         (3, "pristine evaluation item sharing nothing with training data at all")],
+        "doc_id long, text string",
+    )
+    got = {r.test_id: r for r in contamination_report(train, test).collect()}
+    assert got[1].contamination > 0 and got[1].n_train_docs == 1
+    assert got[3].contamination == 0.0 and got[3].n_train_docs == 0
+    # capped variant stays consistent on this tiny input
+    capped = {r.test_id: r.contamination
+              for r in contamination_report(train, test, max_fp_df=10).collect()}
+    assert capped[1] == got[1].contamination
+
+
+def test_ivf_topk_recall_on_clustered_vectors(spark):
+    """IVF-Flat with cells ≈ true clusters: nprobe=1 already recovers the
+    query's cluster (top-k all same-cluster, cosine in the near-dup regime),
+    and nprobe=n_centroids degenerates to exact brute force."""
+    from sparkx.ops.similarity import ivf_topk, topk_bruteforce
+
+    emb, _ = _clustered_embeddings(spark)
+    got = ivf_topk(emb, query_vec_id=0, k=5, n_centroids=6, nprobe=1).collect()
+    assert len(got) == 5 and {r.label for r in got} == {"c0"}
+    assert all(r.cosine >= 0.99 for r in got)
+    full = [(r.vec_id, r.cosine) for r in
+            ivf_topk(emb, query_vec_id=0, k=5, n_centroids=6, nprobe=6).collect()]
+    brute = [(r.vec_id, r.cosine) for r in
+             topk_bruteforce(emb, query_vec_id=0, k=5).collect()]
+    assert full == brute
