@@ -665,6 +665,31 @@ def _q_cur_stratified(spark, sf_dir):
     )
 
 
+def _q_cur_mixture(spark, sf_dir):
+    """Training-data mixing: target weights (en 50% / de 30% / fr 20%) at a
+    20k-token budget → per-language deterministic sampling rates derived
+    from observed token totals, applied, and the realized mix reported
+    (corpus.mixture_plan).  The rate crosses engines as the integer gate
+    rate_e4, never as a float."""
+    from sparkx.ops import corpus as C
+
+    return C.mixture_plan(
+        _docs(spark, sf_dir),
+        weights={"en": 0.5, "de": 0.3, "fr": 0.2},
+        total_tokens=20_000,
+        by="lang",
+    )
+
+
+def _q_corpus_cube(spark, sf_dir):
+    """OLAP corpus summary: CUBE(lang, source) doc/token counts — leaf
+    cells, per-dimension rollups, and the grand total in ONE expanded
+    aggregate pass; gid is the grouping bitmask."""
+    from sparkx.ops import corpus as C
+
+    return C.corpus_cube(_docs(spark, sf_dir))
+
+
 def _q_cur_filter(spark, sf_dir):
     """C4/Gopher-style quality+length gate."""
     from sparkx.ops import corpus as C
@@ -937,6 +962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bm25": _q_ann_bm25,
         "fp_contamination": _q_fp_contamination,
         "ann_ivf": _q_ann_ivf,  # rows-only: no oracle (iterative k-means)
+        "cur_mixture": _q_cur_mixture,
+        "corpus_cube": _q_corpus_cube,
         "corpus_funnel": _q_corpus_funnel,
         "stream_extract": _q_stream_extract,
         "sessionize": _q_sessionize,
@@ -1752,6 +1779,30 @@ GROUP BY 1"""
             SELECT doc_id, lang FROM documents
             WHERE {_TA_TOKENS} >= 20 AND {_TA_TOKENS} <= 5000
               AND {_TA_QUALITY} >= 0.3""",
+        "cur_mixture": f"""
+            WITH totals AS (
+              SELECT lang AS stratum, CAST(sum({_TA_TOKENS}) AS BIGINT) AS toks
+              FROM documents WHERE lang IN ('en', 'de', 'fr') GROUP BY lang),
+            rates AS (
+              SELECT stratum,
+                least(10000, CAST(round(
+                  CASE stratum WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+                               WHEN 'fr' THEN 0.2 END
+                  * 20000 / toks * 10000) AS BIGINT)) AS rate_e4
+              FROM totals),
+            sampled AS (
+              SELECT d.lang, r.rate_e4, {_TA_TOKENS} AS n
+              FROM documents d JOIN rates r ON d.lang = r.stratum
+              WHERE (('0x' || substr(md5('mix0|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)
+                    < r.rate_e4)
+            SELECT lang, rate_e4, count(*) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS n_tokens
+            FROM sampled GROUP BY lang, rate_e4""",
+        "corpus_cube": f"""
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum({_TA_TOKENS}) AS BIGINT) AS n_tokens,
+                   CAST(grouping(lang, source) AS INTEGER) AS gid
+            FROM documents GROUP BY CUBE (lang, source)""",
         "tb_rollup": """
             SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_epoch,
                    event_type AS key, count(*) AS n_events,

@@ -73,6 +73,74 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
     return df.filter(sample_bucket(key_col, salt) < gate)
 
 
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    by: str = "source",
+    salt: str = "mix0",
+) -> DataFrame:
+    """Training-data MIXING: derive per-stratum deterministic sampling rates
+    from target mixture WEIGHTS and a token budget, apply them, and report
+    the realized mix — the op behind "30% code / 70% web at 1T tokens".
+
+    rate_s = min(1, weight_s · total_tokens / observed_tokens_s), held as
+    the integer gate ``rate_e4`` (bucket threshold out of 10000 — the same
+    grid every sampler here uses, so the float never crosses an engine
+    boundary).  Strata absent from ``weights`` get rate 0.  Output: one row
+    per weighted stratum — (stratum, rate_e4, n_docs, n_tokens) of the
+    SAMPLED subset.  The sample itself is reproducible on any engine/run
+    (hash gate on doc_id), so the realized mix is auditable after the fact.
+
+    Execution: one aggregate for the per-stratum token totals (tiny,
+    broadcast back), one narrow filtered scan for the sample — no shuffle
+    of the corpus itself beyond the final tally."""
+    n = token_count()
+    totals = (
+        docs.groupBy(F.col(by).alias("_stratum"))
+        .agg(F.sum(n).alias("_toks"))
+        .filter(F.col("_stratum").isin(list(weights)))
+    )
+    w = F.lit(None).cast("double")
+    for value, weight in weights.items():
+        w = F.when(F.col("_stratum") == value, F.lit(float(weight))).otherwise(w)
+    rates = totals.select(
+        "_stratum",
+        F.least(
+            F.lit(SAMPLE_BUCKETS),
+            F.round(w * total_tokens / F.col("_toks") * SAMPLE_BUCKETS).cast("long"),
+        ).alias("rate_e4"),
+    )
+    sampled = (
+        docs.join(F.broadcast(rates), docs[by] == F.col("_stratum"))
+        .filter(sample_bucket("doc_id", salt) < F.col("rate_e4"))
+    )
+    return (
+        sampled.groupBy(F.col("_stratum").alias(by), "rate_e4")
+        .agg(F.count("*").alias("n_docs"), F.sum(n).alias("n_tokens"))
+    )
+
+
+def corpus_cube(docs: DataFrame) -> DataFrame:
+    """OLAP corpus summary: doc and token counts over CUBE(lang, source) —
+    every (lang, source) cell plus per-lang, per-source, and grand totals in
+    ONE pass (Spark plans the cube as an expanded aggregate with map-side
+    partial combine; at 100 TB this is one shuffle, not four jobs).
+    ``gid`` is the grouping bitmask (0 = leaf cell, 3 = grand total) so
+    rolled-up NULLs are distinguishable from genuinely-NULL dimension
+    values."""
+    n = token_count()
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n).alias("n_tokens"),
+            # grouping_id must be computed inside the cube aggregate
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
 def quality_length_filter(docs: DataFrame, min_tokens: int = 20,
                           max_tokens: int = 5000,
                           min_quality: float = 0.3) -> DataFrame:

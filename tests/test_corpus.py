@@ -220,3 +220,53 @@ def test_pack_assignments_match_pandas(spark, docs, docs_pdf):
         assert row.shard == r.shard and row.n_tokens == r.n_tokens, r.doc_id
         assert row.start_offset == r.start_offset, r.doc_id
         assert row.bin == r.start_offset // 512, r.doc_id
+
+
+def test_mixture_plan_rates_and_budget(spark):
+    """Weights + token budget → per-stratum gates: a stratum with plenty of
+    tokens gets rate ≈ weight·budget/observed; one with too few saturates
+    at 10000 (take everything); unweighted strata are absent."""
+    from pyspark.sql import functions as F
+
+    from sparkx.ops.corpus import mixture_plan
+
+    rows = []
+    did = 0
+    for src, n_docs, words in [("web", 200, 50), ("code", 10, 50), ("junk", 30, 50)]:
+        for _ in range(n_docs):
+            rows.append((did, src, "tok " * words))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.source: r
+        for r in mixture_plan(
+            docs, weights={"web": 0.5, "code": 0.5}, total_tokens=1000, by="source"
+        ).collect()
+    }
+    assert set(got) <= {"web", "code"}  # junk never sampled
+    # web: observed 200*50=10000 tokens, target 500 → rate 500 of 10000
+    assert got["web"].rate_e4 == 500
+    # code: observed 500 tokens < target 500... equals budget → rate 10000
+    assert got["code"].rate_e4 == 10000 and got["code"].n_docs == 10
+    # realized web tokens near the 500 target (hash-gate variance at n=200)
+    assert 0 < got["web"].n_tokens <= 2000
+
+
+def test_corpus_cube_totals_consistent(spark):
+    """CUBE invariants: the grand total equals the sum of leaf cells, each
+    per-dimension rollup equals the sum of its children, and gid separates
+    rollup NULLs from real values."""
+    from sparkx.ops.corpus import corpus_cube
+
+    docs = spark.createDataFrame(
+        [(0, "en", "a", "w w w"), (1, "en", "b", "w w"), (2, "de", "a", "w")],
+        "doc_id long, lang string, source string, text string",
+    )
+    rows = corpus_cube(docs).collect()
+    leaf = [r for r in rows if r.gid == 0]
+    total = [r for r in rows if r.gid == 3]
+    assert len(total) == 1
+    assert total[0].n_docs == sum(r.n_docs for r in leaf) == 3
+    assert total[0].n_tokens == sum(r.n_tokens for r in leaf) == 6
+    by_lang = {r.lang: r for r in rows if r.gid == 1}  # source rolled up
+    assert by_lang["en"].n_tokens == 5 and by_lang["de"].n_tokens == 1
