@@ -842,32 +842,25 @@ def _q_a5_query_stats(spark, sf_dir):
     return query_stats(composed, id_col="doc_id")
 
 
-def _q_stream_extract(spark, sf_dir):
-    """The Structured-Streaming ingest path, driver-verified: the derived
-    transcripts are written to a temp dir, streamed through the SAME
-    extraction kernel (availableNow micro-batches, batch-keyed exactly-once
-    sink), and the committed output is read back.  The oracle is the batch
-    blocks CTE — streaming and batch must be value-identical."""
+def _stream_workspace(spark, sf_dir, tag: str) -> str:
+    """Stable per-(tag, sf_dir, code revision) streaming workspace with the
+    derived-transcripts input materialized (4 parquet files < the 16-file
+    trigger cap, so the whole input is ONE micro-batch — which is what makes
+    cross-batch-order-sensitive operators like first-seen dedup
+    SQL-oracle-able).  Re-invocations WITHIN a revision resume from the
+    streaming checkpoint (no new batches) and re-read committed output; the
+    revision key (HEAD + dirty-diff of semantics-shaping paths only, so a
+    harness-appended PROGRESS.jsonl can't defeat resume) prevents a
+    checkpoint committed by an older engine from serving stale output after
+    semantics change.  Superseded same-(tag, sf)-key workspaces are reaped."""
+    import glob as _glob
     import hashlib as _hl
     import os as _os
+    import re as _re
+    import shutil as _shutil
     import subprocess as _sp
 
-    from sparkx.streaming import start_extraction_stream
-
-    # stable per-(sf_dir, code revision) workspace: the input materializes
-    # once; re-invocations WITHIN a revision resume from the streaming
-    # checkpoint (no new batches) and re-read the committed output.  The
-    # revision key prevents cross-round staleness: without it, a checkpoint
-    # committed by an older engine would keep serving old output after the
-    # extraction semantics change.  Working-tree state is folded in too
-    # (`git status --porcelain` + the diff vs HEAD): uncommitted kernel edits
-    # must NOT resume from a checkpoint committed by the unedited code — the
-    # guard would keep serving stale batch output until the change lands.
     repo = _os.path.dirname(_os.path.abspath(__file__))
-    # only paths that shape extraction semantics feed the key — a dirty
-    # PROGRESS.jsonl or docs edit must NOT defeat checkpoint resume (it did:
-    # the harness appends to PROGRESS.jsonl continuously, so the whole-tree
-    # key re-materialized the stream workspace on every invocation)
     code_paths = ["sparkx", "__spark_entry__.py"]
     try:
         rev = _sp.check_output(
@@ -887,21 +880,17 @@ def _q_stream_extract(spark, sf_dir):
         rev = "dev"
     sf_key = _hl.md5(sf_dir.encode()).hexdigest()[:8]
     rev_key = _hl.md5(rev.encode()).hexdigest()[:8]
-    base = f"/tmp/sparkx_stream_q_{sf_key}_{rev_key}"
-    # reap THIS sf_dir's workspaces keyed by superseded revisions (each
-    # holds a materialized input + committed batches; without cleanup /tmp
-    # accumulates one per code revision).  Other sf_dirs' workspaces stay —
-    # their checkpoints are what makes their next invocation a resume.
-    import glob as _glob
-    import shutil as _shutil
-
-    import re as _re
-
-    for old in _glob.glob("/tmp/sparkx_stream_q_*"):
-        m = _re.fullmatch(r".*_q_([0-9a-f]{8})_([0-9a-f]{8})", old)
-        if m is None:  # pre-rename-scheme workspace, unreachable now
+    base = f"/tmp/sparkx_stream_q{tag}_{sf_key}_{rev_key}"
+    # reap this (tag, sf_dir)'s workspaces keyed by superseded revisions
+    # (each holds a materialized input + committed batches); other tags' and
+    # sf_dirs' workspaces stay — their checkpoints make their next
+    # invocation a resume.  Pre-tag-scheme directories are unreachable and
+    # removed.
+    for old in _glob.glob("/tmp/sparkx_stream_q*"):
+        m = _re.fullmatch(r".*_q([a-z]*)_([0-9a-f]{8})_([0-9a-f]{8})", old)
+        if m is None or m.group(1) == "":  # pre-tag-scheme workspace
             _shutil.rmtree(old, ignore_errors=True)
-        elif m.group(1) == sf_key and old != base:  # superseded revision
+        elif m.group(1) == tag and m.group(2) == sf_key and old != base:
             _shutil.rmtree(old, ignore_errors=True)
     # _SUCCESS, not isdir: a run killed mid-write leaves a partial directory
     # that would otherwise be streamed as truncated input forever (the reap
@@ -910,6 +899,18 @@ def _q_stream_extract(spark, sf_dir):
         transcripts_from_documents(spark, sf_dir).coalesce(4).write.mode(
             "overwrite"
         ).parquet(f"{base}/in")
+    return base
+
+
+def _q_stream_extract(spark, sf_dir):
+    """The Structured-Streaming ingest path, driver-verified: the derived
+    transcripts are written to a temp dir, streamed through the SAME
+    extraction kernel (availableNow micro-batches, batch-keyed exactly-once
+    sink), and the committed output is read back.  The oracle is the batch
+    blocks CTE — streaming and batch must be value-identical."""
+    from sparkx.streaming import start_extraction_stream
+
+    base = _stream_workspace(spark, sf_dir, "ext")
     q = start_extraction_stream(
         spark, f"{base}/in", f"{base}/out", f"{base}/ckpt",
         mode="fastpath", available_now=True,
@@ -926,6 +927,33 @@ def _q_stream_extract(spark, sf_dir):
     return out.select(
         "conv_id", "turn_idx", "chunk_type", "block_idx",
         "structured_text", "confidence", "status",
+    )
+
+
+def _q_stream_dedup(spark, sf_dir):
+    """The streaming first-seen-wins dedup operator, driver-verified: the
+    derived transcripts stream through start_dedup_stream (state in the
+    streaming state store keyed by content fingerprint) and the committed
+    canonical rows are read back.  The single-micro-batch input (see
+    _stream_workspace) makes first-seen == min-chunk_id-per-fingerprint, so
+    the oracle is a plain window over the transcripts CTE — the streaming
+    state machine must agree with batch SQL exactly.  idle_timeout_ms=None:
+    a bounded catch-up over a closed input is the documented NoTimeout use;
+    eviction modes (processing/event time) are pytest-verified."""
+    from sparkx.streaming_dedup import start_dedup_stream
+
+    base = _stream_workspace(spark, sf_dir, "dd")
+    start_dedup_stream(
+        spark, f"{base}/in", f"{base}/out", f"{base}/ckpt",
+        available_now=True, idle_timeout_ms=None,
+    )  # run_catchup inside returns only after the terminated query drained
+    out = spark.read.parquet(f"{base}/out/batches")
+    # the parquet sink is at-least-once (batch replay appends identical
+    # rows); one logical row per fingerprint survives the dropDuplicates
+    return (
+        out.filter(~F.col("evicted"))
+        .select("fp", "chunk_id", "conv_id", "turn_idx", "n_dups")
+        .dropDuplicates(["fp"])
     )
 
 
@@ -964,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,  # rows-only: no oracle (iterative k-means)
         "cur_mixture": _q_cur_mixture,
         "corpus_cube": _q_corpus_cube,
+        "stream_dedup": _q_stream_dedup,
         "corpus_funnel": _q_corpus_funnel,
         "stream_extract": _q_stream_extract,
         "sessionize": _q_sessionize,
@@ -1803,6 +1832,21 @@ GROUP BY 1"""
                    CAST(sum({_TA_TOKENS}) AS BIGINT) AS n_tokens,
                    CAST(grouping(lang, source) AS INTEGER) AS gid
             FROM documents GROUP BY CUBE (lang, source)""",
+        "stream_dedup": TRANSCRIPTS_SQL_CTE + """,
+            dd_rows AS (
+              SELECT
+                md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp,
+                md5(conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS chunk_id,
+                conv_id, turn_idx
+              FROM transcripts),
+            dd_ranked AS (
+              SELECT *,
+                row_number() OVER (PARTITION BY fp ORDER BY chunk_id) AS rn,
+                count(*) OVER (PARTITION BY fp) - 1 AS n_dups
+              FROM dd_rows)
+            SELECT fp, chunk_id, conv_id, turn_idx,
+                   CAST(n_dups AS BIGINT) AS n_dups
+            FROM dd_ranked WHERE rn = 1""",
         "tb_rollup": """
             SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_epoch,
                    event_type AS key, count(*) AS n_events,
