@@ -138,6 +138,17 @@ def main() -> int:
             "verify and threshold filter run before the distinct so no embedding\n"
             "arrays ride a shuffle.",
         ),
+        (
+            "BM25 lexical top-k (r4)",
+            fmt(E.queries()["ann_bm25"](spark, sf)),
+            "What to check: one exploded-token scan feeds both tf and dl aggregates\n"
+            "(map-side combinable HashAggregates); the per-term document-frequency\n"
+            "frame and the 1-row corpus stats are BroadcastExchanges, so the corpus\n"
+            "side shuffles only on (doc_id, term) and doc_id; the per-term partial\n"
+            "is a codegen'd expression quantized to a long BEFORE the per-doc sum\n"
+            "(order-free across engines); TakeOrderedAndProject for the top-k, no\n"
+            "full sort.",
+        ),
     ]
 
     # bucket-partitioned ANN probe: write the embeddings table partitioned by
