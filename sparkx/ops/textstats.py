@@ -136,8 +136,14 @@ def winnow_fingerprints(
     the oracle SQL byte-portable)."""
     from pyspark.sql import Window as W
 
+    # explode(array(split)) = Generate barrier against CollapseProject
+    # inlining the split into the positional-shingle lambda (see
+    # with_shingles — O(tokens²) otherwise)
     d = docs.select(
-        F.col(id_col), F.split(F.lower(F.trim(F.col(col))), r"\s+").alias("_toks")
+        F.col(id_col),
+        F.explode(
+            F.array(F.split(F.lower(F.trim(F.col(col))), r"\s+"))
+        ).alias("_toks"),
     )
     parts = ", ' ', ".join(f"_toks[i+{k}]" for k in range(n))
     sh = d.select(
@@ -261,8 +267,19 @@ def with_shingles(docs: DataFrame, col: str = "text", n: int = 3,
                   out: str = "shingles") -> DataFrame:
     """Add a distinct token n-gram shingle column (array<string>) — the
     rolling-window base for near-dup fingerprints.  Empty array when fewer
-    than n tokens.  Native transform/sequence — codegen'd, no UDF."""
-    d = docs.withColumn("_toks", F.split(F.lower(F.trim(F.col(col))), r"\s+"))
+    than n tokens.  Native transform/sequence, no UDF.
+
+    The token array is bound through ``explode(array(split(...)))`` — a
+    1-row Generate that CollapseProject cannot merge through.  A plain
+    ``withColumn`` got inlined: the transform lambda references ``_toks``
+    n+2 times, and Catalyst's duplicate-expensive-expression guard does not
+    see through lambda bodies, so every element evaluated THREE full regex
+    splits of the document — O(tokens²) work per doc, measured 20.9 s vs
+    0.8 s for one shingle-explode pass over sf0.1 (the same trap CLAUDE.md
+    records for the minhash K-loop, in projection form).  explode(array(x))
+    never changes the row count (a 1-element array even when x is NULL)."""
+    split_expr = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    d = docs.select("*", F.explode(F.array(split_expr)).alias("_toks"))
     parts = ", ' ', ".join(f"_toks[i+{k}]" for k in range(n))
     return d.withColumn(
         out,
