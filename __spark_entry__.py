@@ -681,6 +681,16 @@ def _q_cur_mixture(spark, sf_dir):
     )
 
 
+def _q_cur_chunks(spark, sf_dir):
+    """Sliding-window document chunking (64-token windows, 16-token
+    overlap): the long-document splitter that feeds sequence packing —
+    no token lost at a boundary, consecutive chunks share the overlap,
+    original text preserved (corpus.chunk_spans)."""
+    from sparkx.ops import corpus as C
+
+    return C.chunk_spans(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
 def _q_corpus_cube(spark, sf_dir):
     """OLAP corpus summary: CUBE(lang, source) doc/token counts — leaf
     cells, per-dimension rollups, and the grand total in ONE expanded
@@ -993,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_mixture": _q_cur_mixture,
         "corpus_cube": _q_corpus_cube,
         "stream_dedup": _q_stream_dedup,
+        "cur_chunks": _q_cur_chunks,
         "corpus_funnel": _q_corpus_funnel,
         "stream_extract": _q_stream_extract,
         "sessionize": _q_sessionize,
@@ -1832,6 +1843,23 @@ GROUP BY 1"""
                    CAST(sum({_TA_TOKENS}) AS BIGINT) AS n_tokens,
                    CAST(grouping(lang, source) AS INTEGER) AS gid
             FROM documents GROUP BY CUBE (lang, source)""",
+        "cur_chunks": """
+            WITH t AS (
+              SELECT doc_id,
+                regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) != ''),
+            st AS (
+              SELECT doc_id, toks,
+                unnest(range(0, len(toks), 48)) AS start_tok,
+                generate_subscripts(range(0, len(toks), 48), 1) - 1 AS chunk_idx
+              FROM t)
+            SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+                   CAST(start_tok AS INTEGER) AS start_tok,
+                   CAST(least(64, len(toks) - start_tok) AS INTEGER) AS n_tok,
+                   array_to_string(toks[start_tok + 1 : start_tok + 64], ' ')
+                     AS chunk_text
+            FROM st""",
         "stream_dedup": TRANSCRIPTS_SQL_CTE + """,
             dd_rows AS (
               SELECT

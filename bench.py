@@ -115,7 +115,7 @@ def main() -> int:
         # embeds the uncapped exact ngram_jaccard_pairs ground truth,
         # quadratic verification path, same rationale as dedup_ngram_jaccard)
         "ann_bm25", "fp_contamination", "ann_ivf", "ann_knn_batch",
-        "cur_mixture", "corpus_cube",
+        "cur_mixture", "corpus_cube", "cur_chunks",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

@@ -121,6 +121,54 @@ def mixture_plan(
     )
 
 
+def chunk_spans(
+    docs: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking for a fixed context window — the
+    long-document splitter that runs before sequence packing: windows of
+    ``chunk_tokens`` whitespace tokens advancing by ``chunk_tokens −
+    overlap`` (so consecutive chunks share ``overlap`` tokens and no token
+    is lost at a boundary).  Output: one row per chunk —
+    ``(id_col, chunk_idx, start_tok, n_tok, chunk_text)``; the final chunk
+    may be short; empty/NULL documents produce no rows.  Original token
+    case/content is preserved (this is training text, not a fingerprint).
+
+    Execution: token array bound through the Generate barrier (see
+    with_shingles — keeps the regex split evaluated once per doc), start
+    offsets as a codegen'd ``sequence`` explode, each chunk a
+    ``slice``+``concat_ws`` over the bound array.  One narrow Generate
+    chain, no shuffle, no UDF — at 100 TB this is a pure map stage."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(col)), r"\s+")
+    d = (
+        docs.filter(F.col(col).isNotNull() & (F.trim(F.col(col)) != ""))
+        .select(F.col(id_col), F.explode(F.array(toks)).alias("_toks"))
+    )
+    starts = F.expr(f"sequence(0, size(_toks) - 1, {stride})")
+    out = d.select(
+        id_col,
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+        "_toks",
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        "start_tok",
+        F.least(
+            F.lit(chunk_tokens), F.size("_toks") - F.col("start_tok")
+        ).alias("n_tok"),
+        F.concat_ws(
+            " ", F.expr(f"slice(_toks, start_tok + 1, {chunk_tokens})")
+        ).alias("chunk_text"),
+    )
+
+
 def corpus_cube(docs: DataFrame) -> DataFrame:
     """OLAP corpus summary: doc and token counts over CUBE(lang, source) —
     every (lang, source) cell plus per-lang, per-source, and grand totals in

@@ -270,3 +270,40 @@ def test_corpus_cube_totals_consistent(spark):
     assert total[0].n_tokens == sum(r.n_tokens for r in leaf) == 6
     by_lang = {r.lang: r for r in rows if r.gid == 1}  # source rolled up
     assert by_lang["en"].n_tokens == 5 and by_lang["de"].n_tokens == 1
+
+
+def test_chunk_spans_reconstruction_and_overlap(spark):
+    """Chunking invariants: stride = chunk − overlap, consecutive chunks
+    share exactly `overlap` tokens, concatenating chunk cores (dropping
+    each chunk's leading overlap) reconstructs the document, and the final
+    chunk is the only short one."""
+    from sparkx.ops.corpus import chunk_spans
+
+    text = " ".join(f"w{i}" for i in range(230))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "only three tokens"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_spans(docs, chunk_tokens=100, overlap=20).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}  # empty/NULL docs produce nothing
+    c1 = by_doc[1]
+    assert [r.start_tok for r in c1] == [0, 80, 160]
+    assert [r.n_tok for r in c1] == [100, 100, 70]
+    toks1 = [c1[0].chunk_text.split()] + [r.chunk_text.split()[20:] for r in c1[1:]]
+    assert " ".join(t for ts in toks1 for t in ts) == text  # lossless
+    # consecutive chunks share exactly the overlap
+    assert c1[0].chunk_text.split()[80:] == c1[1].chunk_text.split()[:20]
+    short = by_doc[2]
+    assert len(short) == 1 and short[0].n_tok == 3
+    assert short[0].chunk_text == "only three tokens"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_spans(docs, chunk_tokens=10, overlap=10)
