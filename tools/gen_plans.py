@@ -180,6 +180,29 @@ def main() -> int:
         )
     )
 
+    # IVF cell-partitioned layout: assignments written partitionBy(ivf_cell),
+    # a 2-cell probe must prune to those directories at planning time —
+    # the k-means twin of the sign-LSH layout above
+    from sparkx.ops.similarity import ivf_assign
+
+    ivf_dir = _tf.mkdtemp(prefix="plans_") + "/emb_ivf"
+    assigned, cents = ivf_assign(emb, n_centroids=8)
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(ivf_dir)
+    ivf_table = spark.read.parquet(ivf_dir)
+    probe2 = [r.ivf_cell for r in cents.limit(2).collect()]
+    ivf_probe = ivf_table.filter(F.col("ivf_cell").isin(probe2))
+    sections.append(
+        (
+            "IVF-Flat probe over a cell-PARTITIONED vector table (partition pruning)",
+            fmt(ivf_probe.select("vec_id", "ivf_cell")),
+            "What to check: PartitionFilters carry the nprobe cell ids — the k-means\n"
+            "IVF layout (ivf_assign → partitionBy('ivf_cell')) prunes exactly like\n"
+            "the sign-LSH bucket layout, reading ~nprobe/n_centroids of the corpus\n"
+            "directories, but with data-adaptive cells (the classic IVF advantage on\n"
+            "clustered embeddings).",
+        )
+    )
+
     # batch kNN of a SMALL query set against the bucket-partitioned corpus:
     # the corpus scan must carry a dynamicpruningexpression PartitionFilter
     # (DPP) — the probe-side bucket list prunes corpus directories at runtime
