@@ -138,6 +138,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 2,
     seed: int = 7,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-Flat ANN: probe the ``nprobe`` cells whose centroids are nearest
     the query (cosine), score exactly inside them.  Everything stays
@@ -145,8 +146,16 @@ def ivf_topk(
     1-row query to pick probe cells, then a broadcast semi-join restricts
     the scored scan to those cells — ~nprobe/n_centroids of the corpus read
     when the assigned table is partitioned by ``ivf_cell``.  Recall-vs-probe
-    trade measured in tests/test_ops.py."""
-    assigned, centroids = ivf_assign(emb, n_centroids=n_centroids, seed=seed)
+    trade measured in tests/test_ops.py.
+
+    ``index``: a prebuilt ``(assigned, centroids)`` pair from
+    :func:`ivf_assign` — the production shape, where the k-means fit is the
+    one-time INDEX BUILD (typically persisted ``partitionBy("ivf_cell")``,
+    see PLANS.md) and each query pays only the probe.  ``None`` builds the
+    index inline (demo/verification convenience)."""
+    if index is None:
+        index = ivf_assign(emb, n_centroids=n_centroids, seed=seed)
+    assigned, centroids = index
     q = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q_embedding")
     )

@@ -644,3 +644,18 @@ def test_ivf_topk_recall_on_clustered_vectors(spark):
     brute = [(r.vec_id, r.cosine) for r in
              topk_bruteforce(emb, query_vec_id=0, k=5).collect()]
     assert full == brute
+
+
+def test_ivf_topk_prebuilt_index_matches_inline(spark):
+    """The index-build / probe split (production shape) returns exactly what
+    the inline-build convenience path returns, including when the assigned
+    table round-trips through a cell-partitioned parquet layout."""
+    from sparkx.ops.similarity import ivf_assign, ivf_topk
+
+    emb, _ = _clustered_embeddings(spark)
+    inline = [(r.vec_id, r.cosine) for r in
+              ivf_topk(emb, query_vec_id=0, k=5, n_centroids=6, nprobe=2).collect()]
+    idx = ivf_assign(emb, n_centroids=6)
+    pre = [(r.vec_id, r.cosine) for r in
+           ivf_topk(emb, query_vec_id=0, k=5, nprobe=2, index=idx).collect()]
+    assert pre == inline
