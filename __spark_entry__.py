@@ -681,6 +681,31 @@ def _q_cur_mixture(spark, sf_dir):
     )
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental-ingest exact dedup: a 'new batch' (doc_id % 3 = 0) is
+    anti-joined by content fingerprint against the 'existing corpus'
+    (doc_id % 2 = 0) after a within-batch canonical pick — the append-only
+    ingest path (dedup.incremental_dedup); its streaming twin is
+    stream_dedup's first-seen state machine."""
+    d = _docs(spark, sf_dir)
+    return D.incremental_dedup(
+        d.filter(F.col("doc_id") % 3 == 0), d.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
+def _q_cur_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (hash gate on doc_id, 20%
+    test / 20% val demo rates): the split is a pure function of (salt, key)
+    — stable under re-ingest, so no eval leakage from split churn
+    (corpus.split_assign)."""
+    from sparkx.ops import corpus as C
+
+    return C.split_assign(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        val_rate=0.2, test_rate=0.2,
+    )
+
+
 def _q_cur_chunks(spark, sf_dir):
     """Sliding-window document chunking (64-token windows, 16-token
     overlap): the long-document splitter that feeds sequence packing —
@@ -1004,6 +1029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cube": _q_corpus_cube,
         "stream_dedup": _q_stream_dedup,
         "cur_chunks": _q_cur_chunks,
+        "dedup_incremental": _q_dedup_incremental,
+        "cur_split": _q_cur_split,
         "corpus_funnel": _q_corpus_funnel,
         "stream_extract": _q_stream_extract,
         "sessionize": _q_sessionize,
@@ -1843,6 +1870,23 @@ GROUP BY 1"""
                    CAST(sum({_TA_TOKENS}) AS BIGINT) AS n_tokens,
                    CAST(grouping(lang, source) AS INTEGER) AS gid
             FROM documents GROUP BY CUBE (lang, source)""",
+        "dedup_incremental": """
+            WITH dd_batch AS (
+              SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp,
+                     min(doc_id) AS doc_id,
+                     CAST(count(*) - 1 AS BIGINT) AS batch_dups
+              FROM documents WHERE doc_id % 3 = 0 GROUP BY 1),
+            dd_seen AS (
+              SELECT DISTINCT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp
+              FROM documents WHERE doc_id % 2 = 0)
+            SELECT b.fp, b.doc_id, b.batch_dups
+            FROM dd_batch b ANTI JOIN dd_seen s ON b.fp = s.fp""",
+        "cur_split": """
+            SELECT doc_id, lang,
+              CASE WHEN (('0x' || substr(md5('split0|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) < 2000 THEN 'test'
+                   WHEN (('0x' || substr(md5('split0|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) < 4000 THEN 'val'
+                   ELSE 'train' END AS split
+            FROM documents""",
         "cur_chunks": """
             WITH t AS (
               SELECT doc_id,

@@ -116,6 +116,7 @@ def main() -> int:
         # quadratic verification path, same rationale as dedup_ngram_jaccard)
         "ann_bm25", "fp_contamination", "ann_ivf", "ann_knn_batch",
         "cur_mixture", "corpus_cube", "cur_chunks",
+        "dedup_incremental", "cur_split",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

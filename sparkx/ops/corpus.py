@@ -169,6 +169,31 @@ def chunk_spans(
     )
 
 
+def split_assign(
+    docs: DataFrame,
+    val_rate: float = 0.01,
+    test_rate: float = 0.01,
+    key_col: str = "doc_id",
+    salt: str = "split0",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment — the hash-gate trick
+    applied to dataset splitting, so the split is a pure function of
+    (salt, key): reproducible on any engine/run, stable under re-ingest
+    (a re-crawled document lands in the same split — no eval leakage from
+    split churn), and auditable after the fact.  Buckets
+    ``[0, test) → test, [test, test+val) → val, rest → train`` on the
+    10000-bucket grid.  One narrow map; no shuffle."""
+    b = sample_bucket(key_col, salt)
+    test_gate = _gate(test_rate)
+    val_gate = test_gate + _gate(val_rate)
+    return docs.withColumn(
+        "split",
+        F.when(b < test_gate, F.lit("test"))
+        .when(b < val_gate, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
 def corpus_cube(docs: DataFrame) -> DataFrame:
     """OLAP corpus summary: doc and token counts over CUBE(lang, source) —
     every (lang, source) cell plus per-lang, per-source, and grand totals in

@@ -63,6 +63,32 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def incremental_dedup(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Incremental-ingest exact dedup: of a NEW batch, keep only documents
+    whose normalized-content fingerprint appears neither in the existing
+    CORPUS nor earlier (by min doc_id) within the batch itself — the batch
+    path an append-only training-data pipeline runs on every ingest (the
+    streaming twin is streaming_dedup's first-seen state machine).
+
+    Execution: within-batch canonical pick = groupBy(fp).min(doc_id)
+    (map-side combinable), then ONE left_anti join against the corpus
+    fingerprint set.  Both shuffles are on the 32-char fingerprint; the
+    corpus side projects a single column so a 100 TB corpus contributes
+    only its fp column to the exchange (or a bloom/broadcast when small —
+    AQE decides).  Returns ``(fp, doc_id, batch_dups)`` — surviving new
+    docs with their within-batch duplicate counts."""
+    batch = (
+        new_docs.select("doc_id", fingerprint().alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            (F.count("*") - 1).alias("batch_dups"),
+        )
+    )
+    seen = corpus.select(fingerprint().alias("fp"))
+    return batch.join(seen, "fp", "left_anti").select("fp", "doc_id", "batch_dups")
+
+
 # ── n-gram Jaccard (exact verification path) ────────────────────────────────
 def _pair_jaccard(sh: DataFrame, threshold: float) -> DataFrame:
     """Candidate pairs already joined as (a_id, b_id, a_sh, b_sh) → verified

@@ -307,3 +307,25 @@ def test_chunk_spans_reconstruction_and_overlap(spark):
 
     with pytest.raises(ValueError):
         chunk_spans(docs, chunk_tokens=10, overlap=10)
+
+
+def test_split_assign_deterministic_and_disjoint(spark):
+    """Split assignment is a pure function of (salt, key): stable across
+    calls, partitions the corpus, and approximates the requested rates."""
+    from sparkx.ops.corpus import split_assign
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(2000)], "doc_id long, text string"
+    )
+    a = {r.doc_id: r.split for r in split_assign(docs, 0.1, 0.1).collect()}
+    b = {r.doc_id: r.split for r in split_assign(docs, 0.1, 0.1).collect()}
+    assert a == b  # deterministic
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert abs(c["val"] / 2000 - 0.1) < 0.03 and abs(c["test"] / 2000 - 0.1) < 0.03
+    # a subset re-ingest keeps every doc's assignment (no split churn)
+    sub = {r.doc_id: r.split
+           for r in split_assign(docs.filter("doc_id < 500"), 0.1, 0.1).collect()}
+    assert all(a[k] == v for k, v in sub.items())

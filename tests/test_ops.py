@@ -659,3 +659,24 @@ def test_ivf_topk_prebuilt_index_matches_inline(spark):
     pre = [(r.vec_id, r.cosine) for r in
            ivf_topk(emb, query_vec_id=0, k=5, nprobe=2, index=idx).collect()]
     assert pre == inline
+
+
+def test_incremental_dedup_anti_join_semantics(spark):
+    """New-batch docs drop when their normalized fingerprint exists in the
+    corpus OR earlier (min doc_id) within the batch; batch_dups counts the
+    within-batch duplicates of the survivor."""
+    from sparkx.ops.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(100, "existing corpus document alpha"), (101, "existing beta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "brand new gamma"), (2, "Existing   corpus document ALPHA"),
+         (3, "brand new gamma"), (4, "brand new gamma"), (5, "fresh delta")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.batch_dups for r in incremental_dedup(new, corpus).collect()}
+    # doc 2 normalizes to a corpus fingerprint -> dropped; 1 survives with
+    # two within-batch dups (3, 4); 5 survives alone
+    assert got == {1: 2, 5: 0}
