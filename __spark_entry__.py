@@ -281,6 +281,38 @@ def _q_ann_bm25(spark, sf_dir):
     return S.bm25_topk(_docs(spark, sf_dir), "hash join vector scan", k=10)
 
 
+def _q_ann_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR 2009)
+    of the BM25 lexical ranking (ann_bm25's query) and the feature-hash
+    cosine ranking (ann_text_topk's query doc) — the production RAG
+    first-stage pattern where sparse and dense rankers cover each other's
+    misses.  Fusion consumes only integer ranks over deterministic total
+    orders, so the 6-dp fused score is cross-engine exact."""
+    return S.rrf_fuse(
+        _docs(spark, sf_dir), "hash join vector scan", query_doc_id=9,
+        k=10, depth=20,
+    )
+
+
+def _q_ta_gopher_rules(spark, sf_dir):
+    """MassiveText/Gopher quality-rule battery (Rae et al. 2021, A1.2): the
+    published heuristic pre-filter every corpus build runs — word-count and
+    word-length bounds, symbol/bullet/ellipsis ratios, stopword presence,
+    and within-doc duplicate-line / duplicate-2-gram fractions, plus the
+    fused keep flag.  One narrow map-only projection; every ratio is an
+    exact-integer IEEE division rounded to 4 dp."""
+    return T.gopher_rules(_docs(spark, sf_dir))
+
+
+def _q_dedup_shared_ngrams(spark, sf_dir):
+    """Cross-corpus redundancy profile: per doc, the fraction of its
+    distinct 3-gram shingles appearing in ≥1 other document
+    (dedup.shared_ngram_stats) — the corpus-level complement of the
+    within-doc repetition rules, computed relationally from the shingle
+    document-frequency table (no pairs, no quadratic)."""
+    return D.shared_ngram_stats(_docs(spark, sf_dir), n=3)
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF-Flat ANN (k-means coarse quantizer, nprobe cells, exact scoring
     inside — Jégou et al. TPAMI 2011): the data-adaptive scale path next to
@@ -1018,6 +1050,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate (tools/check_contract.py runs all of them).
     return {
         # never-driver-verified first (r3 rotation + new this round)
+        "ann_rrf": _q_ann_rrf,
+        "ta_gopher_rules": _q_ta_gopher_rules,
+        "dedup_shared_ngrams": _q_dedup_shared_ngrams,
         "cur_pack": _q_cur_pack,
         "corpus_funnel_fuzzy": _q_corpus_funnel_fuzzy,
         "dedup_recall_report": _q_dedup_recall_report,
@@ -1599,6 +1634,140 @@ GROUP BY 1"""
             SELECT doc_id, round(CAST(sum(p) AS DOUBLE) / 1000000, 4) AS bm25
             FROM part GROUP BY doc_id
             ORDER BY bm25 DESC, doc_id ASC LIMIT 10""",
+        # RRF fusion: the bm25 chain (top-20) + the text-cosine chain
+        # (top-20), ranks via row_number over each deterministic total
+        # order, fused 1/(60+rank) terms in fixed written order, 6 dp
+        "ann_rrf": """
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS term
+              FROM documents),
+            toks2 AS (SELECT * FROM toks WHERE term != ''),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks2
+              WHERE term IN ('hash', 'join', 'vector', 'scan')
+              GROUP BY doc_id, term),
+            dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            part AS (
+              SELECT tf.doc_id,
+                CAST(round(
+                  ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                  * 1000000) AS BIGINT) AS p
+              FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), stats s),
+            bm AS (
+              SELECT doc_id, round(CAST(sum(p) AS DOUBLE) / 1000000, 4) AS bm25
+              FROM part GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+            bmr AS (
+              SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS bm25_rank
+              FROM bm),
+            w AS (
+              SELECT doc_id AS id, CAST(('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS INT) AS dim,
+                     CAST(SUM(CASE WHEN ('0x' || substr(md5(term), 9, 1))::BIGINT % 2 = 0
+                              THEN 1 ELSE -1 END) AS BIGINT) AS weight
+              FROM toks2 GROUP BY 1, 2),
+            norms AS (SELECT id, sum(weight * weight) AS norm_sq FROM w GROUP BY id),
+            qw AS (SELECT dim, weight AS q_weight FROM w WHERE id = 9),
+            qn AS (SELECT norm_sq AS q_norm_sq FROM norms WHERE id = 9),
+            dots AS (
+              SELECT w.id, sum(w.weight * qw.q_weight) AS dot
+              FROM w JOIN qw ON w.dim = qw.dim GROUP BY w.id),
+            cosd AS (
+              SELECT d.id AS doc_id,
+                     round(d.dot / sqrt(CAST(n.norm_sq AS DOUBLE) * qn.q_norm_sq), 4) AS cosine
+              FROM dots d JOIN norms n ON n.id = d.id, qn
+              WHERE d.id != 9
+              ORDER BY cosine DESC, doc_id ASC LIMIT 20),
+            cosr AS (
+              SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS INT) AS cos_rank
+              FROM cosd)
+            SELECT doc_id, bm25_rank, cos_rank,
+              round(coalesce(1.0 / (60 + bm25_rank), 0.0)
+                    + coalesce(1.0 / (60 + cos_rank), 0.0), 6) AS rrf
+            FROM bmr FULL JOIN cosr USING (doc_id)
+            ORDER BY rrf DESC, doc_id ASC LIMIT 10""",
+        # Gopher rule battery: same token/line/2-gram definitions as the
+        # Spark projection; every ratio a single exact-int division, 4 dp;
+        # keep compares the ROUNDED values in both engines
+        "ta_gopher_rules": """
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+'),
+                            x -> x != '') AS toks,
+                list_filter(string_split(coalesce(text, ''), chr(10)), x -> x != '') AS lines
+              FROM documents),
+            g AS (
+              SELECT doc_id, t, toks, lines,
+                CAST(len(toks) AS INT) AS n_words,
+                CAST(len(lines) AS INT) AS n_lines,
+                CASE WHEN len(toks) < 2 THEN []
+                     ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                END AS grams
+              FROM base),
+            m AS (
+              SELECT doc_id, n_words,
+                round(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+                      / greatest(n_words, 1), 4) AS mean_word_len,
+                round((length(t) - length(replace(t, '#', ''))
+                       + (length(t) - length(replace(t, '...', ''))) / 3)
+                      / greatest(n_words, 1), 4) AS symbol_ratio,
+                round(CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+                       OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• '))) AS DOUBLE)
+                      / greatest(n_lines, 1), 4) AS bullet_frac,
+                round(CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
+                      / greatest(n_lines, 1), 4) AS ellipsis_frac,
+                CAST(list_contains(toks, 'the') AS INT) + CAST(list_contains(toks, 'be') AS INT)
+                  + CAST(list_contains(toks, 'to') AS INT) + CAST(list_contains(toks, 'of') AS INT)
+                  + CAST(list_contains(toks, 'and') AS INT) + CAST(list_contains(toks, 'that') AS INT)
+                  + CAST(list_contains(toks, 'have') AS INT) + CAST(list_contains(toks, 'with') AS INT)
+                  AS stop_hits,
+                CASE WHEN n_lines <= 0 THEN 0.0
+                     ELSE round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / n_lines, 4)
+                END AS dup_line_frac,
+                CASE WHEN len(grams) <= 0 THEN 0.0
+                     ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
+                END AS dup_2gram_frac
+              FROM g)
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+              ellipsis_frac, stop_hits, dup_line_frac, dup_2gram_frac,
+              (n_words BETWEEN 50 AND 100000
+               AND mean_word_len BETWEEN 3.0 AND 10.0
+               AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+               AND ellipsis_frac <= 0.3 AND stop_hits >= 2
+               AND dup_line_frac <= 0.3 AND dup_2gram_frac <= 0.2) AS keep
+            FROM m""",
+        # cross-corpus shingle redundancy: df over per-doc DISTINCT
+        # shingles (count(*) IS the doc frequency), left join keeps
+        # shingle-less docs as (0, 0, 0.0)
+        "dedup_shared_ngrams": """
+            WITH sh AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) < 3 THEN []
+                ELSE list_transform(range(1, len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) - 1),
+                  i -> regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')[i] || ' ' ||
+                       regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')[i+1] || ' ' ||
+                       regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')[i+2]) END) AS shingles
+              FROM documents),
+            posting AS (
+              SELECT doc_id, unnest(shingles) AS s FROM sh),
+            dfx AS (SELECT s, count(*) AS df FROM posting GROUP BY s),
+            per_doc AS (
+              SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                     CAST(sum(CASE WHEN dfx.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+              FROM posting p JOIN dfx USING (s) GROUP BY p.doc_id)
+            SELECT d.doc_id,
+              coalesce(n_shingles, 0) AS n_shingles,
+              coalesce(n_shared, 0) AS n_shared,
+              CASE WHEN coalesce(n_shingles, 0) <= 0 THEN 0.0
+                   ELSE round(CAST(n_shared AS DOUBLE) / n_shingles, 4)
+              END AS shared_frac
+            FROM documents d LEFT JOIN per_doc USING (doc_id)""",
         "ann_text_topk": """
             WITH toks AS (
               SELECT doc_id AS id,

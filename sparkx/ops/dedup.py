@@ -141,6 +141,55 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     return _pair_jaccard(joined, threshold)
 
 
+def shared_ngram_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document CROSS-corpus duplication signal: for each doc, the
+    fraction of its distinct token ``n``-gram shingles that also appear in
+    at least one OTHER document — the corpus-level complement of the
+    within-doc repetition fractions (textstats.gopher_rules).  A high
+    ``shared_frac`` marks boilerplate-heavy near-duplicate material that
+    pairwise dedup may keep (each pair below threshold) but that still
+    drags a training mix; MassiveText-family builds use exactly this
+    signal to rank sources by redundancy.
+
+    Relational shape (no pairs, no quadratic anywhere): shingle document
+    frequencies via one map-side-combinable ``groupBy(shingle).count()``
+    (shingles are DISTINCT per doc, so count(*) IS the doc frequency), a
+    join back to the posting list, and a per-doc aggregate — two bounded
+    shuffles on (shingle) and one on (doc_id).  A viral stop-shingle makes
+    a hot join key; that join is equi-join-shaped, so AQE skew-join splits
+    it at runtime (and only the ``df > 1`` BIT is consumed downstream, so
+    a capped/sketched df would also do — kept exact here because the gate
+    oracle is exact).  Docs with fewer than ``n`` tokens have no shingles
+    and report ``(0, 0, 0.0)`` via the left join, matching the SQL oracle's
+    coalesce."""
+    sh = with_shingles(docs, n=n).select("doc_id", "shingles")
+    posting = sh.select("doc_id", F.explode("shingles").alias("s"))
+    df_ = posting.groupBy("s").agg(F.count("*").alias("df"))
+    per_doc = (
+        posting.join(df_, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df") > 1).cast("long")).alias("n_shared"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0).cast("long")).alias("n_shingles"),
+            F.coalesce("n_shared", F.lit(0).cast("long")).alias("n_shared"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.when(F.col("n_shingles") <= 0, F.lit(0.0)).otherwise(
+                F.round(F.col("n_shared") / F.col("n_shingles"), 4)
+            ),
+        )
+    )
+
+
 # ── MinHash + LSH (scale path) ───────────────────────────────────────────────
 def minhash_sketches(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
                      shingled: DataFrame | None = None) -> DataFrame:

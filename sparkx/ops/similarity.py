@@ -243,6 +243,62 @@ def bm25_topk(
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
 
 
+def rrf_fuse(
+    docs: DataFrame,
+    query: str,
+    query_doc_id: int,
+    k: int = 10,
+    depth: int = 20,
+    k0: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke & Buettcher,
+    SIGIR 2009) of the sparse BM25 ranking (:func:`bm25_topk`) and the dense
+    feature-hash cosine ranking (:func:`text_topk`) —
+    ``rrf = Σ_lists 1/(k0 + rank)`` with the standard ``k0 = 60``.  This is
+    the first-stage fusion step of every production RAG retriever: lexical
+    and embedding rankers fail on DIFFERENT queries, and RRF needs no score
+    calibration because it consumes only the integer ranks.
+
+    Scale shape: each ranker ends in a global top-``depth``
+    (TakeOrderedAndProject — a k-row driver-side heap merge, no full sort),
+    so the two rank windows and the full-outer fusion join run over ≤depth
+    rows each; single-partition windows are fine HERE and only here, because
+    the depth limit has already reduced the data.  The expensive work is the
+    rankers themselves, whose plans are audited separately.
+
+    Determinism: ranks are dense integers over a deterministic total order
+    (score DESC, doc_id ASC — both rankers quantize their scores), and the
+    fused score is two IEEE double divisions plus one addition in a fixed
+    written order, identical in Spark and DuckDB; rounded to 6 dp.  A doc
+    absent from one list keeps a NULL rank there and contributes only the
+    other list's term (graded fusion, not an inner-join intersection)."""
+    from pyspark.sql import Window
+
+    bm = bm25_topk(docs, query, k=depth).withColumn(
+        "bm25_rank",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    )
+    cos = text_topk(docs, query_doc_id, k=depth).withColumn(
+        "cos_rank",
+        F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("doc_id"))),
+    )
+    fused = (
+        bm.select("doc_id", "bm25_rank")
+        .join(cos.select("doc_id", "cos_rank"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "cos_rank",
+            F.round(
+                F.coalesce(1.0 / (F.lit(k0) + F.col("bm25_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(k0) + F.col("cos_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
+
+
 def probe_masks(nbits: int, probe_hamming: int) -> list[int]:
     """XOR masks for multi-probe (Lv et al., VLDB 2007): the query's own
     bucket (mask 0), all Hamming-1 neighbors, and — at ``probe_hamming=2`` —

@@ -328,6 +328,134 @@ def line_repetition_ratio(col: str | Column = "text") -> Column:
     )
 
 
+# the 8 high-frequency English stopwords of the published rule ("contains at
+# least 2 of ..."), Rae et al. 2021 (Gopher), Appendix A1.2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_stop_hits: int = 2,
+    max_dup_line_frac: float = 0.3,
+    max_dup_2gram_frac: float = 0.2,
+) -> DataFrame:
+    """Per-document MassiveText quality-rule flags (Rae et al., "Scaling
+    Language Models: ... Gopher", arXiv 2021, Appendix A1.2) — the published
+    heuristic filter battery every large-scale training-corpus build runs
+    before model-based scoring: word-count bounds, mean word length,
+    symbol-to-word ratio (``#`` and ``...``), bullet-line and ellipsis-line
+    fractions, stopword presence, and the within-document repetition
+    signals (duplicate-line fraction, duplicate word-2-gram fraction).
+
+    Returns one row per doc with each raw signal plus the fused ``keep``
+    boolean.  Keeping the signals (not just ``keep``) is deliberate: corpus
+    builds tune thresholds per source, and the signal columns are the input
+    to that tuning.
+
+    Scale shape: ONE narrow projection — no joins, no shuffles, no UDFs; at
+    100 TB this is a map-only pass that pipelines into whatever filter or
+    aggregation follows.  The token and line arrays are bound through
+    ``explode(array(...))`` Generate barriers (row count unchanged) so
+    CollapseProject cannot inline the regex split into every lambda
+    reference — the same O(tokens²) trap :func:`with_shingles` documents.
+
+    Determinism: every ratio is a single IEEE division of exact integers
+    (bit-identical across engines) rounded to 4 dp, and ``keep`` compares
+    the ROUNDED values, so Spark and DuckDB agree exactly."""
+    toks_expr = F.expr(
+        "filter(split(lower(trim(coalesce(text, ''))), '\\\\s+'), t -> t != '')"
+    )
+    lines_expr = F.expr("filter(split(coalesce(text, ''), '\\n'), x -> x != '')")
+    d = docs.select(
+        "*",
+        F.explode(F.array(toks_expr)).alias("_gtoks"),
+        F.explode(F.array(lines_expr)).alias("_glines"),
+    )
+    n_words = F.size("_gtoks")
+    n_lines = F.size("_glines")
+    text_len = F.length(F.coalesce(F.col("text"), F.lit("")))
+    hash_count = text_len - F.length(
+        F.replace(F.coalesce(F.col("text"), F.lit("")), F.lit("#"), F.lit(""))
+    )
+    ellipsis_count = (
+        text_len
+        - F.length(
+            F.replace(F.coalesce(F.col("text"), F.lit("")), F.lit("..."), F.lit(""))
+        )
+    ) / 3
+    mean_word_len = F.round(
+        F.expr("aggregate(_gtoks, 0L, (a, t) -> a + length(t))")
+        / F.greatest(n_words, F.lit(1)),
+        4,
+    )
+    symbol_ratio = F.round(
+        (hash_count + ellipsis_count) / F.greatest(n_words, F.lit(1)), 4
+    )
+    bullet_frac = F.round(
+        F.size(
+            F.expr(
+                "filter(_glines, l -> startswith(ltrim(l), '- ') "
+                "OR startswith(ltrim(l), '* ') OR startswith(ltrim(l), '• '))"
+            )
+        )
+        / F.greatest(n_lines, F.lit(1)),
+        4,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.expr("filter(_glines, l -> endswith(rtrim(l), '...'))"))
+        / F.greatest(n_lines, F.lit(1)),
+        4,
+    )
+    stop_hits = sum(
+        (
+            F.array_contains("_gtoks", w).cast("int")
+            for w in GOPHER_STOPWORDS[1:]
+        ),
+        F.array_contains("_gtoks", GOPHER_STOPWORDS[0]).cast("int"),
+    )
+    dup_line_frac = F.when(n_lines <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct("_glines")) / n_lines, 4)
+    )
+    grams = F.expr(
+        "CASE WHEN size(_gtoks) < 2 THEN cast(array() as array<string>) "
+        "ELSE transform(sequence(0, size(_gtoks) - 2), "
+        "i -> concat(_gtoks[i], ' ', _gtoks[i+1])) END"
+    )
+    n_grams = F.size(grams)
+    dup_2gram_frac = F.when(n_grams <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(grams)) / n_grams, 4)
+    )
+    flagged = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        stop_hits.alias("stop_hits"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_2gram_frac.alias("dup_2gram_frac"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_2gram_frac") <= max_dup_2gram_frac)
+    )
+    return flagged.withColumn("keep", keep)
+
+
 def text_profile(docs: DataFrame) -> DataFrame:
     """One-pass profile: doc_id, token counts, ratios, quality, lang, md5."""
     return docs.select(

@@ -680,3 +680,84 @@ def test_incremental_dedup_anti_join_semantics(spark):
     # doc 2 normalizes to a corpus fingerprint -> dropped; 1 survives with
     # two within-batch dups (3, 4); 5 survives alone
     assert got == {1: 2, 5: 0}
+
+
+def test_rrf_fuse_matches_python_reference(spark, docs):
+    """RRF fusion vs a loop-based Python fuse of the two rankers' own
+    (already reference-verified) top-20 lists: score = Σ 1/(60+rank),
+    graded — a doc in only one list keeps the other term at 0."""
+    from sparkx.ops.similarity import bm25_topk, rrf_fuse, text_topk
+
+    bm = [r.doc_id for r in bm25_topk(docs, "hash join vector scan", k=20).collect()]
+    cos = [r.doc_id for r in text_topk(docs, 9, k=20).collect()]
+    fused: dict[int, float] = {}
+    for lst in (bm, cos):
+        for rank, d in enumerate(lst, 1):
+            fused[d] = fused.get(d, 0.0) + 1.0 / (60 + rank)
+    want = sorted(
+        ((d, round(s, 6)) for d, s in fused.items()), key=lambda kv: (-kv[1], kv[0])
+    )[:10]
+    rows = rrf_fuse(docs, "hash join vector scan", 9, k=10, depth=20).collect()
+    assert [(r.doc_id, r.rrf) for r in rows] == want
+    # rank columns carry the source-list positions (NULL when absent)
+    for r in rows:
+        if r.bm25_rank is not None:
+            assert bm[r.bm25_rank - 1] == r.doc_id
+        if r.cos_rank is not None:
+            assert cos[r.cos_rank - 1] == r.doc_id
+
+
+def test_gopher_rules_flags_each_rule(spark):
+    """Each published MassiveText rule trips on a doc crafted to violate
+    exactly that rule; the clean doc passes (word-count floor relaxed so
+    the fixtures stay readable)."""
+    from sparkx.ops.textstats import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog have fun with all of that stuff"),
+            (2, "- one\n- two\n- three\n- four"),
+            (3, "to be or not to be ...\nwait for it ...\nhm ..."),
+            (4, "same line\nsame line\nsame line"),
+            (5, "ab cd ab cd ab cd ab cd"),
+            (6, ""),
+            (7, "#### the #### and ####"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_rules(docs, min_words=5).collect()}
+    assert out[1].keep and out[1].stop_hits == 6 and out[1].dup_2gram_frac == 0.0
+    assert out[1].mean_word_len == 3.3333
+    assert out[2].bullet_frac == 1.0 and not out[2].keep
+    assert out[3].ellipsis_frac == 1.0 and not out[3].keep
+    assert out[4].dup_line_frac == round(1 - 1 / 3, 4) and not out[4].keep
+    assert out[5].dup_2gram_frac == round(1 - 2 / 7, 4) and not out[5].keep
+    assert out[6].n_words == 0 and out[6].dup_line_frac == 0.0 and not out[6].keep
+    assert out[7].symbol_ratio == round(12 / 5, 4) and not out[7].keep
+
+
+def test_shared_ngram_stats_counts_cross_doc_overlap(spark):
+    """Cross-doc shingle redundancy: shared 3-gram counted once per doc
+    (shingles are distinct per doc), unique docs at 0.0, sub-n-token docs
+    kept as (0, 0, 0.0) by the left join."""
+    from sparkx.ops.dedup import shared_ngram_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "zeta eta theta iota"),
+            (4, "hi there"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_shared, r.shared_frac)
+        for r in shared_ngram_stats(docs, n=3).collect()
+    }
+    assert got == {
+        1: (2, 1, 0.5),
+        2: (2, 1, 0.5),
+        3: (2, 0, 0.0),
+        4: (0, 0, 0.0),
+    }
