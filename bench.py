@@ -117,6 +117,9 @@ def main() -> int:
         "ann_bm25", "fp_contamination", "ann_ivf", "ann_knn_batch",
         "cur_mixture", "corpus_cube", "cur_chunks",
         "dedup_incremental", "cur_split",
+        # r4 late additions: hybrid RRF fusion, Gopher rule battery,
+        # cross-doc shingle redundancy
+        "ann_rrf", "ta_gopher_rules", "dedup_shared_ngrams",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

@@ -149,6 +149,38 @@ def main() -> int:
             "(order-free across engines); TakeOrderedAndProject for the top-k, no\n"
             "full sort.",
         ),
+        (
+            "Gopher quality-rule battery (r4, map-only)",
+            fmt(E.queries()["ta_gopher_rules"](spark, sf)),
+            "What to check: NO Exchange anywhere — the whole battery is one narrow\n"
+            "projection that pipelines into whatever follows; the token and line\n"
+            "arrays are bound through two Generate (explode(array(...))) barriers so\n"
+            "CollapseProject cannot inline the regex split into each of the ~12\n"
+            "lambda references (the with_shingles O(tokens²) trap); every ratio is\n"
+            "a codegen'd expression over the bound arrays.",
+        ),
+        (
+            "Cross-doc shared-shingle fraction (r4)",
+            fmt(E.queries()["dedup_shared_ngrams"](spark, sf)),
+            "What to check: the shingle document-frequency side is ONE map-side-\n"
+            "combinable HashAggregate pair over the exploded posting list (shingles\n"
+            "are distinct per doc, so count(*) is df — no count(distinct)); the\n"
+            "posting↔df equi-join is AQE-skew-splittable (a viral stop-shingle is a\n"
+            "hot key); the per-doc aggregate shuffles on doc_id; the final left\n"
+            "join keeps shingle-less docs.  No pair join anywhere — this is the\n"
+            "redundancy signal computed WITHOUT the quadratic candidate set.",
+        ),
+        (
+            "RRF hybrid fusion (r4)",
+            fmt(E.queries()["ann_rrf"](spark, sf)),
+            "What to check: both ranker subplans end in TakeOrderedAndProject\n"
+            "(top-depth, no full sort) BEFORE the rank windows — the two\n"
+            "single-partition Window nodes and the full-outer fusion join therefore\n"
+            "run over ≤depth rows (the WindowExec single-partition warning is\n"
+            "expected and harmless here, and ONLY here, because the limit has\n"
+            "already collapsed the data); the expensive subtrees are the rankers\n"
+            "themselves, audited in their own sections.",
+        ),
     ]
 
     # bucket-partitioned ANN probe: write the embeddings table partitioned by
