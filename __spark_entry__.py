@@ -313,6 +313,19 @@ def _q_dedup_shared_ngrams(spark, sf_dir):
     return D.shared_ngram_stats(_docs(spark, sf_dir), n=3)
 
 
+def _q_dedup_repeated_spans(spark, sf_dir):
+    """Substring-level duplication pairs (Lee et al., ACL 2022): the longest
+    shared token substring per doc pair, found relationally via positional
+    5-gram shingles meeting on a shared-shingle join and run-lengths grouped
+    with the gaps-and-islands key on each (pair, diagonal) — the distributed
+    stand-in for suffix-array substring dedup.  max_shingle_df is pinned
+    None because the oracle computes the uncapped join (precedent:
+    dedup_ngram_jaccard); the capped scale path is pytest-covered."""
+    return D.repeated_span_pairs(
+        _docs(spark, sf_dir), n=5, min_span_tokens=15, max_shingle_df=None
+    )
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF-Flat ANN (k-means coarse quantizer, nprobe cells, exact scoring
     inside — Jégou et al. TPAMI 2011): the data-adaptive scale path next to
@@ -1053,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rrf": _q_ann_rrf,
         "ta_gopher_rules": _q_ta_gopher_rules,
         "dedup_shared_ngrams": _q_dedup_shared_ngrams,
+        "dedup_repeated_spans": _q_dedup_repeated_spans,
         "cur_pack": _q_cur_pack,
         "corpus_funnel_fuzzy": _q_corpus_funnel_fuzzy,
         "dedup_recall_report": _q_dedup_recall_report,
@@ -1742,6 +1756,32 @@ GROUP BY 1"""
                AND ellipsis_frac <= 0.3 AND stop_hits >= 2
                AND dup_line_frac <= 0.3 AND dup_2gram_frac <= 0.2) AS keep
             FROM m""",
+        # substring-level dup pairs: POSITIONAL 5-gram shingles (1-based
+        # here, 0-based in Spark — the gaps-and-islands key and the counts
+        # are base-invariant), diagonal run lengths, longest run + n-1
+        "dedup_repeated_spans": """
+            WITH base AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS arr
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                list_transform(range(1, len(arr) - 3), i ->
+                  arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] || ' ' || arr[i+4]) AS shs
+              FROM base WHERE len(arr) >= 5),
+            posting AS (
+              SELECT doc_id, generate_subscripts(shs, 1) AS pos, unnest(shs) AS s FROM sh),
+            m AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS apos, a.pos - b.pos AS diag
+              FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id),
+            r AS (
+              SELECT a_id, b_id, diag,
+                apos - row_number() OVER (PARTITION BY a_id, b_id, diag ORDER BY apos) AS grp
+              FROM m),
+            runs AS (
+              SELECT a_id, b_id, diag, grp, count(*) AS run FROM r GROUP BY 1, 2, 3, 4)
+            SELECT a_id, b_id, CAST(max(run) + 4 AS BIGINT) AS span_tokens
+            FROM runs GROUP BY a_id, b_id
+            HAVING max(run) + 4 >= 15""",
         # cross-corpus shingle redundancy: df over per-doc DISTINCT
         # shingles (count(*) IS the doc frequency), left join keeps
         # shingle-less docs as (0, 0, 0.0)

@@ -190,6 +190,93 @@ def shared_ngram_stats(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def repeated_span_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    min_span_tokens: int = 10,
+    max_shingle_df: int | None = 10_000,
+) -> DataFrame:
+    """Substring-level duplication: for each doc pair sharing at least one
+    token ``n``-gram, the LONGEST run of consecutive shared n-grams —
+    reported as ``span_tokens = run + n - 1``, the length of the longest
+    shared token substring — filtered to ``span_tokens >= min_span_tokens``.
+    This is the signal behind suffix-array substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL 2022):
+    two documents can be far apart by whole-document Jaccard yet still share
+    a 1,000-token boilerplate block that should be cut once, not trained on
+    twice.
+
+    Suffix arrays don't distribute; this is the relational equivalent.
+    POSITIONAL shingles (doc_id, pos, shingle — NOT distinct, unlike the
+    Jaccard path) meet in a shared-shingle equi-join; a shared shingle at
+    positions (pa, pb) lies on diagonal ``pa − pb``, and a run of
+    consecutive shared shingles is a maximal consecutive-``pa`` stretch on
+    one diagonal — grouped in one pass with the classic gaps-and-islands
+    key ``pa − row_number()`` (no iteration, no per-row Python).  Shuffles:
+    the shingle join (AQE-skew-splittable), one window + aggregate on
+    (pair, diagonal), one aggregate on pair.
+
+    ``max_shingle_df`` is the posting-cap (stop-shingle) guard from
+    :func:`ngram_jaccard_pairs`: without it one viral n-gram makes a
+    quadratic candidate set.  Capping can only SPLIT a reported run (a run
+    through a dropped hot shingle is seen as two shorter runs), never
+    invent one — recall-safe for spans whose every window is hot-free.
+    At corpus scale the string shingle would ride the shuffle as an 8-byte
+    hash (the hashed-verify precedent in minhash_lsh_pairs); kept as the
+    string here because the DuckDB gate oracle joins on shingle equality."""
+    split_expr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = docs.select("doc_id", F.explode(F.array(split_expr)).alias("_toks"))
+    parts = ", ' ', ".join(f"_toks[i+{k}]" for k in range(n))
+    posting = (
+        d.filter(F.expr(f"size(_toks) >= {n}"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(_toks) - {n}), "
+                    f"i -> concat({parts}))"
+                )
+            ).alias("pos", "s"),
+        )
+    )
+    if max_shingle_df is not None:
+        hot = (
+            posting.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("s")
+        )
+        posting = posting.join(F.broadcast(hot), "s", "left_anti")
+    a = posting.select(
+        F.col("doc_id").alias("a_id"), F.col("pos").alias("apos"), "s"
+    )
+    b = posting.select(
+        F.col("doc_id").alias("b_id"), F.col("pos").alias("bpos"), "s"
+    )
+    matches = (
+        a.join(b, "s")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "apos", (F.col("apos") - F.col("bpos")).alias("diag"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id", "b_id", "diag").orderBy("apos")
+    runs = (
+        matches.withColumn("grp", F.col("apos") - F.row_number().over(w))
+        .groupBy("a_id", "b_id", "diag", "grp")
+        .agg(F.count("*").alias("run"))
+        .groupBy("a_id", "b_id")
+        .agg(F.max("run").alias("max_run"))
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("max_run") + F.lit(n - 1)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span_tokens)
+    )
+    return runs
+
+
 # ── MinHash + LSH (scale path) ───────────────────────────────────────────────
 def minhash_sketches(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
                      shingled: DataFrame | None = None) -> DataFrame:

@@ -761,3 +761,37 @@ def test_shared_ngram_stats_counts_cross_doc_overlap(spark):
         3: (2, 0, 0.0),
         4: (0, 0, 0.0),
     }
+
+
+def test_repeated_span_pairs_finds_longest_shared_substring(spark):
+    """Diagonal run-length semantics: a 10-token shared block reports span
+    10 even at different offsets; a block broken by one token reports the
+    longer fragment; disjoint docs report nothing; the posting cap can only
+    split runs, never invent them."""
+    from sparkx.ops.dedup import repeated_span_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n o p"),
+            (2, "x y a b c d e f g h i j z w q r"),
+            (3, "completely different words here entirely unrelated stuff ok"),
+            (4, "a b c d e xx f g h i j k"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a_id, r.b_id): r.span_tokens
+        for r in repeated_span_pairs(docs, n=3, min_span_tokens=4).collect()
+    }
+    # 1↔2 share "a b c d e f g h i j" (10); 1↔4 share "f g h i j k" (6,
+    # the longer of the two fragments); 2↔4 share "f g h i j" (5)
+    assert got == {(1, 2): 10, (1, 4): 6, (2, 4): 5}
+    # capping a hot shingle splits runs but keeps the fragments: with every
+    # shingle of df<=2 kept, results are identical to uncapped here
+    capped = {
+        (r.a_id, r.b_id): r.span_tokens
+        for r in repeated_span_pairs(
+            docs, n=3, min_span_tokens=4, max_shingle_df=2
+        ).collect()
+    }
+    assert capped[(1, 2)] <= 10 and set(capped) <= set(got)

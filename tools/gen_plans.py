@@ -171,6 +171,17 @@ def main() -> int:
             "redundancy signal computed WITHOUT the quadratic candidate set.",
         ),
         (
+            "Repeated-span pairs (r4, substring-level dedup)",
+            fmt(E.queries()["dedup_repeated_spans"](spark, sf)),
+            "What to check: the positional-shingle build is scan→Generate(array\n"
+            "bind)→Generate(posexplode) with codegen'd concat — no UDF; the\n"
+            "shared-shingle self-join is the only wide fan-out (AQE-skew-\n"
+            "splittable; the capped variant drops viral shingles before it); the\n"
+            "gaps-and-islands window partitions on (a_id, b_id, diag) — real\n"
+            "partition keys, NOT a global window — and the two HashAggregates\n"
+            "that follow partially aggregate map-side.",
+        ),
+        (
             "RRF hybrid fusion (r4)",
             fmt(E.queries()["ann_rrf"](spark, sf)),
             "What to check: both ranker subplans end in TakeOrderedAndProject\n"
