@@ -326,6 +326,17 @@ def _q_dedup_repeated_spans(spark, sf_dir):
     )
 
 
+def _q_dedup_cut_spans(spark, sf_dir):
+    """Substring-dedup REMOVAL (the actionable half of Lee et al. ACL 2022):
+    every ≥15-token shared span is cut from the higher-doc_id side, spans
+    merged per doc before cutting; output is each doc's whitespace-
+    normalized cleaned text + tokens-cut count.  Cap pinned None for the
+    exact oracle (precedent: dedup_ngram_jaccard)."""
+    return D.cut_repeated_spans(
+        _docs(spark, sf_dir), n=5, min_span_tokens=15, max_shingle_df=None
+    )
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF-Flat ANN (k-means coarse quantizer, nprobe cells, exact scoring
     inside — Jégou et al. TPAMI 2011): the data-adaptive scale path next to
@@ -1067,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_gopher_rules": _q_ta_gopher_rules,
         "dedup_shared_ngrams": _q_dedup_shared_ngrams,
         "dedup_repeated_spans": _q_dedup_repeated_spans,
+        "dedup_cut_spans": _q_dedup_cut_spans,
         "cur_pack": _q_cur_pack,
         "corpus_funnel_fuzzy": _q_corpus_funnel_fuzzy,
         "dedup_recall_report": _q_dedup_recall_report,
@@ -1782,6 +1794,61 @@ GROUP BY 1"""
             SELECT a_id, b_id, CAST(max(run) + 4 AS BIGINT) AS span_tokens
             FROM runs GROUP BY a_id, b_id
             HAVING max(run) + 4 >= 15""",
+        # span REMOVAL: same run construction, b-side intervals, running-
+        # max interval merge, anti-range-join token filter, ordered
+        # reassembly (positions are 1-based here vs 0-based in Spark; all
+        # outputs are base-invariant)
+        "dedup_cut_spans": """
+            WITH base AS (
+              SELECT doc_id,
+                regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+') AS larr,
+                regexp_split_to_array(trim(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+') AS arr
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                list_transform(range(1, len(larr) - 3), i ->
+                  larr[i] || ' ' || larr[i+1] || ' ' || larr[i+2] || ' ' || larr[i+3] || ' ' || larr[i+4]) AS shs
+              FROM base WHERE len(larr) >= 5),
+            posting AS (
+              SELECT doc_id, generate_subscripts(shs, 1) AS pos, unnest(shs) AS s FROM sh),
+            m AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS apos, a.pos - b.pos AS diag
+              FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id),
+            r AS (
+              SELECT a_id, b_id, diag, apos,
+                apos - row_number() OVER (PARTITION BY a_id, b_id, diag ORDER BY apos) AS grp
+              FROM m),
+            runs AS (
+              SELECT a_id, b_id, diag, min(apos) AS run_start, count(*) AS run
+              FROM r GROUP BY a_id, b_id, diag, grp),
+            spans AS (
+              SELECT b_id AS doc_id, run_start - diag AS s, run_start - diag + run + 3 AS e
+              FROM runs WHERE run + 4 >= 15),
+            mrk AS (
+              SELECT doc_id, s, e,
+                max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+              FROM spans),
+            isl AS (
+              SELECT doc_id, s, e,
+                sum(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+              FROM mrk),
+            merged AS (
+              SELECT doc_id, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, island),
+            toks AS (
+              SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok FROM base),
+            kept AS (
+              SELECT t.doc_id, t.pos, t.tok FROM toks t
+              WHERE NOT EXISTS (SELECT 1 FROM merged m2
+                                WHERE m2.doc_id = t.doc_id AND t.pos BETWEEN m2.s AND m2.e)),
+            agg AS (
+              SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS text_clean,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT b.doc_id, coalesce(a.text_clean, '') AS text_clean,
+              CAST(len(b.arr) - coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_cut
+            FROM base b LEFT JOIN agg a USING (doc_id)""",
         # cross-corpus shingle redundancy: df over per-doc DISTINCT
         # shingles (count(*) IS the doc frequency), left join keeps
         # shingle-less docs as (0, 0, 0.0)

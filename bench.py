@@ -148,12 +148,21 @@ def main() -> int:
     # the CAPPED scale path of the substring-span detector — the driver
     # query dedup_repeated_spans pins the cap to None for its exact oracle
     # (same split as quantiles/distinct above: gate-exact vs scale-default)
-    from sparkx.ops.dedup import repeated_span_pairs
+    from sparkx.ops.dedup import cut_repeated_spans, repeated_span_pairs
 
     timed(
         "repeated_spans_capped",
         lambda: _count(
             repeated_span_pairs(
+                spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+                n=5, min_span_tokens=15, max_shingle_df=1000,
+            )
+        ),
+    )
+    timed(
+        "cut_spans_capped",
+        lambda: _count(
+            cut_repeated_spans(
                 spark.read.parquet(f"{SF_DIR}/documents.parquet"),
                 n=5, min_span_tokens=15, max_shingle_df=1000,
             )

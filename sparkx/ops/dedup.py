@@ -224,6 +224,25 @@ def repeated_span_pairs(
     At corpus scale the string shingle would ride the shuffle as an 8-byte
     hash (the hashed-verify precedent in minhash_lsh_pairs); kept as the
     string here because the DuckDB gate oracle joins on shingle equality."""
+    runs = _diag_runs(_positional_posting(docs, n, max_shingle_df))
+    return (
+        runs.groupBy("a_id", "b_id")
+        .agg(F.max("run").alias("max_run"))
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("max_run") + F.lit(n - 1)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span_tokens)
+    )
+
+
+def _positional_posting(
+    docs: DataFrame, n: int, max_shingle_df: int | None
+) -> DataFrame:
+    """(doc_id, pos, s): ALL positional token n-gram shingles (not distinct
+    — position matters), with the optional stop-shingle posting cap.  The
+    token array is Generate-barrier-bound (see with_shingles)."""
     split_expr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     d = docs.select("doc_id", F.explode(F.array(split_expr)).alias("_toks"))
     parts = ", ' ', ".join(f"_toks[i+{k}]" for k in range(n))
@@ -247,6 +266,15 @@ def repeated_span_pairs(
             .select("s")
         )
         posting = posting.join(F.broadcast(hot), "s", "left_anti")
+    return posting
+
+
+def _diag_runs(posting: DataFrame) -> DataFrame:
+    """Maximal runs of consecutive shared shingles per (pair, diagonal):
+    (a_id, b_id, diag, run_start, run) where ``run_start`` is the a-side
+    position of the run's first shingle and ``run`` its shingle count.
+    The b-side start is ``run_start − diag``.  One shared-shingle join +
+    one PARTITIONED window (gaps-and-islands) + one aggregate."""
     a = posting.select(
         F.col("doc_id").alias("a_id"), F.col("pos").alias("apos"), "s"
     )
@@ -261,20 +289,97 @@ def repeated_span_pairs(
     from pyspark.sql import Window
 
     w = Window.partitionBy("a_id", "b_id", "diag").orderBy("apos")
-    runs = (
+    return (
         matches.withColumn("grp", F.col("apos") - F.row_number().over(w))
         .groupBy("a_id", "b_id", "diag", "grp")
-        .agg(F.count("*").alias("run"))
-        .groupBy("a_id", "b_id")
-        .agg(F.max("run").alias("max_run"))
-        .select(
-            "a_id",
-            "b_id",
-            (F.col("max_run") + F.lit(n - 1)).alias("span_tokens"),
-        )
-        .filter(F.col("span_tokens") >= min_span_tokens)
+        .agg(F.min("apos").alias("run_start"), F.count("*").alias("run"))
+        .drop("grp")
     )
-    return runs
+
+
+def cut_repeated_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_span_tokens: int = 10,
+    max_shingle_df: int | None = 10_000,
+) -> DataFrame:
+    """The actionable half of substring dedup (Lee et al., ACL 2022 cut the
+    spans, not the documents): remove every shared token span of at least
+    ``min_span_tokens`` from the NON-canonical side of each pair (the
+    higher doc_id — the min-id copy keeps its text, mirroring every other
+    canonical-pick in this module), and return one row per input doc with
+    the whitespace-normalized cleaned text and the number of tokens cut.
+
+    Pipeline, all relational: diagonal runs (:func:`_diag_runs`) →
+    b-side token intervals → per-doc INTERVAL MERGE (a doc cut by several
+    partners has overlapping spans; classic running-max gaps-and-islands
+    over a window PARTITIONED by doc_id, so no global window) → cut-span
+    arrays joined back to the corpus (left join: most docs are untouched)
+    → token filter + reassembly as native array lambdas.  The per-token
+    ``exists`` over the span array is an interpreted HOF, but it runs only
+    on the CUT docs (the join probe side) and span arrays are tiny after
+    merging — the hot path (uncut docs) is a codegen'd concat_ws.
+
+    Output text is whitespace-normalized (single spaces) for ALL rows —
+    the same canonical form the dedup fingerprints use — so cut and uncut
+    rows are directly comparable and the cross-engine oracle is exact."""
+    runs = _diag_runs(_positional_posting(docs, n, max_shingle_df))
+    spans = runs.filter(F.col("run") + F.lit(n - 1) >= min_span_tokens).select(
+        F.col("b_id").alias("doc_id"),
+        (F.col("run_start") - F.col("diag")).alias("s"),
+        (F.col("run_start") - F.col("diag") + F.col("run") + F.lit(n - 2)).alias("e"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        spans.withColumn(
+            "_new",
+            F.when(
+                prev_max_e.isNull() | (F.col("s") > prev_max_e + 1), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "_island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    cuts = merged.groupBy("doc_id").agg(
+        F.collect_list(F.struct(F.col("s"), F.col("e"))).alias("_spans")
+    )
+    out = (
+        docs.join(cuts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
+            ).alias("_arr"),
+            "_spans",
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN _spans IS NULL THEN _arr "
+                "ELSE transform(filter(sequence(0, size(_arr) - 1), "
+                "i -> NOT exists(_spans, sp -> i >= sp.s AND i <= sp.e)), "
+                "i -> _arr[i]) END"
+            ).alias("_kept"),
+            F.size("_arr").alias("_n_in"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("_kept")).alias("text_clean"),
+            (F.col("_n_in") - F.size("_kept")).cast("long").alias("n_tokens_cut"),
+        )
+    )
+    return out
 
 
 # ── MinHash + LSH (scale path) ───────────────────────────────────────────────

@@ -795,3 +795,34 @@ def test_repeated_span_pairs_finds_longest_shared_substring(spark):
         ).collect()
     }
     assert capped[(1, 2)] <= 10 and set(capped) <= set(got)
+
+
+def test_cut_repeated_spans_removes_merged_spans_from_higher_doc(spark):
+    """Span removal: the min-id doc keeps its text; partners lose every
+    qualifying span; overlapping spans from different partners merge before
+    cutting; output text is whitespace-normalized for all rows."""
+    from sparkx.ops.dedup import cut_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n o p"),
+            (2, "x y a b c d e f g h i j z w q r"),
+            (3, "completely  different\twords here entirely unrelated stuff ok"),
+            (4, "a b c d e xx f g h i j k"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text_clean, r.n_tokens_cut)
+        for r in cut_repeated_spans(docs, n=3, min_span_tokens=4).collect()
+    }
+    assert got[1] == ("a b c d e f g h i j k l m n o p", 0)
+    assert got[2] == ("x y z w q r", 10)
+    # doc 3 untouched but whitespace-NORMALIZED (double space + tab folded)
+    assert got[3] == (
+        "completely different words here entirely unrelated stuff ok", 0,
+    )
+    # doc 4 loses both fragments ("a b c d e" from 1/2, "f g h i j k" from 1)
+    assert got[4] == ("xx", 11)
+    assert got[5] == ("", 0)
