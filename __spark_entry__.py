@@ -888,6 +888,25 @@ def _q_corpus_funnel_fuzzy(spark, sf_dir):
     return spark.createDataFrame(rows, agg.schema)
 
 
+def _q_corpus_funnel_gopher(spark, sf_dir):
+    """The corpus funnel with quality_mode='gopher': the MassiveText rule
+    battery (ta_gopher_rules) layered as the funnel's quality gate in place
+    of the composite score — the composition a production corpus build
+    actually runs (extract → exact dedup → rule filter → sample).  Still
+    one DAG, the battery adds only narrow map work."""
+    from sparkx.corpus_build import corpus_flags
+
+    cf = corpus_flags(
+        _blocks(spark, sf_dir, "fastpath"),
+        min_tokens=5, max_tokens=5000, sample_rate=0.5,
+        salt="corpus0", quality_mode="gopher",
+    )
+    with cf as flagged:
+        agg = _funnel_agg(flagged)
+        rows = agg.collect()
+    return spark.createDataFrame(rows, agg.schema)
+
+
 def _q_a5_query_stats(spark, sf_dir):
     """A5: the LangGraph stats record (langgraph_pipeline.py:545,569,605-606,
     295,723) COMPOSED from the engine's own pieces: retrieved_count from the
@@ -1079,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_shared_ngrams": _q_dedup_shared_ngrams,
         "dedup_repeated_spans": _q_dedup_repeated_spans,
         "dedup_cut_spans": _q_dedup_cut_spans,
+        "corpus_funnel_gopher": _q_corpus_funnel_gopher,
         "cur_pack": _q_cur_pack,
         "corpus_funnel_fuzzy": _q_corpus_funnel_fuzzy,
         "dedup_recall_report": _q_dedup_recall_report,
@@ -2237,6 +2257,73 @@ GROUP BY 1"""
                 ('0x' || substr(md5('corpus0|' || chunk_id), 1, 8))::BIGINT % 10000
                   < 5000 AS sampled
               FROM tb)
+            SELECT count(*) AS blocks_in,
+              CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS after_dedup,
+              CAST(sum(CASE WHEN is_canonical AND passes_quality THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
+              CAST(sum(CASE WHEN is_canonical AND passes_quality AND sampled THEN 1 ELSE 0 END) AS BIGINT) AS after_sample
+            FROM flags""",
+        # funnel with the Gopher battery as the quality gate: same blocks
+        # CTE, the ta_gopher_rules signal chain over the accepted text
+        # chunks (word bounds 5..5000), joined back as passes_quality
+        "corpus_funnel_gopher": _BLOCKS_CTE + """
+            , tb AS (
+              SELECT st_fast AS text, chunk_id FROM blocks
+              WHERE status = 'accepted' AND chunk_type = 'text'
+            ), gb AS (
+              SELECT chunk_id, coalesce(text, '') AS t,
+                list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+'),
+                            x -> x != '') AS toks,
+                list_filter(string_split(coalesce(text, ''), chr(10)), x -> x != '') AS lines
+              FROM tb
+            ), gg AS (
+              SELECT chunk_id, t, toks, lines,
+                CAST(len(toks) AS INT) AS n_words,
+                CAST(len(lines) AS INT) AS n_lines,
+                CASE WHEN len(toks) < 2 THEN []
+                     ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                END AS grams
+              FROM gb
+            ), gm AS (
+              SELECT chunk_id, n_words,
+                round(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+                      / greatest(n_words, 1), 4) AS mean_word_len,
+                round((length(t) - length(replace(t, '#', ''))
+                       + (length(t) - length(replace(t, '...', ''))) / 3)
+                      / greatest(n_words, 1), 4) AS symbol_ratio,
+                round(CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+                       OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• '))) AS DOUBLE)
+                      / greatest(n_lines, 1), 4) AS bullet_frac,
+                round(CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
+                      / greatest(n_lines, 1), 4) AS ellipsis_frac,
+                CAST(list_contains(toks, 'the') AS INT) + CAST(list_contains(toks, 'be') AS INT)
+                  + CAST(list_contains(toks, 'to') AS INT) + CAST(list_contains(toks, 'of') AS INT)
+                  + CAST(list_contains(toks, 'and') AS INT) + CAST(list_contains(toks, 'that') AS INT)
+                  + CAST(list_contains(toks, 'have') AS INT) + CAST(list_contains(toks, 'with') AS INT)
+                  AS stop_hits,
+                CASE WHEN n_lines <= 0 THEN 0.0
+                     ELSE round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / n_lines, 4)
+                END AS dup_line_frac,
+                CASE WHEN len(grams) <= 0 THEN 0.0
+                     ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
+                END AS dup_2gram_frac
+              FROM gg
+            ), gk AS (
+              SELECT chunk_id,
+                (n_words BETWEEN 5 AND 5000
+                 AND mean_word_len BETWEEN 3.0 AND 10.0
+                 AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                 AND ellipsis_frac <= 0.3 AND stop_hits >= 2
+                 AND dup_line_frac <= 0.3 AND dup_2gram_frac <= 0.2) AS keep
+              FROM gm
+            ), flags AS (
+              SELECT tb.chunk_id,
+                row_number() OVER (
+                  PARTITION BY md5(lower(trim(regexp_replace(tb.text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
+                  ORDER BY tb.chunk_id) = 1 AS is_canonical,
+                gk.keep AS passes_quality,
+                ('0x' || substr(md5('corpus0|' || tb.chunk_id), 1, 8))::BIGINT % 10000
+                  < 5000 AS sampled
+              FROM tb JOIN gk USING (chunk_id))
             SELECT count(*) AS blocks_in,
               CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS after_dedup,
               CAST(sum(CASE WHEN is_canonical AND passes_quality THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,

@@ -32,6 +32,10 @@ def main(argv=None) -> int:
                    help="minhash additionally resolves near-dup clusters and "
                         "keeps one canonical per cluster")
     p.add_argument("--jaccard-threshold", type=float, default=0.5)
+    p.add_argument("--quality-mode", choices=["score", "gopher"], default="score",
+                   help="gopher swaps the score gate for the MassiveText "
+                        "rule battery (min/max-tokens become its word-count "
+                        "bounds; --min-quality is ignored)")
     p.add_argument("--run-id", default=None)
     p.add_argument("--master", default=None)
     p.add_argument("--synth-convs", type=int, default=0)
@@ -67,6 +71,7 @@ def main(argv=None) -> int:
             run_id=args.run_id or f"corpus_{int(time.time())}",
             dedup_mode=args.dedup_mode,
             jaccard_threshold=args.jaccard_threshold,
+            quality_mode=args.quality_mode,
         )
         print(json.dumps({**funnel, "wall_sec": round(time.time() - t0, 2)}))
         return 0

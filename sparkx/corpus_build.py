@@ -87,6 +87,7 @@ def corpus_flags(
     dedup_mode: str = "exact",
     jaccard_threshold: float = 0.5,
     ngram_n: int = 3,
+    quality_mode: str = "score",
 ) -> CorpusFlags:
     """Annotate surviving text blocks with the funnel stage flags.
 
@@ -169,17 +170,39 @@ def corpus_flags(
         )
     elif dedup_mode != "exact":
         raise ValueError(f"unknown dedup_mode {dedup_mode!r}")
-    out = (
-        flagged.withColumn(
+    if quality_mode == "gopher":
+        # the MassiveText rule battery as the quality gate (Rae et al. 2021
+        # A1.2, textstats.gopher_rules) — layered as columns on the SAME
+        # frame (select_all), no self-join, still a map-only stage;
+        # min_quality does not apply in this mode (the battery has its own
+        # thresholds), min/max_tokens become the word-count bounds
+        from sparkx.ops.textstats import gopher_rules
+
+        g = gopher_rules(
+            flagged,
+            min_words=min_tokens,
+            max_words=max_tokens,
+            text_col="structured_text",
+            id_col="chunk_id",
+            select_all=True,
+        )
+        quality_flagged = g.withColumn("passes_quality", F.col("keep")).drop(
+            "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+            "ellipsis_frac", "stop_hits", "dup_line_frac", "dup_2gram_frac",
+            "keep",
+        )
+    elif quality_mode == "score":
+        quality_flagged = flagged.withColumn(
             "passes_quality",
             (n >= min_tokens)
             & (n <= max_tokens)
             & (quality_score("structured_text") >= min_quality),
         )
-        .withColumn(
-            "sampled",
-            sample_bucket("chunk_id", salt) < F.lit(_gate(sample_rate)),
-        )
+    else:
+        raise ValueError(f"unknown quality_mode {quality_mode!r}")
+    out = quality_flagged.withColumn(
+        "sampled",
+        sample_bucket("chunk_id", salt) < F.lit(_gate(sample_rate)),
     )
     return CorpusFlags(frame=out, caches=caches)
 
@@ -197,6 +220,7 @@ def build_corpus(
     run_id: str | None = None,
     dedup_mode: str = "exact",
     jaccard_threshold: float = 0.5,
+    quality_mode: str = "score",
 ) -> dict:
     """Run the funnel, write the corpus + metrics, return the funnel counts.
 
@@ -220,6 +244,7 @@ def build_corpus(
         salt=salt,
         dedup_mode=dedup_mode,
         jaccard_threshold=jaccard_threshold,
+        quality_mode=quality_mode,
     )
     flagged = cf.frame.persist()
     try:

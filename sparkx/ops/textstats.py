@@ -345,6 +345,9 @@ def gopher_rules(
     min_stop_hits: int = 2,
     max_dup_line_frac: float = 0.3,
     max_dup_2gram_frac: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    select_all: bool = False,
 ) -> DataFrame:
     """Per-document MassiveText quality-rule flags (Rae et al., "Scaling
     Language Models: ... Gopher", arXiv 2021, Appendix A1.2) — the published
@@ -368,11 +371,19 @@ def gopher_rules(
 
     Determinism: every ratio is a single IEEE division of exact integers
     (bit-identical across engines) rounded to 4 dp, and ``keep`` compares
-    the ROUNDED values, so Spark and DuckDB agree exactly."""
+    the ROUNDED values, so Spark and DuckDB agree exactly.
+
+    ``text_col``/``id_col`` rebind the input columns; ``select_all=True``
+    keeps EVERY input column alongside the signals + ``keep`` — the shape
+    the corpus funnel uses to layer the battery as a flag column without a
+    self-join."""
     toks_expr = F.expr(
-        "filter(split(lower(trim(coalesce(text, ''))), '\\\\s+'), t -> t != '')"
+        f"filter(split(lower(trim(coalesce({text_col}, ''))), '\\\\s+'), "
+        "t -> t != '')"
     )
-    lines_expr = F.expr("filter(split(coalesce(text, ''), '\\n'), x -> x != '')")
+    lines_expr = F.expr(
+        f"filter(split(coalesce({text_col}, ''), '\\n'), x -> x != '')"
+    )
     d = docs.select(
         "*",
         F.explode(F.array(toks_expr)).alias("_gtoks"),
@@ -380,15 +391,11 @@ def gopher_rules(
     )
     n_words = F.size("_gtoks")
     n_lines = F.size("_glines")
-    text_len = F.length(F.coalesce(F.col("text"), F.lit("")))
-    hash_count = text_len - F.length(
-        F.replace(F.coalesce(F.col("text"), F.lit("")), F.lit("#"), F.lit(""))
-    )
+    text_raw = F.coalesce(F.col(text_col), F.lit(""))
+    text_len = F.length(text_raw)
+    hash_count = text_len - F.length(F.replace(text_raw, F.lit("#"), F.lit("")))
     ellipsis_count = (
-        text_len
-        - F.length(
-            F.replace(F.coalesce(F.col("text"), F.lit("")), F.lit("..."), F.lit(""))
-        )
+        text_len - F.length(F.replace(text_raw, F.lit("..."), F.lit("")))
     ) / 3
     mean_word_len = F.round(
         F.expr("aggregate(_gtoks, 0L, (a, t) -> a + length(t))")
@@ -432,8 +439,7 @@ def gopher_rules(
     dup_2gram_frac = F.when(n_grams <= 0, F.lit(0.0)).otherwise(
         F.round(1.0 - F.size(F.array_distinct(grams)) / n_grams, 4)
     )
-    flagged = d.select(
-        "doc_id",
+    signal_cols = [
         n_words.alias("n_words"),
         mean_word_len.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),
@@ -442,7 +448,11 @@ def gopher_rules(
         stop_hits.alias("stop_hits"),
         dup_line_frac.alias("dup_line_frac"),
         dup_2gram_frac.alias("dup_2gram_frac"),
-    )
+    ]
+    if select_all:
+        flagged = d.select(*docs.columns, *signal_cols)
+    else:
+        flagged = d.select(id_col, *signal_cols)
     keep = (
         F.col("n_words").between(min_words, max_words)
         & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)

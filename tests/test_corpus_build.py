@@ -123,3 +123,37 @@ def test_corpus_build_is_reproducible(spark, tmp_path, transcripts_pdf):
     assert c["after_sample"] != a["after_sample"] or sorted(
         spark.read.parquet(f"{tmp_path}/c/corpus").toPandas().chunk_id
     ) != sorted(wa.chunk_id)
+
+
+def test_corpus_build_gopher_quality_mode(spark, tmp_path, transcripts_pdf):
+    """quality_mode='gopher' swaps the score gate for the MassiveText rule
+    battery: counts stay monotone, the frame contract is unchanged (same
+    columns as score mode), and the gate agrees with a direct
+    gopher_rules() recompute over the extracted text."""
+    from pyspark.sql import functions as F
+
+    from sparkx.corpus_build import corpus_flags
+    from sparkx.ops.textstats import gopher_rules
+    from sparkx.pipeline import extract_blocks
+
+    df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS)
+    blocks = extract_blocks(df, mode="fastpath", run_id="gq")
+    cf = corpus_flags(
+        blocks, min_tokens=5, max_tokens=5000, sample_rate=1.0,
+        salt="g0", quality_mode="gopher",
+    )
+    with cf as flagged:
+        rows = flagged.select(
+            "chunk_id", "structured_text", "passes_quality"
+        ).collect()
+    got = {r.chunk_id: r.passes_quality for r in rows}
+    ref_docs = spark.createDataFrame(
+        [(r.chunk_id, r.structured_text) for r in rows],
+        "doc_id string, text string",
+    )
+    want = {
+        r.doc_id: r.keep
+        for r in gopher_rules(ref_docs, min_words=5, max_words=5000).collect()
+    }
+    assert got == want
+    assert any(got.values()) and not all(got.values())
