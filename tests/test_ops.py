@@ -826,3 +826,107 @@ def test_cut_repeated_spans_removes_merged_spans_from_higher_doc(spark):
     # doc 4 loses both fragments ("a b c d e" from 1/2, "f g h i j k" from 1)
     assert got[4] == ("xx", 11)
     assert got[5] == ("", 0)
+
+
+def _py_span_reference(texts, n, min_span):
+    """Loop-based reference for repeated_span_pairs + cut_repeated_spans:
+    positional shingles, per-diagonal consecutive runs, b-side interval
+    merge, token cut.  Independent of Spark and of the DuckDB oracle."""
+    from collections import defaultdict
+
+    toks = {
+        d: re.split(r"\s+", s.strip().lower()) for d, s in texts.items()
+    }
+    shing = {
+        d: [" ".join(ts[i:i + n]) for i in range(len(ts) - n + 1)]
+        if len(ts) >= n else []
+        for d, ts in toks.items()
+    }
+    pairs, spans_by_doc = {}, defaultdict(list)
+    ids = sorted(texts)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            posb = defaultdict(list)
+            for j, s in enumerate(shing[b]):
+                posb[s].append(j)
+            diag = defaultdict(list)
+            for i, s in enumerate(shing[a]):
+                for j in posb.get(s, []):
+                    diag[i - j].append(i)
+            best = 0
+            for dg, apos in diag.items():
+                apos = sorted(set(apos))
+                k = 0
+                while k < len(apos):
+                    m = k
+                    while m + 1 < len(apos) and apos[m + 1] == apos[m] + 1:
+                        m += 1
+                    run = m - k + 1
+                    span = run + n - 1
+                    best = max(best, span)
+                    if span >= min_span:
+                        bs = apos[k] - dg
+                        spans_by_doc[b].append((bs, bs + run + n - 2))
+                    k = m + 1
+            if best >= min_span:
+                pairs[(a, b)] = best
+    cut = {}
+    for d, s in texts.items():
+        arr = re.split(r"\s+", s.strip())
+        ivs = sorted(spans_by_doc.get(d, []))
+        merged = []
+        for lo, hi in ivs:
+            if merged and lo <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        kept = [
+            t for i, t in enumerate(arr)
+            if not any(lo <= i <= hi for lo, hi in merged)
+        ]
+        cut[d] = (" ".join(kept), len(arr) - len(kept))
+    return pairs, cut
+
+
+def test_span_ops_match_python_reference_on_random_corpora(spark):
+    """Seeded fuzz (the connected-components precedent): random small-vocab
+    docs with PLANTED shared blocks — Spark span detection AND span removal
+    must match the loop-based reference exactly on every corpus."""
+    import random
+
+    from sparkx.ops.dedup import cut_repeated_spans, repeated_span_pairs
+
+    rng = random.Random(4242)
+    vocab = list("abcdefgh")
+    for trial in range(6):
+        texts = {}
+        n_docs = rng.randint(3, 8)
+        for d in range(n_docs):
+            texts[d] = " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(0, 25))
+            )
+        # plant a shared block into 2-3 docs at random offsets
+        block = " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 12)))
+        for d in rng.sample(range(n_docs), k=min(n_docs, rng.randint(2, 3))):
+            ts = texts[d].split()
+            at = rng.randint(0, len(ts))
+            texts[d] = " ".join(ts[:at] + block.split() + ts[at:])
+        n, min_span = 3, 5
+        want_pairs, want_cut = _py_span_reference(texts, n, min_span)
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got_pairs = {
+            (r.a_id, r.b_id): r.span_tokens
+            for r in repeated_span_pairs(
+                docs, n=n, min_span_tokens=min_span
+            ).collect()
+        }
+        assert got_pairs == want_pairs, f"trial {trial} pairs diverged"
+        got_cut = {
+            r.doc_id: (r.text_clean, r.n_tokens_cut)
+            for r in cut_repeated_spans(
+                docs, n=n, min_span_tokens=min_span
+            ).collect()
+        }
+        assert got_cut == want_cut, f"trial {trial} cut diverged"
