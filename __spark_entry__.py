@@ -888,6 +888,17 @@ def _q_corpus_funnel_fuzzy(spark, sf_dir):
     return spark.createDataFrame(rows, agg.schema)
 
 
+def _q_cur_scorecard(spark, sf_dir):
+    """Per-(lang, source) corpus health scorecard (corpus.corpus_scorecard):
+    volume, mean tokens, mean composite quality, Gopher rule-battery pass
+    rate, exact-dup fraction — the curator's input to mixture weighting.
+    Averages ride exact-integer sums (quality on its 4-dp grid ×10⁴) so
+    cross-engine aggregation order cannot move any 4-dp output."""
+    from sparkx.ops.corpus import corpus_scorecard
+
+    return corpus_scorecard(_docs(spark, sf_dir))
+
+
 def _q_corpus_funnel_gopher(spark, sf_dir):
     """The corpus funnel with quality_mode='gopher': the MassiveText rule
     battery (ta_gopher_rules) layered as the funnel's quality gate in place
@@ -1099,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_spans": _q_dedup_repeated_spans,
         "dedup_cut_spans": _q_dedup_cut_spans,
         "corpus_funnel_gopher": _q_corpus_funnel_gopher,
+        "cur_scorecard": _q_cur_scorecard,
         "cur_pack": _q_cur_pack,
         "corpus_funnel_fuzzy": _q_corpus_funnel_fuzzy,
         "dedup_recall_report": _q_dedup_recall_report,
@@ -2262,6 +2274,75 @@ GROUP BY 1"""
               CAST(sum(CASE WHEN is_canonical AND passes_quality THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
               CAST(sum(CASE WHEN is_canonical AND passes_quality AND sampled THEN 1 ELSE 0 END) AS BIGINT) AS after_sample
             FROM flags""",
+        # per-(lang, source) scorecard: gopher keep (default thresholds) +
+        # composite quality on its integer grid + exact-dup fraction; every
+        # ratio one division of exact ints
+        "cur_scorecard": f"""
+            WITH gb AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+'),
+                            x -> x != '') AS toks,
+                list_filter(string_split(coalesce(text, ''), chr(10)), x -> x != '') AS lines
+              FROM documents
+            ), gg AS (
+              SELECT doc_id, t, toks, lines,
+                CAST(len(toks) AS INT) AS n_words,
+                CAST(len(lines) AS INT) AS n_lines,
+                CASE WHEN len(toks) < 2 THEN []
+                     ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                END AS grams
+              FROM gb
+            ), gm AS (
+              SELECT doc_id, n_words,
+                round(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+                      / greatest(n_words, 1), 4) AS mean_word_len,
+                round((length(t) - length(replace(t, '#', ''))
+                       + (length(t) - length(replace(t, '...', ''))) / 3)
+                      / greatest(n_words, 1), 4) AS symbol_ratio,
+                round(CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+                       OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• '))) AS DOUBLE)
+                      / greatest(n_lines, 1), 4) AS bullet_frac,
+                round(CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
+                      / greatest(n_lines, 1), 4) AS ellipsis_frac,
+                CAST(list_contains(toks, 'the') AS INT) + CAST(list_contains(toks, 'be') AS INT)
+                  + CAST(list_contains(toks, 'to') AS INT) + CAST(list_contains(toks, 'of') AS INT)
+                  + CAST(list_contains(toks, 'and') AS INT) + CAST(list_contains(toks, 'that') AS INT)
+                  + CAST(list_contains(toks, 'have') AS INT) + CAST(list_contains(toks, 'with') AS INT)
+                  AS stop_hits,
+                CASE WHEN n_lines <= 0 THEN 0.0
+                     ELSE round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / n_lines, 4)
+                END AS dup_line_frac,
+                CASE WHEN len(grams) <= 0 THEN 0.0
+                     ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
+                END AS dup_2gram_frac
+              FROM gg
+            ), gk AS (
+              SELECT doc_id,
+                (n_words BETWEEN 50 AND 100000
+                 AND mean_word_len BETWEEN 3.0 AND 10.0
+                 AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                 AND ellipsis_frac <= 0.3 AND stop_hits >= 2
+                 AND dup_line_frac <= 0.3 AND dup_2gram_frac <= 0.2) AS keep
+              FROM gm
+            ), sbase AS (
+              SELECT d.lang, d.source,
+                CAST(CASE WHEN gk.keep THEN 1 ELSE 0 END AS BIGINT) AS k,
+                CAST({_TA_TOKENS} AS BIGINT) AS t,
+                CAST(round({_TA_QUALITY} * 10000) AS BIGINT) AS q,
+                md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp
+              FROM documents d JOIN gk USING (doc_id)),
+            sagg AS (
+              SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(t) AS BIGINT) AS st, CAST(sum(q) AS BIGINT) AS sq,
+                CAST(sum(k) AS BIGINT) AS sk,
+                count(DISTINCT fp) AS ndist
+              FROM sbase GROUP BY lang, source)
+            SELECT lang, source, n_docs,
+              CAST((st * 10000) // n_docs AS DOUBLE) / 10000.0 AS mean_tokens,
+              CAST(sq // n_docs AS DOUBLE) / 10000.0 AS mean_quality,
+              CAST((sk * 10000) // n_docs AS DOUBLE) / 10000.0 AS gopher_keep_frac,
+              CAST(((n_docs - ndist) * 10000) // n_docs AS DOUBLE) / 10000.0 AS dup_frac
+            FROM sagg""",
         # funnel with the Gopher battery as the quality gate: same blocks
         # CTE, the ta_gopher_rules signal chain over the accepted text
         # chunks (word bounds 5..5000), joined back as passes_quality

@@ -214,6 +214,57 @@ def corpus_cube(docs: DataFrame) -> DataFrame:
     )
 
 
+def corpus_scorecard(docs: DataFrame) -> DataFrame:
+    """Per-(lang, source) corpus health scorecard — the table a corpus
+    curator actually reads before picking mixture weights: volume (docs,
+    mean tokens), quality (mean composite score, Gopher rule-battery pass
+    rate), and redundancy (exact-duplicate fraction by normalized
+    fingerprint).  One map pass (Gopher signals + score + fingerprint are
+    all narrow) feeding a low-cardinality grouped aggregate.
+
+    Scale notes: the grouped count(DISTINCT fp) is planned by Catalyst as
+    the two-phase Expand rewrite (partial per (group, fp), then final per
+    group), so a giant source does NOT funnel through one task.  Averages
+    are shuffled as exact-integer sums (quality rides its 4-dp grid ×10⁴
+    as a long — order-free across engines and across partitions).
+
+    Every output ratio is TRUNCATED to the 1e-4 grid by INTEGER division
+    (``(sum × 10⁴) div n``, then an exact /10⁴) — never ``round(sum/n)``:
+    a mean over a grid hits .00005 ties constantly, and at a tie Spark
+    (BigDecimal HALF_UP on the double's shortest decimal repr) and DuckDB
+    (half-away on the raw binary double) round DIFFERENT ways.  Integer
+    division has no ties and both engines agree exactly."""
+    from sparkx.ops.textstats import fingerprint, gopher_rules
+
+    g = gopher_rules(docs, select_all=True)
+    base = g.select(
+        "lang",
+        "source",
+        F.col("keep").cast("long").alias("_k"),
+        token_count().alias("_t"),
+        F.round(quality_score() * 10000).cast("long").alias("_q"),
+        fingerprint().alias("_fp"),
+    )
+    agg = base.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_t").alias("_st"),
+        F.sum("_q").alias("_sq"),
+        F.sum("_k").alias("_sk"),
+        F.count_distinct(F.col("_fp")).alias("_ndist"),
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        (F.expr("(_st * 10000) div n_docs") / 10000.0).alias("mean_tokens"),
+        (F.expr("_sq div n_docs") / 10000.0).alias("mean_quality"),
+        (F.expr("(_sk * 10000) div n_docs") / 10000.0).alias("gopher_keep_frac"),
+        (F.expr("((n_docs - _ndist) * 10000) div n_docs") / 10000.0).alias(
+            "dup_frac"
+        ),
+    )
+
+
 def quality_length_filter(docs: DataFrame, min_tokens: int = 20,
                           max_tokens: int = 5000,
                           min_quality: float = 0.3) -> DataFrame:

@@ -329,3 +329,31 @@ def test_split_assign_deterministic_and_disjoint(spark):
     sub = {r.doc_id: r.split
            for r in split_assign(docs.filter("doc_id < 500"), 0.1, 0.1).collect()}
     assert all(a[k] == v for k, v in sub.items())
+
+
+def test_corpus_scorecard_groups_and_grid_truncation(spark):
+    """Scorecard per (lang, source): exact-dup fraction, Gopher pass rate,
+    and integer-grid (truncating) means — hand-verifiable fixture."""
+    from sparkx.ops.corpus import corpus_scorecard
+
+    passer = " ".join(
+        ["the", "of", "and", "that", "have", "with", "be", "to"]
+        + [f"word{i:02d}xx" for i in range(44)]
+    )  # 52 words, mwl ~5, 8 stopwords, no repetition -> keep
+    docs = spark.createDataFrame(
+        [
+            (1, passer, "en", "a"),
+            (2, passer, "en", "a"),          # exact duplicate
+            (3, "too short to keep", "en", "b"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        (r.lang, r.source): r for r in corpus_scorecard(docs).collect()
+    }
+    a, b = got[("en", "a")], got[("en", "b")]
+    assert a.n_docs == 2 and a.dup_frac == 0.5 and a.gopher_keep_frac == 1.0
+    assert a.mean_tokens == 52.0
+    assert 0.0 < a.mean_quality < 1.0
+    assert b.n_docs == 1 and b.dup_frac == 0.0 and b.gopher_keep_frac == 0.0
+    assert b.mean_tokens == 4.0
