@@ -223,8 +223,9 @@ def corpus_scorecard(docs: DataFrame) -> DataFrame:
     all narrow) feeding a low-cardinality grouped aggregate.
 
     Scale notes: the grouped count(DISTINCT fp) is planned by Catalyst as
-    the two-phase Expand rewrite (partial per (group, fp), then final per
-    group), so a giant source does NOT funnel through one task.  Averages
+    the two-level distinct rewrite (partial+final per (group, fp), then
+    partial+final per group — four HashAggregates, two Exchanges; audited
+    in PLANS.md), so a giant source does NOT funnel through one task.  Averages
     are shuffled as exact-integer sums (quality rides its 4-dp grid ×10⁴
     as a long — order-free across engines and across partitions).
 

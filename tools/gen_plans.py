@@ -182,6 +182,18 @@ def main() -> int:
             "that follow partially aggregate map-side.",
         ),
         (
+            "Corpus scorecard (r4, grouped distinct, two-level rewrite)",
+            fmt(E.queries()["cur_scorecard"](spark, sf)),
+            "What to check: the Gopher signals + quality + fingerprint are ONE\n"
+            "narrow map (two Generate barriers, no UDF); the single grouped\n"
+            "count(DISTINCT fp) is planned as Catalyst's TWO-LEVEL rewrite —\n"
+            "four HashAggregates / two Exchanges: partial+final per\n"
+            "(lang, source, fp), then partial+final per (lang, source) — so a\n"
+            "giant source never funnels its raw rows through one task; the\n"
+            "grid ratios are integer `div` projections after the aggregate\n"
+            "(no round-tie divergence vs the DuckDB oracle — see CLAUDE.md).",
+        ),
+        (
             "RRF hybrid fusion (r4)",
             fmt(E.queries()["ann_rrf"](spark, sf)),
             "What to check: both ranker subplans end in TakeOrderedAndProject\n"
