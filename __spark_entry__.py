@@ -888,6 +888,20 @@ def _q_corpus_funnel_fuzzy(spark, sf_dir):
     return spark.createDataFrame(rows, agg.schema)
 
 
+def _q_funnel_steps(spark, sf_dir):
+    """Event-funnel conversion (ClickHouse windowFunnel analog,
+    temporal.funnel_conversion): per user the deepest completed prefix of
+    view→click→purchase at strictly increasing times within 1 h of the
+    chain start, exact over all chain starts (greedy-earliest per start is
+    optimal).  Output (user_id, max_step, converted) for every user."""
+    from sparkx.ops.temporal import funnel_conversion
+
+    return funnel_conversion(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        ["view", "click", "purchase"], horizon_sec=3600,
+    )
+
+
 def _q_cur_scorecard(spark, sf_dir):
     """Per-(lang, source) corpus health scorecard (corpus.corpus_scorecard):
     volume, mean tokens, mean composite quality, Gopher rule-battery pass
@@ -1111,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cut_spans": _q_dedup_cut_spans,
         "corpus_funnel_gopher": _q_corpus_funnel_gopher,
         "cur_scorecard": _q_cur_scorecard,
+        "funnel_steps": _q_funnel_steps,
         "cur_pack": _q_cur_pack,
         "corpus_funnel_fuzzy": _q_corpus_funnel_fuzzy,
         "dedup_recall_report": _q_dedup_recall_report,
@@ -2274,6 +2289,36 @@ GROUP BY 1"""
               CAST(sum(CASE WHEN is_canonical AND passes_quality THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
               CAST(sum(CASE WHEN is_canonical AND passes_quality AND sampled THEN 1 ELSE 0 END) AS BIGINT) AS after_sample
             FROM flags""",
+        # windowFunnel analog: per-chain-start greedy-earliest successors
+        # (left join + min per step), per-user max depth, 0 for users who
+        # never performed step 1
+        "funnel_steps": """
+            WITH e AS (
+              SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+              FROM events),
+            c1 AS (SELECT user_id, ep AS t1 FROM e WHERE event_type = 'view'),
+            c2 AS (
+              SELECT c1.user_id, c1.t1, min(s.ep) AS t2
+              FROM c1 LEFT JOIN e s ON s.user_id = c1.user_id
+                AND s.event_type = 'click'
+                AND s.ep > c1.t1 AND s.ep <= c1.t1 + 3600
+              GROUP BY c1.user_id, c1.t1),
+            c3 AS (
+              SELECT c2.user_id, c2.t1, c2.t2, min(s.ep) AS t3
+              FROM c2 LEFT JOIN e s ON s.user_id = c2.user_id
+                AND s.event_type = 'purchase'
+                AND s.ep > c2.t2 AND s.ep <= c2.t1 + 3600
+              GROUP BY c2.user_id, c2.t1, c2.t2),
+            pu AS (
+              SELECT user_id,
+                max(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS max_step
+              FROM c3 GROUP BY user_id),
+            u AS (SELECT DISTINCT user_id FROM events)
+            SELECT u.user_id,
+              CAST(coalesce(pu.max_step, 0) AS INT) AS max_step,
+              coalesce(pu.max_step, 0) = 3 AS converted
+            FROM u LEFT JOIN pu USING (user_id)""",
         # per-(lang, source) scorecard: gopher keep (default thresholds) +
         # composite quality on its integer grid + exact-dup fraction; every
         # ratio one division of exact ints

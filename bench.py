@@ -120,7 +120,7 @@ def main() -> int:
         # r4 late additions: hybrid RRF fusion, Gopher rule battery,
         # cross-doc shingle redundancy
         "ann_rrf", "ta_gopher_rules", "dedup_shared_ngrams",
-        "cur_scorecard", "corpus_funnel_gopher",
+        "cur_scorecard", "corpus_funnel_gopher", "funnel_steps",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

@@ -73,6 +73,70 @@ def asof_join_native(left: DataFrame, right: DataFrame, key: str = "user_id",
     )
 
 
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    horizon_sec: int = 86_400,
+) -> DataFrame:
+    """Event-funnel analysis (the ClickHouse ``windowFunnel`` analog): per
+    user, the deepest prefix of ``steps`` completed at strictly increasing
+    event times with every step inside ``horizon_sec`` of the chain's FIRST
+    step.  Output: one row per user — ``(user_id, max_step, converted)``
+    with ``max_step`` in 0..len(steps) (0 = never performed step 1).
+
+    Semantics are exact over ALL chain starts: every step-1 event opens a
+    candidate chain, and for a FIXED start the earliest valid successor is
+    optimal (exchange argument — any completing chain can be rewritten to
+    the greedy one), so each subsequent step is one left join + min
+    aggregate, and the per-user max over chain starts is exact.
+
+    Execution: len(steps)−1 join+aggregate rounds, each keyed on user_id
+    (the funnel's natural key — one shuffle per step, AQE-skew-splittable
+    for hot users).  The chain frame never exceeds the step-1 event count
+    (each round min-aggregates back down); the transient join fan-out is
+    per-user step-1 × step-i events, the same bound every funnel engine
+    pays.  Epoch seconds (ts → long, the sessionize convention) keep the
+    time math in exact integers."""
+    if len(steps) < 2:
+        raise ValueError("need at least 2 funnel steps")
+    ep = F.col("ts").cast("timestamp").cast("long")
+    e = events.select("user_id", "event_type", ep.alias("_ep"))
+    chains = e.filter(F.col("event_type") == steps[0]).select(
+        "user_id", F.col("_ep").alias("t1")
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev, cur = f"t{i - 1}", f"t{i}"
+        si = e.filter(F.col("event_type") == step).select(
+            F.col("user_id").alias("_su"), "_ep"
+        )
+        keys = ["user_id"] + [f"t{j}" for j in range(1, i)]
+        chains = (
+            chains.join(
+                si,
+                (F.col("user_id") == F.col("_su"))
+                & (F.col("_ep") > F.col(prev))
+                & (F.col("_ep") <= F.col("t1") + F.lit(horizon_sec)),
+                "left",
+            )
+            .groupBy(*keys)
+            .agg(F.min("_ep").alias(cur))
+        )
+    depth = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        depth = depth + F.col(f"t{i}").isNotNull().cast("int")
+    per_user = (
+        chains.withColumn("_depth", depth)
+        .groupBy("user_id")
+        .agg(F.max("_depth").cast("int").alias("max_step"))
+    )
+    users = events.select("user_id").distinct()
+    return users.join(per_user, "user_id", "left").select(
+        "user_id",
+        F.coalesce(F.col("max_step"), F.lit(0)).cast("int").alias("max_step"),
+        (F.coalesce(F.col("max_step"), F.lit(0)) == len(steps)).alias("converted"),
+    )
+
+
 def pivot_event_counts(events: DataFrame) -> DataFrame:
     """Per-user event_type count pivot.  Explicit value list → no extra
     distinct-discovery job (required at scale)."""

@@ -930,3 +930,40 @@ def test_span_ops_match_python_reference_on_random_corpora(spark):
             ).collect()
         }
         assert got_cut == want_cut, f"trial {trial} cut diverged"
+
+
+def test_funnel_conversion_semantics(spark):
+    """windowFunnel semantics: strictly increasing times, horizon anchored
+    at the chain START, exact over multiple chain starts (a later start can
+    convert when the earliest cannot), users without step 1 at level 0."""
+    from datetime import datetime, timedelta
+
+    from sparkx.ops.temporal import funnel_conversion
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    def ev(uid, typ, sec):
+        rows.append((len(rows), t0 + timedelta(seconds=sec), uid, typ))
+    ev(1, "view", 0); ev(1, "click", 10); ev(1, "purchase", 20)   # full
+    ev(2, "view", 0); ev(2, "click", 10); ev(2, "purchase", 150)  # horizon
+    ev(3, "click", 0); ev(3, "purchase", 10)                      # no start
+    ev(4, "purchase", 0); ev(4, "click", 10); ev(4, "view", 20)   # order
+    ev(5, "view", 0); ev(5, "view", 150); ev(5, "click", 200); ev(5, "purchase", 240)
+    ev(7, "view", 0); ev(7, "click", 0); ev(7, "purchase", 50)    # tie: not >
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r.user_id: (r.max_step, r.converted)
+        for r in funnel_conversion(
+            events, ["view", "click", "purchase"], horizon_sec=100
+        ).collect()
+    }
+    assert got == {
+        1: (3, True),
+        2: (2, False),   # purchase outside t1+100
+        3: (0, False),   # never viewed
+        4: (1, False),   # steps out of order
+        5: (3, True),    # the 150 s start converts though the 0 s one can't
+        7: (1, False),   # equal-second click is not strictly after the view
+    }
