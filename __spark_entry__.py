@@ -888,6 +888,14 @@ def _q_corpus_funnel_fuzzy(spark, sf_dir):
     return spark.createDataFrame(rows, agg.schema)
 
 
+def _q_ta_unigram_logprob(spark, sf_dir):
+    """Self-trained unigram LM score per doc (textstats.unigram_logprob) —
+    the relational CCNet/KenLM-perplexity stand-in corpus builds use to cut
+    OOD noise.  Per-token ln quantized to the 1e-6 grid before the
+    order-free long sum; the mean is tie-free integer-grid division."""
+    return T.unigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_funnel_steps(spark, sf_dir):
     """Event-funnel conversion (ClickHouse windowFunnel analog,
     temporal.funnel_conversion): per user the deepest completed prefix of
@@ -900,6 +908,16 @@ def _q_funnel_steps(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/events.parquet"),
         ["view", "click", "purchase"], horizon_sec=3600,
     )
+
+
+def _q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention table (temporal.cohort_retention): users
+    cohorted by first-event week, per (cohort, offset) the active count and
+    retained fraction — cohort week emitted as a string and the fraction
+    on the tie-free integer grid for cross-engine exactness."""
+    from sparkx.ops.temporal import cohort_retention
+
+    return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _q_cur_scorecard(spark, sf_dir):
@@ -1126,6 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_funnel_gopher": _q_corpus_funnel_gopher,
         "cur_scorecard": _q_cur_scorecard,
         "funnel_steps": _q_funnel_steps,
+        "ta_unigram_logprob": _q_ta_unigram_logprob,
+        "cohort_retention": _q_cohort_retention,
         "cur_pack": _q_cur_pack,
         "corpus_funnel_fuzzy": _q_corpus_funnel_fuzzy,
         "dedup_recall_report": _q_dedup_recall_report,
@@ -2289,6 +2309,48 @@ GROUP BY 1"""
               CAST(sum(CASE WHEN is_canonical AND passes_quality THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
               CAST(sum(CASE WHEN is_canonical AND passes_quality AND sampled THEN 1 ELSE 0 END) AS BIGINT) AS after_sample
             FROM flags""",
+        # self-trained unigram LM: per-token ln quantized to 1e-6 before
+        # the long sum (BM25 recipe), tie-free integer-div mean, docs with
+        # no tokens kept as (0, 0.0)
+        "ta_unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+'),
+                       x -> x != '')) AS term
+              FROM documents),
+            tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+            tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM tf),
+            lp AS (
+              SELECT t.doc_id,
+                CAST(round(ln(CAST(tf.tf AS DOUBLE) / tot.n_total) * 1000000) AS BIGINT) AS lpq
+              FROM toks t JOIN tf USING (term), tot),
+            sc AS (
+              SELECT doc_id, count(*) AS n_tokens, CAST(sum(lpq) AS BIGINT) AS slp
+              FROM lp GROUP BY doc_id)
+            SELECT d.doc_id,
+              CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+              coalesce(CAST(sc.slp // sc.n_tokens AS DOUBLE) / 1000000.0, 0.0) AS avg_logprob
+            FROM documents d LEFT JOIN sc USING (doc_id)""",
+        # weekly cohorts: Monday-truncated weeks, string-formatted cohort
+        # key (date hash parity trap), day-diff div 7 offsets, grid-div
+        # retention
+        "cohort_retention": """
+            WITH cohorts AS (
+              SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+              FROM events GROUP BY user_id),
+            active AS (
+              SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+              FROM events),
+            cells AS (
+              SELECT c.cw, CAST(date_diff('day', c.cw, a.wk) // 7 AS INT) AS week_offset,
+                count(*) AS n_active
+              FROM active a JOIN cohorts c USING (user_id)
+              GROUP BY c.cw, week_offset),
+            sizes AS (SELECT cw, count(*) AS cohort_size FROM cohorts GROUP BY cw)
+            SELECT strftime(cells.cw, '%Y-%m-%d') AS cohort_week,
+              week_offset, n_active, cohort_size,
+              CAST((n_active * 10000) // cohort_size AS DOUBLE) / 10000.0 AS retention
+            FROM cells JOIN sizes USING (cw)""",
         # windowFunnel analog: per-chain-start greedy-earliest successors
         # (left join + min per step), per-user max depth, 0 for users who
         # never performed step 1

@@ -121,6 +121,7 @@ def main() -> int:
         # cross-doc shingle redundancy
         "ann_rrf", "ta_gopher_rules", "dedup_shared_ngrams",
         "cur_scorecard", "corpus_funnel_gopher", "funnel_steps",
+        "ta_unigram_logprob", "cohort_retention",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

@@ -137,6 +137,49 @@ def funnel_conversion(
     )
 
 
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention — the second classic event-analytics table
+    next to the funnel: users are cohorted by the week (Monday-truncated,
+    identical in Spark and DuckDB) of their FIRST event, and each
+    (cohort_week, week_offset) cell reports how many cohort members were
+    active that week and the retained fraction.
+
+    Execution: one aggregate for first-events (shuffle on user_id), one
+    distinct over (user, week) — both map-side combinable — then a join
+    back on user_id and a small (cohort, offset) aggregate; cohort sizes
+    broadcast.  Engine parity: the cohort week is emitted as a 'yyyy-MM-dd'
+    STRING (date/timestamp value-hash parity is the known trap), offsets
+    are exact day diffs ``div`` 7, and the retained fraction is the
+    tie-free 1e-4 integer-grid division."""
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    cohorts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("_cw")
+    )
+    active = events.select("user_id", wk.alias("_wk")).distinct()
+    cells = (
+        active.join(cohorts, "user_id")
+        .select(
+            "_cw",
+            F.expr("datediff(_wk, _cw) div 7").cast("int").alias("week_offset"),
+        )
+        .groupBy("_cw", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    sizes = cohorts.groupBy("_cw").agg(F.count("*").alias("cohort_size"))
+    return (
+        cells.join(F.broadcast(sizes), "_cw")
+        .select(
+            F.date_format("_cw", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (F.expr("(n_active * 10000) div cohort_size") / 10000.0).alias(
+                "retention"
+            ),
+        )
+    )
+
+
 def pivot_event_counts(events: DataFrame) -> DataFrame:
     """Per-user event_type count pivot.  Explicit value list → no extra
     distinct-discovery job (required at scale)."""

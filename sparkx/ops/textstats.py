@@ -466,6 +466,63 @@ def gopher_rules(
     return flagged.withColumn("keep", keep)
 
 
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    relational stand-in for CCNet/KenLM perplexity filtering (Wenzek et
+    al., "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data", LREC 2020): documents whose tokens are improbable under
+    the corpus's own unigram distribution are OOD noise (mojibake, code
+    soup, wrong language); corpus builds cut the low tail.
+
+    ``avg_logprob`` = mean over the doc's tokens of ln(tf(token)/N), where
+    tf comes from THIS corpus (self-trained, no external model).  Higher
+    (closer to 0) = more typical.
+
+    Execution: one exploded-token scan feeds both the term-frequency table
+    and the per-doc stream; the tf join is an equi-join on term
+    (AQE-skew-splittable — 'the' is a hot key); the 1-row corpus total
+    broadcasts.  Cross-engine exactness: each token's ln() result is
+    quantized to a 1e-6 grid as a long BEFORE the per-doc sum (same recipe
+    as BM25 — ln may differ by 1 ulp between engines only at the grid
+    boundary, and sums must be order-free), and the mean is the tie-free
+    integer-grid division (never round(sum/n) — see CLAUDE.md)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(split(lower(trim(coalesce(text, ''))), '\\\\s+'), "
+                "t -> t != '')"
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    total = tf.agg(F.sum("tf").alias("n_total"))
+    logp_e6 = F.round(
+        F.log(F.col("tf") / F.col("n_total")) * 1e6
+    ).cast("long")
+    scored = (
+        toks.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", logp_e6.alias("_lp"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("_lp").alias("_slp"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.expr("_slp div n_tokens") / 1e6).alias("avg_logprob"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+        )
+    )
+
+
 def text_profile(docs: DataFrame) -> DataFrame:
     """One-pass profile: doc_id, token counts, ratios, quality, lang, md5."""
     return docs.select(

@@ -967,3 +967,64 @@ def test_funnel_conversion_semantics(spark):
         5: (3, True),    # the 150 s start converts though the 0 s one can't
         7: (1, False),   # equal-second click is not strictly after the view
     }
+
+
+def test_unigram_logprob_matches_python(spark):
+    """Self-trained unigram score: exact quantized-grid agreement with a
+    loop computation; tokenless docs report (0, 0.0)."""
+    import math
+
+    from sparkx.ops.textstats import unigram_logprob
+
+    texts = {1: "a a b", 2: "a b c", 3: ""}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    toks = {d: [t for t in s.split() if t] for d, s in texts.items()}
+    tf = {}
+    for ts in toks.values():
+        for t in ts:
+            tf[t] = tf.get(t, 0) + 1
+    n_total = sum(tf.values())
+    want = {}
+    for d, ts in toks.items():
+        if not ts:
+            want[d] = (0, 0.0)
+            continue
+        slp = sum(round(math.log(tf[t] / n_total) * 1e6) for t in ts)
+        q = -((-slp) // len(ts)) if slp < 0 else slp // len(ts)  # trunc to 0
+        want[d] = (len(ts), q / 1e6)
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_logprob)
+        for r in unigram_logprob(docs).collect()
+    }
+    assert got == want
+
+
+def test_cohort_retention_table(spark):
+    """Cohort semantics: Monday-week cohorts by first event, offsets in
+    whole weeks, retention on the truncating grid; offset-0 is always the
+    full cohort."""
+    from datetime import datetime
+
+    from sparkx.ops.temporal import cohort_retention
+
+    # 2024-01-01 is a Monday: w0 = Jan 1, w1 = Jan 8, w2 = Jan 15
+    rows = [
+        (1, datetime(2024, 1, 2), 1), (2, datetime(2024, 1, 16), 1),   # u1 w0, w2
+        (3, datetime(2024, 1, 3), 2),                                  # u2 w0
+        (4, datetime(2024, 1, 9), 3), (5, datetime(2024, 1, 17), 3),   # u3 w1, w2
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+    got = {
+        (r.cohort_week, r.week_offset): (r.n_active, r.cohort_size, r.retention)
+        for r in cohort_retention(events).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 2, 1.0),
+        ("2024-01-01", 2): (1, 2, 0.5),
+        ("2024-01-08", 0): (1, 1, 1.0),
+        ("2024-01-08", 1): (1, 1, 1.0),
+    }
