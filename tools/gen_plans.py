@@ -37,8 +37,13 @@ def main() -> int:
     from sparkx.pipeline import extract_blocks, surviving
     from sparkx.session import build_session
 
+    import tempfile as _tf0
+
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    spark = build_session("plans", master="local[4]", shuffle_partitions=8)
+    spark = build_session(
+        "plans", master="local[4]", shuffle_partitions=8,
+        warehouse=_tf0.mkdtemp(prefix="plans_wh_"),
+    )
 
     def fmt(df):
         return df._jdf.queryExecution().explainString(
@@ -278,6 +283,37 @@ def main() -> int:
             "only the ~(1+nbits)/2^nbits probed fraction of files.  The scan's bucket\n"
             "column (not a recomputed expression) is the join key — that is what makes\n"
             "the prune reach storage; knn_join reuses it automatically when present.",
+        )
+    )
+
+    # bucketed CO-LOCATED join: both sides written bucketBy(doc_id) into the
+    # session catalog — the big–big join pattern when broadcast is off the
+    # table.  With matching bucket counts the SortMergeJoin needs NO
+    # Exchange on either side: the shuffle was paid once at WRITE time and
+    # every later join on the bucket key rides it for free.
+    docs_t = spark.read.parquet(f"{sf}/documents.parquet")
+    docs_t.select("doc_id", "text").write.bucketBy(8, "doc_id").sortBy(
+        "doc_id"
+    ).mode("overwrite").saveAsTable("bk_left")
+    docs_t.select("doc_id", "lang", "source").write.bucketBy(8, "doc_id").sortBy(
+        "doc_id"
+    ).mode("overwrite").saveAsTable("bk_right")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    bk_plan = fmt(spark.table("bk_left").join(spark.table("bk_right"), "doc_id"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    assert "Exchange" not in bk_plan, "bucketed join plan contains an Exchange"
+    sections.append(
+        (
+            "Bucketed co-located join (SortMergeJoin, ZERO Exchange)",
+            bk_plan,
+            "What to check: NO Exchange anywhere — both scans read bucketed files\n"
+            "(`Bucketed: true`, SelectedBucketsCount 8 of 8) and the SortMergeJoin\n"
+            "consumes them directly.  This is the storage layout for repeated\n"
+            "big–big equi-joins at 100 TB (raw↔processed reconciliation, fp↔fp\n"
+            "dedup joins): pay the shuffle once when writing, never again.\n"
+            "Broadcast was disabled for the audit so the co-location (not table\n"
+            "size) is what eliminates the exchanges.",
         )
     )
 
