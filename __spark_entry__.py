@@ -176,8 +176,9 @@ def _q_dedup_embedding_clusters(spark, sf_dir):
 
 def _q_ta_lang_agg(spark, sf_dir):
     # avg over integer micro-units (q is already round(.,4) so q*1e4 is exact):
-    # the sum is an exact integer on both engines, so the final division is
-    # bit-identical regardless of partitioning (temporal.py float-sum rule).
+    # the sum is an exact integer on both engines, and the mean is the
+    # tie-free integer-grid division — round(sum/n) diverges between engines
+    # at .00005 ties (see CLAUDE.md / cur_scorecard).
     d = _docs(spark, sf_dir)
     return (
         d.select("lang", T.token_count().alias("n_tokens"), T.quality_score().alias("q"))
@@ -185,12 +186,13 @@ def _q_ta_lang_agg(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(
-                F.sum(F.round(F.col("q") * 10000).cast("long"))
-                / F.count("*")
-                / F.lit(10000.0),
-                4,
-            ).alias("avg_quality"),
+            F.sum(F.round(F.col("q") * 10000).cast("long")).alias("_sq"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            (F.expr("_sq div n_docs") / 10000.0).alias("avg_quality"),
         )
     )
 
@@ -1615,8 +1617,8 @@ def oracle_sql() -> dict[str, str]:
         "ta_lang_agg": f"""
             SELECT lang, count(*) AS n_docs,
                    CAST(sum({_TA_TOKENS}) AS BIGINT) AS total_tokens,
-                   round(CAST(sum(CAST(round({_TA_QUALITY} * 10000) AS BIGINT)) AS DOUBLE)
-                         / count(*) / 10000.0, 4) AS avg_quality
+                   CAST(CAST(sum(CAST(round({_TA_QUALITY} * 10000) AS BIGINT)) AS BIGINT)
+                        // count(*) AS DOUBLE) / 10000.0 AS avg_quality
             FROM documents GROUP BY lang""",
         "dedup_exact": """
             SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp,
@@ -1805,26 +1807,26 @@ GROUP BY 1"""
               FROM base),
             m AS (
               SELECT doc_id, n_words,
-                round(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
-                      / greatest(n_words, 1), 4) AS mean_word_len,
-                round((length(t) - length(replace(t, '#', ''))
-                       + (length(t) - length(replace(t, '...', ''))) / 3)
-                      / greatest(n_words, 1), 4) AS symbol_ratio,
-                round(CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
-                       OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• '))) AS DOUBLE)
-                      / greatest(n_lines, 1), 4) AS bullet_frac,
-                round(CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
-                      / greatest(n_lines, 1), 4) AS ellipsis_frac,
+                floor((coalesce(list_sum(list_transform(toks, x -> length(x))), 0) * 10000)
+                      / greatest(n_words, 1)) / 10000.0 AS mean_word_len,
+                floor(((length(t) - length(replace(t, '#', ''))
+                        + (length(t) - length(replace(t, '...', ''))) / 3) * 10000)
+                      / greatest(n_words, 1)) / 10000.0 AS symbol_ratio,
+                floor((len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+                       OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• '))) * 10000)
+                      / greatest(n_lines, 1)) / 10000.0 AS bullet_frac,
+                floor((len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) * 10000)
+                      / greatest(n_lines, 1)) / 10000.0 AS ellipsis_frac,
                 CAST(list_contains(toks, 'the') AS INT) + CAST(list_contains(toks, 'be') AS INT)
                   + CAST(list_contains(toks, 'to') AS INT) + CAST(list_contains(toks, 'of') AS INT)
                   + CAST(list_contains(toks, 'and') AS INT) + CAST(list_contains(toks, 'that') AS INT)
                   + CAST(list_contains(toks, 'have') AS INT) + CAST(list_contains(toks, 'with') AS INT)
                   AS stop_hits,
                 CASE WHEN n_lines <= 0 THEN 0.0
-                     ELSE round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / n_lines, 4)
+                     ELSE floor(((n_lines - len(list_distinct(lines))) * 10000) / n_lines) / 10000.0
                 END AS dup_line_frac,
                 CASE WHEN len(grams) <= 0 THEN 0.0
-                     ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
+                     ELSE floor(((len(grams) - len(list_distinct(grams))) * 10000) / len(grams)) / 10000.0
                 END AS dup_2gram_frac
               FROM g)
             SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
@@ -2401,26 +2403,26 @@ GROUP BY 1"""
               FROM gb
             ), gm AS (
               SELECT doc_id, n_words,
-                round(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
-                      / greatest(n_words, 1), 4) AS mean_word_len,
-                round((length(t) - length(replace(t, '#', ''))
-                       + (length(t) - length(replace(t, '...', ''))) / 3)
-                      / greatest(n_words, 1), 4) AS symbol_ratio,
-                round(CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
-                       OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• '))) AS DOUBLE)
-                      / greatest(n_lines, 1), 4) AS bullet_frac,
-                round(CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
-                      / greatest(n_lines, 1), 4) AS ellipsis_frac,
+                floor((coalesce(list_sum(list_transform(toks, x -> length(x))), 0) * 10000)
+                      / greatest(n_words, 1)) / 10000.0 AS mean_word_len,
+                floor(((length(t) - length(replace(t, '#', ''))
+                        + (length(t) - length(replace(t, '...', ''))) / 3) * 10000)
+                      / greatest(n_words, 1)) / 10000.0 AS symbol_ratio,
+                floor((len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+                       OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• '))) * 10000)
+                      / greatest(n_lines, 1)) / 10000.0 AS bullet_frac,
+                floor((len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) * 10000)
+                      / greatest(n_lines, 1)) / 10000.0 AS ellipsis_frac,
                 CAST(list_contains(toks, 'the') AS INT) + CAST(list_contains(toks, 'be') AS INT)
                   + CAST(list_contains(toks, 'to') AS INT) + CAST(list_contains(toks, 'of') AS INT)
                   + CAST(list_contains(toks, 'and') AS INT) + CAST(list_contains(toks, 'that') AS INT)
                   + CAST(list_contains(toks, 'have') AS INT) + CAST(list_contains(toks, 'with') AS INT)
                   AS stop_hits,
                 CASE WHEN n_lines <= 0 THEN 0.0
-                     ELSE round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / n_lines, 4)
+                     ELSE floor(((n_lines - len(list_distinct(lines))) * 10000) / n_lines) / 10000.0
                 END AS dup_line_frac,
                 CASE WHEN len(grams) <= 0 THEN 0.0
-                     ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
+                     ELSE floor(((len(grams) - len(list_distinct(grams))) * 10000) / len(grams)) / 10000.0
                 END AS dup_2gram_frac
               FROM gg
             ), gk AS (
@@ -2473,26 +2475,26 @@ GROUP BY 1"""
               FROM gb
             ), gm AS (
               SELECT chunk_id, n_words,
-                round(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
-                      / greatest(n_words, 1), 4) AS mean_word_len,
-                round((length(t) - length(replace(t, '#', ''))
-                       + (length(t) - length(replace(t, '...', ''))) / 3)
-                      / greatest(n_words, 1), 4) AS symbol_ratio,
-                round(CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
-                       OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• '))) AS DOUBLE)
-                      / greatest(n_lines, 1), 4) AS bullet_frac,
-                round(CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
-                      / greatest(n_lines, 1), 4) AS ellipsis_frac,
+                floor((coalesce(list_sum(list_transform(toks, x -> length(x))), 0) * 10000)
+                      / greatest(n_words, 1)) / 10000.0 AS mean_word_len,
+                floor(((length(t) - length(replace(t, '#', ''))
+                        + (length(t) - length(replace(t, '...', ''))) / 3) * 10000)
+                      / greatest(n_words, 1)) / 10000.0 AS symbol_ratio,
+                floor((len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+                       OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• '))) * 10000)
+                      / greatest(n_lines, 1)) / 10000.0 AS bullet_frac,
+                floor((len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) * 10000)
+                      / greatest(n_lines, 1)) / 10000.0 AS ellipsis_frac,
                 CAST(list_contains(toks, 'the') AS INT) + CAST(list_contains(toks, 'be') AS INT)
                   + CAST(list_contains(toks, 'to') AS INT) + CAST(list_contains(toks, 'of') AS INT)
                   + CAST(list_contains(toks, 'and') AS INT) + CAST(list_contains(toks, 'that') AS INT)
                   + CAST(list_contains(toks, 'have') AS INT) + CAST(list_contains(toks, 'with') AS INT)
                   AS stop_hits,
                 CASE WHEN n_lines <= 0 THEN 0.0
-                     ELSE round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / n_lines, 4)
+                     ELSE floor(((n_lines - len(list_distinct(lines))) * 10000) / n_lines) / 10000.0
                 END AS dup_line_frac,
                 CASE WHEN len(grams) <= 0 THEN 0.0
-                     ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
+                     ELSE floor(((len(grams) - len(list_distinct(grams))) * 10000) / len(grams)) / 10000.0
                 END AS dup_2gram_frac
               FROM gg
             ), gk AS (

@@ -369,9 +369,12 @@ def gopher_rules(
     CollapseProject cannot inline the regex split into every lambda
     reference — the same O(tokens²) trap :func:`with_shingles` documents.
 
-    Determinism: every ratio is a single IEEE division of exact integers
-    (bit-identical across engines) rounded to 4 dp, and ``keep`` compares
-    the ROUNDED values, so Spark and DuckDB agree exactly.
+    Determinism: every ratio is ``floor((num × 10⁴) / den) / 10⁴`` — one
+    IEEE division of exact integers followed by floor, which is TIE-FREE:
+    ``round()`` at a .00005 grid tie goes different ways in Spark
+    (BigDecimal HALF_UP on the shortest decimal repr) and DuckDB
+    (half-away on the raw double) — see CLAUDE.md.  ``keep`` compares the
+    gridded values, so the engines agree exactly.
 
     ``text_col``/``id_col`` rebind the input columns; ``select_all=True``
     keeps EVERY input column alongside the signals + ``keep`` — the shape
@@ -397,28 +400,29 @@ def gopher_rules(
     ellipsis_count = (
         text_len - F.length(F.replace(text_raw, F.lit("..."), F.lit("")))
     ) / 3
-    mean_word_len = F.round(
-        F.expr("aggregate(_gtoks, 0L, (a, t) -> a + length(t))")
-        / F.greatest(n_words, F.lit(1)),
-        4,
+    def _grid4(num, den):
+        # floor((num*1e4)/den)/1e4 — the tie-free cross-engine ratio form
+        return F.floor((num * 10000) / den) / 10000.0
+
+    mean_word_len = _grid4(
+        F.expr("aggregate(_gtoks, 0L, (a, t) -> a + length(t))"),
+        F.greatest(n_words, F.lit(1)),
     )
-    symbol_ratio = F.round(
-        (hash_count + ellipsis_count) / F.greatest(n_words, F.lit(1)), 4
+    symbol_ratio = _grid4(
+        hash_count + ellipsis_count, F.greatest(n_words, F.lit(1))
     )
-    bullet_frac = F.round(
+    bullet_frac = _grid4(
         F.size(
             F.expr(
                 "filter(_glines, l -> startswith(ltrim(l), '- ') "
                 "OR startswith(ltrim(l), '* ') OR startswith(ltrim(l), '• '))"
             )
-        )
-        / F.greatest(n_lines, F.lit(1)),
-        4,
+        ),
+        F.greatest(n_lines, F.lit(1)),
     )
-    ellipsis_frac = F.round(
-        F.size(F.expr("filter(_glines, l -> endswith(rtrim(l), '...'))"))
-        / F.greatest(n_lines, F.lit(1)),
-        4,
+    ellipsis_frac = _grid4(
+        F.size(F.expr("filter(_glines, l -> endswith(rtrim(l), '...'))")),
+        F.greatest(n_lines, F.lit(1)),
     )
     stop_hits = sum(
         (
@@ -428,7 +432,7 @@ def gopher_rules(
         F.array_contains("_gtoks", GOPHER_STOPWORDS[0]).cast("int"),
     )
     dup_line_frac = F.when(n_lines <= 0, F.lit(0.0)).otherwise(
-        F.round(1.0 - F.size(F.array_distinct("_glines")) / n_lines, 4)
+        _grid4(n_lines - F.size(F.array_distinct("_glines")), n_lines)
     )
     grams = F.expr(
         "CASE WHEN size(_gtoks) < 2 THEN cast(array() as array<string>) "
@@ -437,7 +441,7 @@ def gopher_rules(
     )
     n_grams = F.size(grams)
     dup_2gram_frac = F.when(n_grams <= 0, F.lit(0.0)).otherwise(
-        F.round(1.0 - F.size(F.array_distinct(grams)) / n_grams, 4)
+        _grid4(n_grams - F.size(F.array_distinct(grams)), n_grams)
     )
     signal_cols = [
         n_words.alias("n_words"),

@@ -730,10 +730,12 @@ def test_gopher_rules_flags_each_rule(spark):
     assert out[1].mean_word_len == 3.3333
     assert out[2].bullet_frac == 1.0 and not out[2].keep
     assert out[3].ellipsis_frac == 1.0 and not out[3].keep
-    assert out[4].dup_line_frac == round(1 - 1 / 3, 4) and not out[4].keep
-    assert out[5].dup_2gram_frac == round(1 - 2 / 7, 4) and not out[5].keep
+    # ratios are grid-TRUNCATED (floor on the 1e-4 grid, tie-free across
+    # engines), not rounded: 2/3 → 0.6666, 5/7 → 0.7142
+    assert out[4].dup_line_frac == 0.6666 and not out[4].keep
+    assert out[5].dup_2gram_frac == 0.7142 and not out[5].keep
     assert out[6].n_words == 0 and out[6].dup_line_frac == 0.0 and not out[6].keep
-    assert out[7].symbol_ratio == round(12 / 5, 4) and not out[7].keep
+    assert out[7].symbol_ratio == 2.4 and not out[7].keep
 
 
 def test_shared_ngram_stats_counts_cross_doc_overlap(spark):
