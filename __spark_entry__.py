@@ -306,6 +306,31 @@ def _q_ta_gopher_rules(spark, sf_dir):
     return T.gopher_rules(_docs(spark, sf_dir))
 
 
+def _q_html_main_content(spark, sf_dir):
+    """North-rule "HTML boilerplate strip": render each document as a
+    deterministic synthetic page (nav/menu/h1/3 paragraphs/ad/footer), split
+    into block elements, classify by the jusText/Boilerpipe text+link-density
+    rule (Kohlschütter WSDM'10: short or ≥1/3-anchor-text blocks are chrome),
+    and reassemble per-doc main text with kept/dropped char accounting.
+    All codegen'd column exprs — zero Python anywhere (render + split +
+    classify are one narrow map; reassembly is one groupBy on doc_id)."""
+    from sparkx.ops import html_extract as H
+
+    return H.main_content(H.render_pages(_docs(spark, sf_dir)))
+
+
+def _q_html_freq_boiler(spark, sf_dir):
+    """Corpus-frequency boilerplate removal (CCNet/OSCAR most-common-lines
+    rule, Wenzek et al. 2020): a block whose exact text appears on ≥1/10 of
+    pages is template chrome.  Contrast with the density rule: per-doc nav
+    lines embedding the doc id survive frequency filtering but not
+    densitometry.  One bounded shuffle (block-text df table, capped by
+    template cardinality) broadcast back onto the block stream."""
+    from sparkx.ops import html_extract as H
+
+    return H.freq_boilerplate(H.render_pages(_docs(spark, sf_dir)))
+
+
 def _q_dedup_shared_ngrams(spark, sf_dir):
     """Cross-corpus redundancy profile: per doc, the fraction of its
     distinct 3-gram shingles appearing in ≥1 other document
@@ -1138,6 +1163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate (tools/check_contract.py runs all of them).
     return {
         # never-driver-verified first (r3 rotation + new this round)
+        "html_main_content": _q_html_main_content,
+        "html_freq_boiler": _q_html_freq_boiler,
         "ann_rrf": _q_ann_rrf,
         "ta_gopher_rules": _q_ta_gopher_rules,
         "dedup_shared_ngrams": _q_dedup_shared_ngrams,
@@ -1558,8 +1585,80 @@ def _knn_join_oracle_sql(query_where: str = "") -> str:
             SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3"""
 
 
+# Shared HTML-extraction oracle fragments (sparkx/ops/html_extract.py):
+# deterministic page render + block split/classify, expressed in DuckDB SQL.
+# DuckDB regexp_extract_all returns NULL (not []) when nothing matches, so
+# link_chars needs the coalesce; Spark's returns an empty array.
+_HTML_RENDER_SQL = """
+    WITH toks_t AS (
+      SELECT doc_id, source,
+        list_filter(regexp_split_to_array(trim(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+'),
+                    x -> x != '') AS toks
+      FROM documents),
+    dims AS (
+      SELECT doc_id, source, toks, CAST(len(toks) AS INT) AS n,
+             CAST(ceil(len(toks) / 3.0) AS INT) AS k
+      FROM toks_t),
+    pages AS (
+      SELECT doc_id,
+        '<html><body><nav><a href="/">Home</a> <a href="/about">About</a> <a href="/d'
+        || CAST(doc_id AS VARCHAR) || '">Doc ' || CAST(doc_id AS VARCHAR) || '</a></nav>'
+        || '<div class="menu">Site menu <a href="/a">archive</a> <a href="/t">topics</a> <a href="/s">search</a></div>'
+        || '<h1>' || coalesce(array_to_string(toks[1:4], ' '), '') || '</h1>'
+        || '<p>' || CASE WHEN doc_id % 3 = 0 AND k >= 2
+             THEN '<a href="/w">' || toks[1] || '</a> ' || coalesce(array_to_string(toks[2:k], ' '), '')
+             ELSE coalesce(array_to_string(toks[1:k], ' '), '') END || '</p>'
+        || '<div class="ad">Sponsored <a href="/buy">buy now</a> <a href="/deal">deal</a></div>'
+        || '<p>' || coalesce(array_to_string(toks[k+1:2*k], ' '), '') || '</p>'
+        || '<p>' || coalesce(array_to_string(toks[2*k+1:n], ' '), '') || '</p>'
+        || '<footer><a href="/tos">Terms</a> <a href="/privacy">Privacy</a> (c) corpus '
+        || source || '</footer></body></html>' AS html
+      FROM dims),
+    frag_t AS (
+      SELECT doc_id,
+        CAST(generate_subscripts(regexp_split_to_array(html, '</(?:nav|div|h1|p|footer)>'), 1) - 1 AS INT) AS block_idx,
+        unnest(regexp_split_to_array(html, '</(?:nav|div|h1|p|footer)>')) AS frag
+      FROM pages),
+    b AS (
+      SELECT doc_id, block_idx,
+        regexp_extract(frag, '<(nav|div|h1|p|footer)[^>]*>', 1) AS tag,
+        regexp_replace(frag, '<[^>]*>', '', 'g') AS btext,
+        CAST(length(regexp_replace(frag, '<[^>]*>', '', 'g')) AS INT) AS text_chars,
+        CAST(coalesce(length(array_to_string(regexp_extract_all(frag, '<a [^>]*>([^<]*)</a>', 1), '')), 0) AS INT) AS link_chars
+      FROM frag_t)"""
+
+_HTML_MAIN_SQL = _HTML_RENDER_SQL + """,
+    blocks AS (
+      SELECT doc_id, block_idx, btext,
+        (text_chars >= 15 AND 3 * link_chars <= text_chars) AS is_content
+      FROM b WHERE tag != '')
+    SELECT doc_id,
+      coalesce(string_agg(btext, chr(10) ORDER BY block_idx) FILTER (WHERE is_content), '') AS main_text,
+      CAST(count(*) AS BIGINT) AS n_blocks,
+      CAST(coalesce(sum(CASE WHEN is_content THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+      CAST(coalesce(sum(CASE WHEN is_content THEN length(btext) ELSE 0 END), 0) AS BIGINT) AS kept_chars,
+      CAST(coalesce(sum(CASE WHEN NOT is_content THEN length(btext) ELSE 0 END), 0) AS BIGINT) AS dropped_chars
+    FROM blocks GROUP BY doc_id"""
+
+_HTML_FREQ_SQL = _HTML_RENDER_SQL + """,
+    blocks AS (SELECT doc_id, block_idx, btext FROM b WHERE tag != ''),
+    freq AS (
+      SELECT btext FROM blocks GROUP BY btext
+      HAVING count(DISTINCT doc_id) * 10 >= (SELECT count(*) FROM pages) * 1)
+    SELECT doc_id,
+      coalesce(string_agg(btext, chr(10) ORDER BY block_idx)
+               FILTER (WHERE btext NOT IN (SELECT btext FROM freq)), '') AS main_text,
+      CAST(count(*) AS BIGINT) AS n_blocks,
+      CAST(coalesce(sum(CASE WHEN btext NOT IN (SELECT btext FROM freq) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+      CAST(coalesce(sum(CASE WHEN btext NOT IN (SELECT btext FROM freq) THEN length(btext) ELSE 0 END), 0) AS BIGINT) AS kept_chars,
+      CAST(coalesce(sum(CASE WHEN btext IN (SELECT btext FROM freq) THEN length(btext) ELSE 0 END), 0) AS BIGINT) AS dropped_chars
+    FROM blocks GROUP BY doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "html_main_content": _HTML_MAIN_SQL,
+        "html_freq_boiler": _HTML_FREQ_SQL,
         "ext_text_blocks": _BLOCKS_CTE + f"""
             SELECT conv_id, turn_idx, st_fast AS structured_text,
                    conf_fast AS confidence, '{_NOTES_FAST}' AS agent_notes

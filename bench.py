@@ -122,6 +122,8 @@ def main() -> int:
         "ann_rrf", "ta_gopher_rules", "dedup_shared_ngrams",
         "cur_scorecard", "corpus_funnel_gopher", "funnel_steps",
         "ta_unigram_logprob", "cohort_retention",
+        # r4: HTML boilerplate strip (density rule + corpus-frequency rule)
+        "html_main_content", "html_freq_boiler",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

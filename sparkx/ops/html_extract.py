@@ -1,0 +1,230 @@
+"""Main-content extraction from HTML: boilerplate stripping via local
+text/link-density heuristics plus corpus-level block-frequency filtering.
+
+This is the north-rule "HTML boilerplate strip … text-density + link-density
+boilerplate classification" component re-expressed as codegen'd column
+expressions — zero Python UDFs anywhere.  The two classifiers follow the
+published heuristics line:
+
+- **Local densitometry** (Kohlschütter et al., WSDM 2010 "Boilerplate
+  Detection Using Shallow Text Features"; Pomikálek 2011 jusText): a block
+  whose anchor-text share exceeds 1/3, or whose text is shorter than a
+  minimum, is navigation/chrome, not content.
+- **Corpus frequency** (the CCNet/OSCAR "most common lines are boilerplate"
+  rule, Wenzek et al. 2020): a block whose exact text recurs across a large
+  fraction of pages is template chrome regardless of its local shape.
+
+The page *renderer* (`render_pages`) is the deterministic synthetic-DOM
+generator the brief requires (no external data): each `documents` row is
+rendered into a flat single-line page — nav, site menu, `<h1>`, three
+content paragraphs (word-slice thirds, one with an inline anchor every
+third doc), an ad block, and a footer — so both classifiers have real
+positives and negatives, and the whole render+extract chain is expressible
+identically in DuckDB SQL for the value-hash oracle gate.
+
+Scale notes (100 TB): render and block classification are narrow maps —
+no shuffle, linear in input splits, whole-stage codegen throughout (regexp
+split/extract/replace + integer arithmetic; the one HOF-free trick is
+``length(array_join(regexp_extract_all(...), ''))`` for anchor chars).
+Per-doc reassembly is a single map-side-combinable groupBy on doc_id.
+The frequency method adds one bounded shuffle (block-text df) whose
+boilerplate side is tiny by construction (df ≥ frac·N) and is broadcast
+back.  Parity rules: regexes are Java/RE2/Python-identical (no lookaround,
+no backreferences, spelled-out whitespace class), ratios are truncated on
+an integer grid (`x*10000 div y`), and the 1/3 density test is the exact
+integer comparison ``3*link_chars <= text_chars`` — no float anywhere a
+tie could differ across engines.
+
+Reference parity: the reference's extraction stage gates blocks on text
+length and type (src/extraction.py min-text/min-rows/min-size gates); this
+module generalizes those gates to the HTML/boilerplate domain the north
+rule names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Block-level tags the splitter recognises.  `</a>` is deliberately NOT a
+# block close: anchors are inline.  All regexes below are Java/RE2-portable
+# (alternation + classes only; no lookaround, no backreferences).
+BLOCK_TAGS = "nav|div|h1|p|footer"
+BLOCK_CLOSE_RE = rf"</(?:{BLOCK_TAGS})>"
+BLOCK_OPEN_RE = rf"<({BLOCK_TAGS})[^>]*>"
+TAG_RE = r"<[^>]*>"
+ANCHOR_TEXT_RE = r"<a [^>]*>([^<]*)</a>"
+
+# Portable whitespace class (Java's \s includes \x0B where RE2's does not).
+_WS = r"[ \t\n\x0b\f\r]+"
+
+DEFAULT_MIN_TEXT_CHARS = 15
+
+
+def render_pages(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 source_col: str = "source") -> DataFrame:
+    """Render each document as a deterministic single-line HTML page:
+    nav + menu (link-dense chrome), ``<h1>`` + three word-slice-third
+    paragraphs (content; every third doc gets an inline anchor in its
+    first paragraph), an ad block, and a per-source footer.
+
+    Output: (doc_id, html).  Narrow map; the token array is bound through
+    an ``explode(array(...))`` Generate barrier so CollapseProject cannot
+    inline the regex split into the six slice expressions that reference
+    it (the with_shingles trap, CLAUDE.md)."""
+    toks_expr = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), _WS),
+        lambda x: x != F.lit(""),
+    )
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("_src"),
+        F.explode(F.array(toks_expr)).alias("_toks"),
+    ).select(
+        "doc_id", "_src", "_toks",
+        F.size("_toks").alias("_n"),
+        F.expr("cast(ceil(size(_toks) / 3.0) as int)").alias("_k"),
+    )
+    sid = F.col("doc_id").cast("string")
+    h1 = F.array_join(F.slice("_toks", 1, 4), " ")
+    p1_plain = F.array_join(F.expr("slice(_toks, 1, _k)"), " ")
+    # inline anchor on the first word for every third doc (so content
+    # paragraphs have nonzero-but-low link density)
+    p1_anchored = F.concat(
+        F.lit('<a href="/w">'), F.get("_toks", 0), F.lit("</a> "),
+        F.array_join(F.expr("slice(_toks, 2, _k - 1)"), " "),
+    )
+    p1 = F.when(
+        (F.col("doc_id") % 3 == 0) & (F.col("_k") >= 2), p1_anchored
+    ).otherwise(p1_plain)
+    p2 = F.array_join(F.expr("slice(_toks, _k + 1, _k)"), " ")
+    p3 = F.array_join(
+        F.expr("slice(_toks, 2 * _k + 1, greatest(_n - 2 * _k, 0))"), " ")
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a> '
+              '<a href="/about">About</a> <a href="/d'),
+        sid, F.lit('">Doc '), sid, F.lit("</a></nav>"),
+        F.lit('<div class="menu">Site menu <a href="/a">archive</a> '
+              '<a href="/t">topics</a> <a href="/s">search</a></div>'),
+        F.lit("<h1>"), h1, F.lit("</h1>"),
+        F.lit("<p>"), p1, F.lit("</p>"),
+        F.lit('<div class="ad">Sponsored <a href="/buy">buy now</a> '
+              '<a href="/deal">deal</a></div>'),
+        F.lit("<p>"), p2, F.lit("</p>"),
+        F.lit("<p>"), p3, F.lit("</p>"),
+        F.lit('<footer><a href="/tos">Terms</a> '
+              '<a href="/privacy">Privacy</a> (c) corpus '),
+        F.col("_src"), F.lit("</footer></body></html>"),
+    )
+    return d.select("doc_id", html.alias("html"))
+
+
+def html_blocks(pages: DataFrame, html_col: str = "html",
+                min_text_chars: int = DEFAULT_MIN_TEXT_CHARS) -> DataFrame:
+    """Split pages into block elements and classify each by text/link
+    density.  Output one row per block:
+
+    (doc_id, block_idx, tag, btext, text_chars, link_chars, link_density,
+    is_content)
+
+    - ``btext`` is the tag-stripped block text.
+    - ``link_chars`` is the summed anchor-text length, computed codegen-side
+      as ``length(array_join(regexp_extract_all(frag, ANCHOR, 1), ''))`` —
+      no interpreted aggregate lambda.
+    - ``link_density`` is reported truncated to 4 dp on the integer grid;
+      the *decision* uses the exact integer form ``3*link_chars <=
+      text_chars`` (jusText's 1/3 threshold) so no engine can disagree on
+      a tie.
+
+    Narrow map (posexplode is a per-row Generate, no shuffle)."""
+    frags = F.split(F.col(html_col), BLOCK_CLOSE_RE)
+    b = pages.select(
+        "doc_id", F.posexplode(frags).alias("block_idx", "_frag")
+    ).select(
+        "doc_id", "block_idx",
+        F.regexp_extract("_frag", BLOCK_OPEN_RE, 1).alias("tag"),
+        F.regexp_replace("_frag", TAG_RE, "").alias("btext"),
+        F.length(
+            F.array_join(
+                F.regexp_extract_all("_frag", F.lit(ANCHOR_TEXT_RE), F.lit(1)),
+                "",
+            )
+        ).alias("link_chars"),
+    ).filter(F.col("tag") != "")
+    text_chars = F.length("btext")
+    return b.select(
+        "doc_id", "block_idx", "tag", "btext",
+        text_chars.alias("text_chars"), "link_chars",
+        (F.expr("link_chars * 10000L div greatest(length(btext), 1)")
+         / 10000.0).alias("link_density"),
+        ((text_chars >= min_text_chars)
+         & (3 * F.col("link_chars") <= text_chars)).alias("is_content"),
+    )
+
+
+def _reassemble(blocks: DataFrame, keep: str) -> DataFrame:
+    """Group classified blocks back to one row per doc: ordered '\\n'-joined
+    kept text + kept/dropped char accounting.  One map-side-combinable
+    groupBy on doc_id; the ordered join sorts the collected (idx, text)
+    structs per group — bounded by blocks-per-page, not corpus size."""
+    k = F.col(keep)
+    kept_struct = F.when(k, F.struct("block_idx", "btext"))
+    return blocks.groupBy("doc_id").agg(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["btext"],
+                ),
+                "\n",
+            ),
+            F.lit(""),
+        ).alias("main_text"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(k.cast("long")).alias("n_kept"),
+        F.sum(F.when(k, F.length("btext")).otherwise(0).cast("long"))
+         .alias("kept_chars"),
+        F.sum(F.when(~k, F.length("btext")).otherwise(0).cast("long"))
+         .alias("dropped_chars"),
+    )
+
+
+def main_content(pages: DataFrame, html_col: str = "html",
+                 min_text_chars: int = DEFAULT_MIN_TEXT_CHARS) -> DataFrame:
+    """Density-rule main-content extraction: strip boilerplate blocks
+    (short or link-dense) and reassemble each page's content in block
+    order.  Output: (doc_id, main_text, n_blocks, n_kept, kept_chars,
+    dropped_chars)."""
+    return _reassemble(
+        html_blocks(pages, html_col, min_text_chars), "is_content")
+
+
+def freq_boilerplate(pages: DataFrame, html_col: str = "html",
+                     df_num: int = 1, df_den: int = 10) -> DataFrame:
+    """Corpus-frequency boilerplate removal (CCNet/OSCAR rule): a block
+    whose exact text appears on at least ``df_num/df_den`` of all pages is
+    template chrome — drop it, keep everything else (no density rule, so
+    the two methods' disagreements are visible: per-doc nav lines that
+    embed the doc id survive frequency filtering but not densitometry).
+
+    The threshold test is pure integer math (``df * df_den >= n_docs *
+    df_num``) — no float ratio an engine could round differently.
+
+    Plan shape: block classification (narrow map) → one bounded shuffle
+    for the (btext → document-frequency) table → the frequent side is tiny
+    by construction (≤ df_den/df_num rows per distinct template block) and
+    AQE broadcasts it back onto the block stream → one groupBy reassembly.
+    At 100 TB the df table is the only shuffle and is capped by template
+    cardinality, not corpus size."""
+    blocks = html_blocks(pages, html_col, min_text_chars=0)
+    n_docs = pages.count()  # tiny driver scalar: one count over the scan
+    freq = (
+        blocks.groupBy("btext")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") * df_den >= F.lit(n_docs) * df_num)
+        .select("btext", F.lit(True).alias("_boiler"))
+    )
+    flagged = blocks.join(F.broadcast(freq), "btext", "left").withColumn(
+        "_keep", F.col("_boiler").isNull()
+    )
+    return _reassemble(flagged, "_keep")

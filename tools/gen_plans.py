@@ -5,6 +5,7 @@ Usage: python tools/gen_plans.py [sf_dir]
 
 from __future__ import annotations
 
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -314,6 +315,45 @@ def main() -> int:
             "dedup joins): pay the shuffle once when writing, never again.\n"
             "Broadcast was disabled for the audit so the co-location (not table\n"
             "size) is what eliminates the exchanges.",
+        )
+    )
+
+    # HTML boilerplate strip (density rule): render + block split + classify
+    # must be ONE narrow codegen'd map; the only exchange is the per-doc
+    # reassembly groupBy.
+    html_plan = fmt(E.queries()["html_main_content"](spark, sf))
+    n_ex = len(re.findall(r"^\s*\(\d+\)\s+Exchange\b", html_plan, re.M))
+    assert n_ex == 1, f"html_main_content plan has {n_ex} Exchanges (want 1)"
+    assert "MapInPandas" not in html_plan and "BatchEvalPython" not in html_plan
+    sections.append(
+        (
+            "HTML main-content extraction, density rule (ONE Exchange, zero Python)",
+            html_plan,
+            "What to check: page render, block split (posexplode Generate), and the\n"
+            "text/link-density classification are a single narrow codegen'd map over\n"
+            "the scan — regexp split/extract/replace + integer arithmetic, no Python\n"
+            "operator of any kind.  The ONLY Exchange is the hash-partition on doc_id\n"
+            "for per-doc reassembly, with partial (map-side) aggregation below it.\n"
+            "At 100 TB: linear in input splits; the shuffle carries classified block\n"
+            "text once, nothing else.",
+        )
+    )
+
+    # Corpus-frequency boilerplate: the df table is the one data-dependent
+    # shuffle; its frequent side is tiny by construction and is broadcast
+    # back onto the block stream.
+    freq_plan = fmt(E.queries()["html_freq_boiler"](spark, sf))
+    assert "BroadcastExchange" in freq_plan, "freq boiler side not broadcast"
+    sections.append(
+        (
+            "HTML boilerplate by corpus frequency (df table broadcast back)",
+            freq_plan,
+            "What to check: the block-text document-frequency aggregate is the one\n"
+            "bounded shuffle; its ≥1/10-of-pages side is capped by template\n"
+            "cardinality (not corpus size) and comes back as a BroadcastExchange +\n"
+            "BroadcastHashJoin onto the block stream — the block stream itself is\n"
+            "never reshuffled for the flagging.  Reassembly is the same single\n"
+            "doc_id groupBy as the density path.",
         )
     )
 
