@@ -331,6 +331,40 @@ def _q_html_freq_boiler(spark, sf_dir):
     return H.freq_boilerplate(H.render_pages(_docs(spark, sf_dir)))
 
 
+def _q_html_links(spark, sf_dir):
+    """Hyperlink-graph extraction from rendered pages: pages carry two
+    deterministic cross-document links (a (3d+1) mod n bijection keeping the
+    graph connected + a d mod 97 hub link giving web-realistic skewed
+    in-degree); `html_extract.extract_links` pulls the "related" div and
+    reads every /d<id> href into distinct non-self (src, dst) edges.  The
+    oracle derives the SAME edge set arithmetically from doc_id — an
+    independent ground truth that closes the render→regex-extract round
+    trip (a bug in either the rel-div render or the href regex breaks
+    parity).  Narrow map + explode; the only wide op is the bounded
+    distinct."""
+    from sparkx.ops import html_extract as H
+
+    docs = _docs(spark, sf_dir)
+    return H.extract_links(H.render_pages(docs, link_mod=docs.count()))
+
+
+def _q_html_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (Page et al. 1999, damping 0.85) over the
+    extracted hyperlink graph, in exact micro-unit integer arithmetic
+    (rank×10^6 as long, floor-div contributions) so the result is
+    bit-identical across engines and partition orders — float PageRank can
+    never pass a value-hash gate.  Per iteration: edges⋈ranks on src (the
+    natural co-partition key), map-side-combined sum onto dst — two bounded
+    shuffles; edges persisted once.  The oracle unrolls the same three
+    iterations as chained CTEs over the arithmetic edge set."""
+    from sparkx.ops import graph as G
+    from sparkx.ops import html_extract as H
+
+    docs = _docs(spark, sf_dir)
+    edges = H.extract_links(H.render_pages(docs, link_mod=docs.count()))
+    return G.pagerank(edges, iters=3)
+
+
 def _q_dedup_shared_ngrams(spark, sf_dir):
     """Cross-corpus redundancy profile: per doc, the fraction of its
     distinct 3-gram shingles appearing in ≥1 other document
@@ -1163,6 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate (tools/check_contract.py runs all of them).
     return {
         # never-driver-verified first (r3 rotation + new this round)
+        "html_links": _q_html_links,
+        "html_pagerank": _q_html_pagerank,
         "html_main_content": _q_html_main_content,
         "html_freq_boiler": _q_html_freq_boiler,
         "ann_rrf": _q_ann_rrf,
@@ -1655,8 +1691,60 @@ _HTML_FREQ_SQL = _HTML_RENDER_SQL + """,
     FROM blocks GROUP BY doc_id"""
 
 
+# Link-graph oracles (sparkx/ops/graph.py): the edge set is derived
+# ARITHMETICALLY from doc_id — independent of the HTML render, so parity
+# with the Spark render→regex path proves the round trip.  PageRank is the
+# same three integer-grid iterations unrolled as chained CTEs (micro-unit
+# longs + floor division: bit-identical across engines by construction).
+_HTML_EDGES_CTE = """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    e1 AS (
+      SELECT doc_id AS src, (3 * doc_id + 1) % (SELECT n FROM nn) AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id, doc_id % least(97, (SELECT n FROM nn)) FROM documents),
+    edges AS (SELECT DISTINCT src, dst FROM e1 WHERE src != dst)"""
+
+_HTML_LINKS_SQL = _HTML_EDGES_CTE + """
+    SELECT src, dst FROM edges"""
+
+_HTML_PAGERANK_SQL = _HTML_EDGES_CTE + """,
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+    outd AS (SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY src),
+    ind  AS (SELECT dst AS id, count(*) AS in_deg FROM edges GROUP BY dst),
+    deg AS (SELECT nodes.id, coalesce(ind.in_deg, 0) AS in_deg,
+                   coalesce(outd.out_deg, 0) AS out_deg
+            FROM nodes LEFT JOIN outd USING (id) LEFT JOIN ind USING (id)),
+    c AS (SELECT (15 * 1000000) // (100 * count(*)) AS base_q,
+                 1000000 // count(*) AS init_q FROM nodes),
+    r0 AS (SELECT id, (SELECT init_q FROM c) AS r_q FROM nodes),
+    s1 AS (SELECT e.dst AS id, sum(r.r_q // d.out_deg) AS s_q
+           FROM edges e JOIN r0 r ON r.id = e.src JOIN deg d ON d.id = e.src
+           GROUP BY e.dst),
+    r1 AS (SELECT nodes.id,
+                  (SELECT base_q FROM c) + (85 * coalesce(s_q, 0)) // 100 AS r_q
+           FROM nodes LEFT JOIN s1 USING (id)),
+    s2 AS (SELECT e.dst AS id, sum(r.r_q // d.out_deg) AS s_q
+           FROM edges e JOIN r1 r ON r.id = e.src JOIN deg d ON d.id = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT nodes.id,
+                  (SELECT base_q FROM c) + (85 * coalesce(s_q, 0)) // 100 AS r_q
+           FROM nodes LEFT JOIN s2 USING (id)),
+    s3 AS (SELECT e.dst AS id, sum(r.r_q // d.out_deg) AS s_q
+           FROM edges e JOIN r2 r ON r.id = e.src JOIN deg d ON d.id = e.src
+           GROUP BY e.dst),
+    r3 AS (SELECT nodes.id,
+                  (SELECT base_q FROM c) + (85 * coalesce(s_q, 0)) // 100 AS r_q
+           FROM nodes LEFT JOIN s3 USING (id))
+    SELECT r3.id AS doc_id, r3.r_q / 1000000.0 AS pagerank,
+           deg.in_deg, deg.out_deg
+    FROM r3 JOIN deg USING (id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "html_links": _HTML_LINKS_SQL,
+        "html_pagerank": _HTML_PAGERANK_SQL,
         "html_main_content": _HTML_MAIN_SQL,
         "html_freq_boiler": _HTML_FREQ_SQL,
         "ext_text_blocks": _BLOCKS_CTE + f"""

@@ -1,0 +1,99 @@
+"""Link-graph analytics over extracted hyperlink edges: degrees and a
+fixed-iteration PageRank (Page et al. 1999) in exact integer arithmetic.
+
+Everything runs on a micro-unit grid (rank × 10^6 as a long): the per-edge
+contribution is ``r_q div out_deg`` and the damping update is
+``(15·grid) div (100·n) + (85·S) div 100`` — integer division and long sums
+only, so the result is bit-identical across engines and partition orders
+(float summation is order-sensitive; an unrounded float PageRank can never
+pass a value-hash gate).  The deliberate cost is the mass lost to floor
+division (≤ out_deg micro-units per node per round) — identical in every
+engine, so parity holds exactly.
+
+Scale notes (100 TB): edges join ranks on src (the natural co-partition
+key), contributions aggregate map-side onto dst, and each iteration is two
+bounded shuffles.  The edge frame is persisted once and reused every
+iteration; for long runs `checkpoint_every` truncates rank lineage the same
+way `dedup.connected_components` does.  Dangling nodes (out_deg 0) simply
+contribute nothing — with the damping base term their rank stays at the
+floor, matching the "no redistribution" PageRank variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+GRID = 1_000_000
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(id, in_deg, out_deg) for every node appearing in the edge list."""
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outd = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ind = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        nodes.join(outd, "id", "left")
+        .join(ind, "id", "left")
+        .select(
+            "id",
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        )
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = 3, n_nodes: int | None = None,
+             checkpoint_every: int | None = None) -> DataFrame:
+    """Fixed-iteration integer-grid PageRank with damping 0.85.
+
+    Output: (doc_id, pagerank double, in_deg, out_deg) — ``pagerank`` is
+    the exact micro-unit long divided by 10^6, so the double is the same
+    in every engine.  ``n_nodes`` defaults to the distinct node count (one
+    tiny driver scalar)."""
+    deg = degrees(edges)
+    if n_nodes is None:
+        n_nodes = deg.count()
+    base_q = (15 * GRID) // (100 * n_nodes)
+    init_q = GRID // n_nodes
+
+    e = (
+        edges.join(
+            deg.select(F.col("id").alias("src"), "out_deg"), "src"
+        ).select("src", "dst", "out_deg").persist()
+    )
+    nodes = deg.select("id")
+    ranks = nodes.select("id", F.lit(init_q).cast("long").alias("r_q"))
+    for i in range(iters):
+        contrib = (
+            e.join(ranks.select(F.col("id").alias("src"), "r_q"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("r_q div out_deg").alias("c_q"),
+            )
+        )
+        s = contrib.groupBy("id").agg(F.sum("c_q").alias("s_q"))
+        ranks = nodes.join(s, "id", "left").select(
+            "id",
+            (F.lit(base_q)
+             + F.expr("(85 * coalesce(s_q, 0L)) div 100")).alias("r_q"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    # materialize the final ranks (tiny: 2 longs per node) so the persisted
+    # edge frame can be released NOW — returning a lazy plan over `e` and
+    # unpersisting it here would silently recompute the whole chain
+    ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
+    return ranks.join(deg, "id").select(
+        F.col("id").alias("doc_id"),
+        (F.col("r_q") / GRID).alias("pagerank"),
+        "in_deg", "out_deg",
+    )

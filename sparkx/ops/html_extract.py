@@ -62,11 +62,20 @@ DEFAULT_MIN_TEXT_CHARS = 15
 
 def render_pages(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text",
-                 source_col: str = "source") -> DataFrame:
+                 source_col: str = "source",
+                 link_mod: int | None = None) -> DataFrame:
     """Render each document as a deterministic single-line HTML page:
     nav + menu (link-dense chrome), ``<h1>`` + three word-slice-third
     paragraphs (content; every third doc gets an inline anchor in its
     first paragraph), an ad block, and a per-source footer.
+
+    ``link_mod`` (normally the corpus doc count) additionally inserts a
+    "related" div with two deterministic cross-document links —
+    ``/d{(3*doc_id+1) % link_mod}`` (a bijection: keeps the graph
+    connected) and ``/d{doc_id % 97}`` (a hub link: the first 97 docs
+    collect web-graph-realistic skewed in-degree) — giving the corpus a
+    real hyperlink graph for `extract_links` / `ops.graph.pagerank`.
+    Default None renders the original page byte-identically.
 
     Output: (doc_id, html).  Narrow map; the token array is bound through
     an ``explode(array(...))`` Generate barrier so CollapseProject cannot
@@ -100,6 +109,17 @@ def render_pages(docs: DataFrame, id_col: str = "doc_id",
     p2 = F.array_join(F.expr("slice(_toks, _k + 1, _k)"), " ")
     p3 = F.array_join(
         F.expr("slice(_toks, 2 * _k + 1, greatest(_n - 2 * _k, 0))"), " ")
+    if link_mod is not None:
+        a = (3 * F.col("doc_id") + 1) % link_mod
+        bb = F.col("doc_id") % min(97, link_mod)
+        rel = F.concat(
+            F.lit('<div class="rel">Related <a href="/d'),
+            a.cast("string"), F.lit('">d'), a.cast("string"),
+            F.lit('</a> <a href="/d'), bb.cast("string"),
+            F.lit('">d'), bb.cast("string"), F.lit("</a></div>"),
+        )
+    else:
+        rel = F.lit("")
     html = F.concat(
         F.lit('<html><body><nav><a href="/">Home</a> '
               '<a href="/about">About</a> <a href="/d'),
@@ -112,6 +132,7 @@ def render_pages(docs: DataFrame, id_col: str = "doc_id",
               '<a href="/deal">deal</a></div>'),
         F.lit("<p>"), p2, F.lit("</p>"),
         F.lit("<p>"), p3, F.lit("</p>"),
+        rel,
         F.lit('<footer><a href="/tos">Terms</a> '
               '<a href="/privacy">Privacy</a> (c) corpus '),
         F.col("_src"), F.lit("</footer></body></html>"),
@@ -197,6 +218,34 @@ def main_content(pages: DataFrame, html_col: str = "html",
     dropped_chars)."""
     return _reassemble(
         html_blocks(pages, html_col, min_text_chars), "is_content")
+
+
+REL_DIV_RE = r'<div class="rel">(.*?)</div>'
+DOC_HREF_RE = r"/d([0-9]+)"
+
+
+def extract_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Extract the cross-document hyperlink graph from rendered pages: pull
+    the "related" div (non-greedy group — RE2/Java/Python-identical), read
+    every ``/d<id>`` href inside it, and emit distinct non-self edges
+    (src, dst).
+
+    Narrow map + explode; the only wide op is the final distinct (bounded
+    by the edge count, ~2/doc here).  This is the DOM-heuristic side of the
+    north rule turned into graph input: at 100 TB the same shape feeds a
+    host-level link graph for PageRank-family scoring."""
+    rel = F.regexp_extract(F.col(html_col), REL_DIV_RE, 1)
+    return (
+        pages.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.regexp_extract_all(rel, F.lit(DOC_HREF_RE), F.lit(1))
+            ).alias("_d"),
+        )
+        .select("src", F.col("_d").cast("long").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
 
 
 def freq_boilerplate(pages: DataFrame, html_col: str = "html",

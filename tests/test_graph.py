@@ -1,0 +1,147 @@
+"""Link-graph analytics (sparkx/ops/graph.py) vs a pure-Python loop oracle.
+
+The oracle runs the same integer-grid PageRank recurrence with plain dict
+loops — micro-unit longs and floor division make the result bit-identical
+regardless of summation order, so equality is exact (no tolerance).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from sparkx.ops import graph as G
+from sparkx.ops import html_extract as H
+
+GRID = 1_000_000
+
+# skewed graph: hub 0 (everyone links to it), a chain, a 2-cycle, and a
+# dangling node 9 (out_deg 0 — contributes nothing, keeps floor rank)
+EDGES = [
+    (1, 0), (2, 0), (3, 0), (4, 0), (5, 0), (6, 0),
+    (1, 2), (2, 3), (3, 4),
+    (7, 8), (8, 7),
+    (0, 9),
+]
+
+
+def pagerank_py(edges, iters=3):
+    nodes = sorted({s for s, d in edges} | {d for s, d in edges})
+    out_deg = Counter(s for s, d in edges)
+    in_deg = Counter(d for s, d in edges)
+    n = len(nodes)
+    base = (15 * GRID) // (100 * n)
+    r = {v: GRID // n for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for src, dst in edges:
+            s[dst] += r[src] // out_deg[src]
+        r = {v: base + (85 * s[v]) // 100 for v in nodes}
+    return {
+        v: (r[v] / GRID, in_deg.get(v, 0), out_deg.get(v, 0)) for v in nodes
+    }
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_degrees_match_loop(spark):
+    got = {
+        r["id"]: (r["in_deg"], r["out_deg"])
+        for r in G.degrees(_edges_df(spark, EDGES)).collect()
+    }
+    ind = Counter(d for s, d in EDGES)
+    outd = Counter(s for s, d in EDGES)
+    want = {
+        v: (ind.get(v, 0), outd.get(v, 0))
+        for v in {s for s, d in EDGES} | {d for s, d in EDGES}
+    }
+    assert got == want
+
+
+def test_pagerank_matches_loop_oracle_exactly(spark):
+    for iters in (1, 3, 5):
+        got = {
+            r["doc_id"]: (r["pagerank"], r["in_deg"], r["out_deg"])
+            for r in G.pagerank(_edges_df(spark, EDGES), iters=iters).collect()
+        }
+        assert got == pagerank_py(EDGES, iters=iters), iters
+
+
+def test_pagerank_hub_outranks_chain_and_dangling(spark):
+    got = {
+        r["doc_id"]: r["pagerank"]
+        for r in G.pagerank(_edges_df(spark, EDGES), iters=3).collect()
+    }
+    assert got[9] == max(got.values())  # collects the hub's entire rank
+    assert got[0] > got[1] and got[0] > got[4]  # 6-in-link hub beats chain
+    # floor-division mass loss only ever shrinks total rank below 1.0
+    assert sum(got.values()) <= 1.0
+
+
+def test_pagerank_checkpoint_every_is_semantically_inert(spark):
+    plain = sorted(
+        map(tuple, G.pagerank(_edges_df(spark, EDGES), iters=4).collect())
+    )
+    ckpt = sorted(
+        map(
+            tuple,
+            G.pagerank(
+                _edges_df(spark, EDGES), iters=4, checkpoint_every=2
+            ).collect(),
+        )
+    )
+    assert plain == ckpt
+
+
+def test_extract_links_round_trip(spark):
+    # 120 docs: the mod-97 hub link is live (97 < 120) and the (3d+1) mod n
+    # bijection wraps; the arithmetic ground truth must equal the
+    # render→regex extraction exactly
+    n = 120
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i} words enough here", "web")
+         for i in range(n)],
+        "doc_id long, text string, source string",
+    )
+    got = sorted(
+        (r["src"], r["dst"])
+        for r in H.extract_links(H.render_pages(docs, link_mod=n)).collect()
+    )
+    want = sorted(
+        {(i, (3 * i + 1) % n) for i in range(n)}
+        | {(i, i % 97) for i in range(n)}
+        - {(i, i) for i in range(n)}
+    )
+    want = sorted((s, d) for s, d in want if s != d)
+    assert got == want
+    # nav/menu/ad/footer hrefs (/about, /buy, …) never leak into the graph
+    assert all(0 <= d < n for _, d in got)
+
+
+def test_render_without_link_mod_is_unchanged(spark):
+    docs = spark.createDataFrame(
+        [(i, f"some words for document {i}", "web") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    html = {r["doc_id"]: r["html"] for r in H.render_pages(docs).collect()}
+    assert all('class="rel"' not in h for h in html.values())
+
+
+def test_extract_pagerank_end_to_end_matches_loop(spark):
+    n = 120
+    docs = spark.createDataFrame(
+        [(i, f"token stream for page {i}", "web") for i in range(n)],
+        "doc_id long, text string, source string",
+    )
+    edges_df = H.extract_links(H.render_pages(docs, link_mod=n))
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    got = {
+        r["doc_id"]: (r["pagerank"], r["in_deg"], r["out_deg"])
+        for r in G.pagerank(edges_df, iters=3).collect()
+    }
+    assert got == pagerank_py(edges, iters=3)
+    # the first 97 docs collect hub in-links → skewed, non-uniform ranks
+    assert len({pr for pr, _, _ in got.values()}) > 5
