@@ -71,14 +71,55 @@ def _step(e: DataFrame, nodes: DataFrame, ranks: DataFrame,
     )
 
 
+def _pagerank_driver(spark, pairs: list, iters: int) -> DataFrame:
+    """Small-graph fast path: the same integer-grid recurrence as plain
+    dict loops on the driver — one collect, zero iterative jobs.  Output
+    is bit-identical to the distributed loop by construction (integer
+    floor-div arithmetic is order-free), verified by
+    tests/test_graph.py::test_driver_and_distributed_paths_identical."""
+    from collections import Counter
+
+    nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+    out_deg = Counter(s for s, _ in pairs)
+    in_deg = Counter(d for _, d in pairs)
+    n = len(nodes)
+    base_q = (15 * GRID) // (100 * n)
+    r = {v: GRID // n for v in nodes}
+    for _ in range(iters):
+        s = dict.fromkeys(nodes, 0)
+        for src, dst in pairs:
+            s[dst] += r[src] // out_deg[src]
+        r = {v: base_q + (85 * s[v]) // 100 for v in nodes}
+    return spark.createDataFrame(
+        [(v, r[v] / GRID, in_deg.get(v, 0), out_deg.get(v, 0))
+         for v in nodes],
+        "doc_id long, pagerank double, in_deg long, out_deg long",
+    )
+
+
 def pagerank(edges: DataFrame, iters: int = 3, n_nodes: int | None = None,
-             checkpoint_every: int | None = None) -> DataFrame:
+             checkpoint_every: int | None = None,
+             driver_edges_threshold: int = 1_000_000) -> DataFrame:
     """Fixed-iteration integer-grid PageRank with damping 0.85.
 
     Output: (doc_id, pagerank double, in_deg, out_deg) — ``pagerank`` is
     the exact micro-unit long divided by 10^6, so the double is the same
     in every engine.  ``n_nodes`` defaults to the distinct node count (one
-    tiny driver scalar)."""
+    tiny driver scalar).
+
+    Edge sets ≤ ``driver_edges_threshold`` resolve on the driver in one
+    collect (same pattern as `dedup.connected_components`: at sf-test
+    scale the distributed loop's wall is per-job fixed overhead, not
+    data); pass 0 to force the distributed path.  The edge frame is
+    persisted either way, so the probe count never re-runs the upstream
+    extraction."""
+    edges = edges.persist()
+    if driver_edges_threshold and edges.count() <= driver_edges_threshold:
+        pairs = [(r[0], r[1]) for r in edges.select("src", "dst").collect()]
+        out = _pagerank_driver(edges.sparkSession, pairs, iters)
+        edges.unpersist()
+        return out
+
     deg = degrees(edges)
     if n_nodes is None:
         n_nodes = deg.count()
@@ -96,11 +137,14 @@ def pagerank(edges: DataFrame, iters: int = 3, n_nodes: int | None = None,
         ranks = _step(e, nodes, ranks, base_q)
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
-    # materialize the final ranks (tiny: 2 longs per node) so the persisted
-    # edge frame can be released NOW — returning a lazy plan over `e` and
-    # unpersisting it here would silently recompute the whole chain
+    # materialize the final ranks and the degree table (tiny: 2-3 longs per
+    # node) so the persisted edge frames can be released NOW — returning a
+    # lazy plan over `e`/`edges` and unpersisting them here would silently
+    # recompute the whole upstream chain at the caller's first action
     ranks = ranks.localCheckpoint(eager=True)
+    deg = deg.localCheckpoint(eager=True)
     e.unpersist()
+    edges.unpersist()
     return ranks.join(deg, "id").select(
         F.col("id").alias("doc_id"),
         (F.col("r_q") / GRID).alias("pagerank"),

@@ -62,12 +62,27 @@ def test_degrees_match_loop(spark):
 
 
 def test_pagerank_matches_loop_oracle_exactly(spark):
+    # threshold=0 forces the distributed loop (the 100 TB path); the
+    # default would resolve this 12-edge graph on the driver
     for iters in (1, 3, 5):
         got = {
             r["doc_id"]: (r["pagerank"], r["in_deg"], r["out_deg"])
-            for r in G.pagerank(_edges_df(spark, EDGES), iters=iters).collect()
+            for r in G.pagerank(
+                _edges_df(spark, EDGES), iters=iters,
+                driver_edges_threshold=0,
+            ).collect()
         }
         assert got == pagerank_py(EDGES, iters=iters), iters
+
+
+def test_driver_and_distributed_paths_identical(spark):
+    df = _edges_df(spark, EDGES)
+    drv = sorted(map(tuple, G.pagerank(df, iters=3).collect()))
+    dist = sorted(
+        map(tuple, G.pagerank(df, iters=3, driver_edges_threshold=0).collect())
+    )
+    assert drv == dist
+    assert [type(v) for v in drv[0]] == [type(v) for v in dist[0]]
 
 
 def test_pagerank_hub_outranks_chain_and_dangling(spark):
@@ -89,7 +104,8 @@ def test_pagerank_checkpoint_every_is_semantically_inert(spark):
         map(
             tuple,
             G.pagerank(
-                _edges_df(spark, EDGES), iters=4, checkpoint_every=2
+                _edges_df(spark, EDGES), iters=4, checkpoint_every=2,
+                driver_edges_threshold=0,
             ).collect(),
         )
     )
