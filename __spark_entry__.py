@@ -365,6 +365,24 @@ def _q_html_pagerank(spark, sf_dir):
     return G.pagerank(edges, iters=3)
 
 
+def _q_html_hits(spark, sf_dir):
+    """Fixed-iteration HITS hubs/authorities (Kleinberg, JACM 1999) over
+    the extracted hyperlink graph.  Each half-step (hub sums into
+    authorities on dst, authorities back into hubs on src) is
+    max-normalized onto the ×10^6 integer grid — ``score*GRID div max`` —
+    instead of the textbook L2 norm (irrational, never value-hash
+    comparable), so the result is bit-identical across engines and
+    partition orders.  The oracle unrolls the same two iterations as
+    chained CTEs.  Mod-97 hub targets surface as high authority; pages
+    linking to them as high hubs."""
+    from sparkx.ops import graph as G
+    from sparkx.ops import html_extract as H
+
+    docs = _docs(spark, sf_dir)
+    edges = H.extract_links(H.render_pages(docs, link_mod=docs.count()))
+    return G.hits(edges, iters=2)
+
+
 def _q_dedup_shared_ngrams(spark, sf_dir):
     """Cross-corpus redundancy profile: per doc, the fraction of its
     distinct 3-gram shingles appearing in ≥1 other document
@@ -1199,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-verified first (r3 rotation + new this round)
         "html_links": _q_html_links,
         "html_pagerank": _q_html_pagerank,
+        "html_hits": _q_html_hits,
         "html_main_content": _q_html_main_content,
         "html_freq_boiler": _q_html_freq_boiler,
         "ann_rrf": _q_ann_rrf,
@@ -1741,10 +1760,39 @@ _HTML_PAGERANK_SQL = _HTML_EDGES_CTE + """,
     FROM r3 JOIN deg USING (id)"""
 
 
+_HTML_HITS_SQL = _HTML_EDGES_CTE + """,
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+    h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h_q FROM nodes),
+    a1r AS (SELECT nodes.id, coalesce(q, 0) AS q FROM nodes LEFT JOIN
+            (SELECT e.dst AS id, sum(h.h_q) AS q FROM edges e
+             JOIN h0 h ON h.id = e.src GROUP BY e.dst) t USING (id)),
+    a1 AS (SELECT id, (q * 1000000) // (SELECT max(q) FROM a1r) AS a_q
+           FROM a1r),
+    h1r AS (SELECT nodes.id, coalesce(q, 0) AS q FROM nodes LEFT JOIN
+            (SELECT e.src AS id, sum(a.a_q) AS q FROM edges e
+             JOIN a1 a ON a.id = e.dst GROUP BY e.src) t USING (id)),
+    h1 AS (SELECT id, (q * 1000000) // (SELECT max(q) FROM h1r) AS h_q
+           FROM h1r),
+    a2r AS (SELECT nodes.id, coalesce(q, 0) AS q FROM nodes LEFT JOIN
+            (SELECT e.dst AS id, sum(h.h_q) AS q FROM edges e
+             JOIN h1 h ON h.id = e.src GROUP BY e.dst) t USING (id)),
+    a2 AS (SELECT id, (q * 1000000) // (SELECT max(q) FROM a2r) AS a_q
+           FROM a2r),
+    h2r AS (SELECT nodes.id, coalesce(q, 0) AS q FROM nodes LEFT JOIN
+            (SELECT e.src AS id, sum(a.a_q) AS q FROM edges e
+             JOIN a2 a ON a.id = e.dst GROUP BY e.src) t USING (id)),
+    h2 AS (SELECT id, (q * 1000000) // (SELECT max(q) FROM h2r) AS h_q
+           FROM h2r)
+    SELECT h2.id AS doc_id, h2.h_q / 1000000.0 AS hub,
+           a2.a_q / 1000000.0 AS authority
+    FROM h2 JOIN a2 USING (id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "html_links": _HTML_LINKS_SQL,
         "html_pagerank": _HTML_PAGERANK_SQL,
+        "html_hits": _HTML_HITS_SQL,
         "html_main_content": _HTML_MAIN_SQL,
         "html_freq_boiler": _HTML_FREQ_SQL,
         "ext_text_blocks": _BLOCKS_CTE + f"""

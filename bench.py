@@ -124,8 +124,8 @@ def main() -> int:
         "ta_unigram_logprob", "cohort_retention",
         # r4: HTML boilerplate strip (density rule + corpus-frequency rule)
         "html_main_content", "html_freq_boiler",
-        # r4: hyperlink graph + integer-grid PageRank (3 iterations)
-        "html_links", "html_pagerank",
+        # r4: hyperlink graph + integer-grid PageRank / HITS
+        "html_links", "html_pagerank", "html_hits",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

@@ -1,5 +1,6 @@
-"""Link-graph analytics over extracted hyperlink edges: degrees and a
-fixed-iteration PageRank (Page et al. 1999) in exact integer arithmetic.
+"""Link-graph analytics over extracted hyperlink edges: degrees, a
+fixed-iteration PageRank (Page et al. 1999), and fixed-iteration HITS
+hubs/authorities (Kleinberg, JACM 1999) in exact integer arithmetic.
 
 Everything runs on a micro-unit grid (rank × 10^6 as a long): the per-edge
 contribution is ``r_q div out_deg`` and the damping update is
@@ -150,3 +151,104 @@ def pagerank(edges: DataFrame, iters: int = 3, n_nodes: int | None = None,
         (F.col("r_q") / GRID).alias("pagerank"),
         "in_deg", "out_deg",
     )
+
+
+def _hits_driver(spark, pairs: list, iters: int) -> DataFrame:
+    """Small-graph fast path for `hits` — same integer recurrence as dict
+    loops on the driver; bit-identical to the distributed loop."""
+    nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+    h = dict.fromkeys(nodes, GRID)
+    a = dict.fromkeys(nodes, 0)
+    for _ in range(iters):
+        a = dict.fromkeys(nodes, 0)
+        for src, dst in pairs:
+            a[dst] += h[src]
+        ma = max(a.values())
+        a = {v: (a[v] * GRID) // ma for v in nodes}
+        h = dict.fromkeys(nodes, 0)
+        for src, dst in pairs:
+            h[src] += a[dst]
+        mh = max(h.values())
+        h = {v: (h[v] * GRID) // mh for v in nodes}
+    return spark.createDataFrame(
+        [(v, h[v] / GRID, a[v] / GRID) for v in nodes],
+        "doc_id long, hub double, authority double",
+    )
+
+
+def _scale_by_max(scores: DataFrame, col: str) -> DataFrame:
+    """score*GRID div max(score) — the integer-grid HITS normalizer.  The
+    max comes back as a broadcast 1-row cross join, so the whole iteration
+    stays one lazy plan (no per-iteration driver action)."""
+    m = scores.agg(F.max(col).alias("_m"))
+    return (
+        scores.crossJoin(F.broadcast(m))
+        .select(
+            "id", F.expr(f"({col} * {GRID}L) div _m").alias(col),
+        )
+    )
+
+
+def hits(edges: DataFrame, iters: int = 2,
+         driver_edges_threshold: int = 1_000_000) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg, JACM 1999): authority(v) sums the
+    hub scores linking TO v, hub(u) sums the authority scores u links to;
+    each half-step is max-normalized onto the ×10^6 integer grid
+    (``score*GRID div max`` — the L2 norm of the textbook form is
+    irrational, so max-normalization keeps the fixed point comparable
+    while staying bit-identical across engines and partition orders).
+
+    Output: (doc_id, hub double, authority double), both exact micro-unit
+    longs over 10^6.  Per iteration: edges⋈hubs on src summed onto dst,
+    then edges⋈authorities on dst summed onto src — two bounded shuffles
+    each, with the 1-row max broadcast back.  Small edge sets resolve on
+    the driver like `pagerank`; pass ``driver_edges_threshold=0`` to force
+    the distributed loop."""
+    edges = edges.persist()
+    if driver_edges_threshold and edges.count() <= driver_edges_threshold:
+        pairs = [(r[0], r[1]) for r in edges.select("src", "dst").collect()]
+        out = _hits_driver(edges.sparkSession, pairs, iters)
+        edges.unpersist()
+        return out
+
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    h = nodes.select("id", F.lit(GRID).cast("long").alias("h_q"))
+    a = nodes.select("id", F.lit(0).cast("long").alias("a_q"))
+    for i in range(iters):
+        a_raw = (
+            edges.join(h.select(F.col("id").alias("src"), "h_q"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h_q").alias("a_q"))
+        )
+        a = _scale_by_max(
+            nodes.join(a_raw, "id", "left")
+            .select("id", F.coalesce("a_q", F.lit(0)).alias("a_q")),
+            "a_q",
+        )
+        h_raw = (
+            edges.join(a.select(F.col("id").alias("dst"), "a_q"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a_q").alias("h_q"))
+        )
+        h = _scale_by_max(
+            nodes.join(h_raw, "id", "left")
+            .select("id", F.coalesce("h_q", F.lit(0)).alias("h_q")),
+            "h_q",
+        )
+        # each iteration chains 4 joins; truncate lineage every round so a
+        # long run cannot stack-overflow the planner (tiny frames: 2 longs)
+        a = a.localCheckpoint(eager=True)
+        h = h.localCheckpoint(eager=True)
+    out = h.join(a, "id").select(
+        F.col("id").alias("doc_id"),
+        (F.col("h_q") / GRID).alias("hub"),
+        (F.col("a_q") / GRID).alias("authority"),
+    ).localCheckpoint(eager=True)
+    nodes.unpersist()
+    edges.unpersist()
+    return out

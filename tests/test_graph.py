@@ -161,3 +161,50 @@ def test_extract_pagerank_end_to_end_matches_loop(spark):
     assert got == pagerank_py(edges, iters=3)
     # the first 97 docs collect hub in-links → skewed, non-uniform ranks
     assert len({pr for pr, _, _ in got.values()}) > 5
+
+
+def hits_py(edges, iters=2):
+    """Independent HITS loop: adjacency-list traversal (vs the kernel's
+    edge-list sweep), same integer-grid max normalization."""
+    nodes = sorted({s for s, d in edges} | {d for s, d in edges})
+    out_adj = {v: [] for v in nodes}
+    in_adj = {v: [] for v in nodes}
+    for s, d in edges:
+        out_adj[s].append(d)
+        in_adj[d].append(s)
+    h = {v: GRID for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(iters):
+        a = {v: sum(h[u] for u in in_adj[v]) for v in nodes}
+        ma = max(a.values())
+        a = {v: (a[v] * GRID) // ma for v in nodes}
+        h = {v: sum(a[d] for d in out_adj[v]) for v in nodes}
+        mh = max(h.values())
+        h = {v: (h[v] * GRID) // mh for v in nodes}
+    return {v: (h[v] / GRID, a[v] / GRID) for v in nodes}
+
+
+def test_hits_matches_loop_oracle_both_paths(spark):
+    df = _edges_df(spark, EDGES)
+    want = hits_py(EDGES, iters=2)
+    for thresh in (1_000_000, 0):  # driver fast path, distributed loop
+        got = {
+            r["doc_id"]: (r["hub"], r["authority"])
+            for r in G.hits(df, iters=2, driver_edges_threshold=thresh)
+            .collect()
+        }
+        assert got == want, thresh
+
+
+def test_hits_hub_and_authority_structure(spark):
+    got = {
+        r["doc_id"]: (r["hub"], r["authority"])
+        for r in G.hits(_edges_df(spark, EDGES), iters=2).collect()
+    }
+    # node 0 receives 6 in-links → the top authority (normalized to 1.0)
+    assert got[0][1] == 1.0
+    assert got[0][1] == max(a for _, a in got.values())
+    # nodes pointing at 0 are the strong hubs; the dangling node 9 has
+    # no out-links → hub exactly 0
+    assert got[9][0] == 0.0
+    assert max(h for h, _ in got.values()) == 1.0
