@@ -383,6 +383,27 @@ def _q_html_hits(spark, sf_dir):
     return G.hits(edges, iters=2)
 
 
+def _q_dedup_priority(spark, sf_dir):
+    """Source-priority exact dedup (`dedup.priority_dedup`): when the same
+    text arrives from several feeds, keep the copy from the most-trusted
+    source rather than the lowest id — the standard production rule
+    (curated > news > crawl).  The documents table has no exact dups, so
+    the query unions a 'mirror' feed (every third doc re-ingested under a
+    higher id); priority ['mirror', 'src3'] makes the pick genuinely
+    override min-doc_id on every dup group.  One groupBy on md5 with a
+    struct-min aggregate — map-side combinable, unlike a row_number
+    window over fp which single-tasks hot fingerprints."""
+    docs = _docs(spark, sf_dir)
+    mirrored = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("source", F.lit("mirror"))
+    )
+    return D.priority_dedup(
+        docs.unionByName(mirrored), priority=["mirror", "src3"]
+    )
+
+
 def _q_dedup_shared_ngrams(spark, sf_dir):
     """Cross-corpus redundancy profile: per doc, the fraction of its
     distinct 3-gram shingles appearing in ≥1 other document
@@ -1218,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links": _q_html_links,
         "html_pagerank": _q_html_pagerank,
         "html_hits": _q_html_hits,
+        "dedup_priority": _q_dedup_priority,
         "html_main_content": _q_html_main_content,
         "html_freq_boiler": _q_html_freq_boiler,
         "ann_rrf": _q_ann_rrf,
@@ -1859,6 +1881,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp,
                    min(doc_id) AS keep_doc_id, count(*) AS group_size
             FROM documents GROUP BY 1""",
+        "dedup_priority": """
+            WITH base AS (
+              SELECT doc_id, source, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, 'mirror', text FROM documents
+              WHERE doc_id % 3 = 0),
+            f AS (
+              SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp,
+                     doc_id, source,
+                     CASE source WHEN 'mirror' THEN 0 WHEN 'src3' THEN 1
+                          ELSE 2 END AS r
+              FROM base),
+            g AS (
+              SELECT fp, doc_id, source,
+                     row_number() OVER (PARTITION BY fp ORDER BY r, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY fp) AS n
+              FROM f)
+            SELECT fp, doc_id AS keep_doc_id, source AS keep_source,
+                   n AS group_size
+            FROM g WHERE rn = 1""",
         "dedup_ngram_jaccard": f"""
 WITH sh AS (
   SELECT doc_id, list_distinct(

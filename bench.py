@@ -126,6 +126,8 @@ def main() -> int:
         "html_main_content", "html_freq_boiler",
         # r4: hyperlink graph + integer-grid PageRank / HITS
         "html_links", "html_pagerank", "html_hits",
+        # r4: source-priority exact dedup (struct-min canonical pick)
+        "dedup_priority",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

@@ -63,6 +63,46 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def priority_dedup(docs: DataFrame, priority: list[str],
+                   source_col: str = "source") -> DataFrame:
+    """Exact dedup with a source-priority canonical pick: among documents
+    sharing a normalized-content fingerprint, keep the one from the
+    highest-priority source (order of ``priority``, e.g. curated > news >
+    web crawl — the standard production rule when the same text arrives
+    from several feeds); unlisted sources rank after all listed ones, ties
+    broken by lowest doc_id, so the pick is total and deterministic.
+
+    Execution: one groupBy on the md5 fingerprint with a struct-min
+    aggregate ``min(struct(rank, doc_id, source))`` — map-side combinable
+    like `exact_dedup` (contrast a row_number window over fp, which cannot
+    partial-aggregate and single-tasks hot fingerprints).  Output:
+    (fp, keep_doc_id, keep_source, group_size)."""
+    rank = F.lit(len(priority))
+    for i, s in reversed(list(enumerate(priority))):
+        rank = F.when(F.col("_src") == s, F.lit(i)).otherwise(rank)
+    return (
+        docs.select(
+            "doc_id", F.col(source_col).alias("_src"),
+            fingerprint().alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(
+                F.struct(
+                    rank.alias("r"), F.col("doc_id"), F.col("_src")
+                )
+            ).alias("b"),
+            F.count("*").alias("group_size"),
+        )
+        .select(
+            "fp",
+            F.col("b.doc_id").alias("keep_doc_id"),
+            F.col("b._src").alias("keep_source"),
+            "group_size",
+        )
+    )
+
+
 def incremental_dedup(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
     """Incremental-ingest exact dedup: of a NEW batch, keep only documents
     whose normalized-content fingerprint appears neither in the existing

@@ -387,6 +387,33 @@ def test_exact_dedup_groups(spark, docs, docs_pdf):
     assert got.group_size.sum() == len(docs_pdf)
 
 
+def test_priority_dedup_pick_semantics(spark):
+    from sparkx.ops.dedup import priority_dedup
+
+    rows = [
+        # group A: same text from web(id 1), curated(id 5), news(id 3) —
+        # priority must pick curated DESPITE its highest id
+        (1, "shared text one", "web"),
+        (5, "shared text one", "curated"),
+        (3, "shared text one", "news"),
+        # group B: two unlisted sources → falls back to min doc_id
+        (7, "shared text two", "webx"),
+        (6, "shared text two", "weby"),
+        # group C: same listed source twice → min doc_id within the rank
+        (9, "shared text three", "curated"),
+        (8, "shared text three", "curated"),
+        # singleton, whitespace-normalized into no group
+        (10, "  unique   Text  ", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["keep_doc_id"]: (r["keep_source"], r["group_size"])
+        for r in priority_dedup(df, priority=["curated", "news"]).collect()
+    }
+    assert got == {5: ("curated", 3), 6: ("weby", 2), 8: ("curated", 2),
+                   10: ("web", 1)}
+
+
 def test_multimodal_plumbing(spark, docs, docs_pdf):
     from sparkx.ops.multimodal import decode_media, documents_as_media, resize_plan
 
