@@ -1095,7 +1095,8 @@ def _q_a5_query_stats(spark, sf_dir):
     return query_stats(composed, id_col="doc_id")
 
 
-def _stream_workspace(spark, sf_dir, tag: str) -> str:
+def _stream_workspace(spark, sf_dir, tag: str,
+                      source: str = "transcripts") -> str:
     """Stable per-(tag, sf_dir, code revision) streaming workspace with the
     derived-transcripts input materialized (4 parquet files < the 16-file
     trigger cap, so the whole input is ONE micro-batch — which is what makes
@@ -1149,9 +1150,11 @@ def _stream_workspace(spark, sf_dir, tag: str) -> str:
     # that would otherwise be streamed as truncated input forever (the reap
     # above has already removed the previous revision's good workspace)
     if not _os.path.exists(f"{base}/in/_SUCCESS"):
-        transcripts_from_documents(spark, sf_dir).coalesce(4).write.mode(
-            "overwrite"
-        ).parquet(f"{base}/in")
+        if source == "events":
+            inp = spark.read.parquet(f"{sf_dir}/events.parquet")
+        else:
+            inp = transcripts_from_documents(spark, sf_dir)
+        inp.coalesce(4).write.mode("overwrite").parquet(f"{base}/in")
     return base
 
 
@@ -1213,6 +1216,28 @@ def _q_stream_dedup(spark, sf_dir):
 # ───────────────────────── multimodal plumbing ─────────────────────────────
 
 
+def _q_stream_attribution(spark, sf_dir):
+    """The stream-stream INTERVAL join, driver-verified: the events table
+    streams through start_attribution_stream (view→purchase within 1 h by
+    the same user; join state bounded by dual watermarks + the range
+    predicate) and the committed pairs are read back.  Inner-join matches
+    emit when they meet regardless of watermark progress, so over the
+    single-micro-batch workspace input the output is exactly the batch
+    interval join — the oracle is that join in plain SQL.  The parquet
+    sink is at-least-once (batch_id-stamped); one logical row per
+    (view, purchase) survives the dropDuplicates."""
+    from sparkx.streaming import start_attribution_stream
+
+    base = _stream_workspace(spark, sf_dir, "at", source="events")
+    start_attribution_stream(
+        spark, f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    )
+    out = spark.read.parquet(f"{base}/out/pairs")
+    return out.select(
+        "user_id", "view_id", "purchase_id", "lag_sec", "p_value"
+    ).dropDuplicates(["view_id", "purchase_id"])
+
+
 def _q_mm_decode(spark, sf_dir):
     dec = M.decode_media(M.documents_as_media(_docs(spark, sf_dir)), fake_decode=True)
     return dec.select("media_id", "kind", "width", "height", "n_bytes", "ok", "digest")
@@ -1240,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_pagerank": _q_html_pagerank,
         "html_hits": _q_html_hits,
         "dedup_priority": _q_dedup_priority,
+        "stream_attribution": _q_stream_attribution,
         "html_main_content": _q_html_main_content,
         "html_freq_boiler": _q_html_freq_boiler,
         "ann_rrf": _q_ann_rrf,
@@ -2875,6 +2901,19 @@ GROUP BY 1"""
                    CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS total_value_e4,
                    max(ep) - min(ep) AS duration_sec
             FROM sess GROUP BY user_id, session_idx""",
+        "stream_attribution": """
+            WITH v AS (
+              SELECT event_id AS view_id, user_id, ts AS v_ts FROM events
+              WHERE event_type = 'view'),
+            p AS (
+              SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts,
+                     value FROM events WHERE event_type = 'purchase')
+            SELECT v.user_id, view_id, purchase_id,
+                   CAST(floor(epoch(p_ts)) AS BIGINT)
+                     - CAST(floor(epoch(v_ts)) AS BIGINT) AS lag_sec,
+                   value AS p_value
+            FROM v JOIN p ON v.user_id = p.p_user
+              AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 3600 SECOND""",
         "asof_join": """
             WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
             purchases AS (

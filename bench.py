@@ -128,6 +128,8 @@ def main() -> int:
         "html_links", "html_pagerank", "html_hits",
         # r4: source-priority exact dedup (struct-min canonical pick)
         "dedup_priority",
+        # r4: stream-stream interval join (view→purchase attribution)
+        "stream_attribution",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

@@ -22,6 +22,18 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+# ── input: events (testdata events.parquet shape) ───────────────────────────
+EVENTS = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
 # ── input: transcripts (BASELINE.json input_hint, exactly) ──────────────────
 TRANSCRIPTS = StructType(
     [

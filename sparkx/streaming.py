@@ -449,3 +449,112 @@ def start_turn_window_stream(
     )
     q.awaitTermination()
     return q
+
+
+def stream_events(spark: SparkSession, in_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    from sparkx.schemas import EVENTS
+
+    reader = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 16)
+    )
+    return reader.parquet(in_dir)
+
+
+def start_attribution_stream(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    horizon_seconds: int = 3600,
+    watermark: str = "1 hour",
+):
+    """Stream-stream INTERVAL join: attribute each ``right_type`` event
+    (purchase) to every ``left_type`` event (view) by the same user within
+    ``horizon_seconds`` BEFORE it — the canonical streaming attribution
+    join, and the one stateful-join shape Structured Streaming supports
+    with bounded state.
+
+    State-cleanup semantics (why both watermarks AND the time-range
+    predicate are required): the engine buffers unmatched rows of BOTH
+    sides in the state store; the range condition lets it derive, from the
+    opposite side's watermark, when a buffered row can never match again —
+    a view is evicted once the purchase-side watermark passes
+    ``view.ts + horizon``, a purchase once the view-side watermark passes
+    ``purchase.ts``.  Without the range bound the state grows forever.
+    Inner-join matches emit as they arrive (the watermark gates eviction
+    and late-drop, not emission), so over a closed input every in-horizon
+    pair appears exactly once in the logical stream; input rows older than
+    the watermark are dropped like any late data.
+
+    Two operational gotchas (both pytest-pinned in test_stream_join):
+    the GLOBAL watermark is ``min`` over both sides' column watermarks
+    (``spark.sql.streaming.multipleWatermarkPolicy``), so a side that
+    stops receiving events pins it and nothing is ever evicted — at scale
+    feed both sides heartbeats or configure the ``max`` policy; and
+    eviction executes with the batch-START watermark, one batch behind
+    the event that advanced it (AvailableNow runs the follow-up batch
+    automatically when the watermark moved).
+
+    The parquet sink is at-least-once; rows are stamped with ``batch_id``
+    so readers deduplicate replays (same recipe as the window/dedup
+    sinks).  No timers → plain ``Trigger.AvailableNow`` terminates.
+
+    Output rows: (user_id, view_id, purchase_id, lag_sec, p_value).
+    """
+    from pyspark.sql import functions as F
+
+    ev = stream_events(spark, in_dir)
+    views = (
+        ev.where(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        ev.where(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            f"v_user = p_user AND p_ts >= v_ts AND "
+            f"p_ts <= v_ts + interval {int(horizon_seconds)} seconds"
+        ),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (F.col("p_ts").cast("long") - F.col("v_ts").cast("long")).alias(
+            "lag_sec"
+        ),
+        "p_value",
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(f"{out_dir}/pairs")
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
