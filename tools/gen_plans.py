@@ -412,6 +412,28 @@ def main() -> int:
         )
     )
 
+    # Source-priority dedup: the struct-min canonical pick must partial-
+    # aggregate below the fingerprint exchange (the reason it beats a
+    # row_number window, which single-tasks hot fingerprints).
+    from sparkx.ops.dedup import priority_dedup
+
+    prio_plan = fmt(priority_dedup(docs, priority=["src3", "src1"]))
+    assert "partial_min" in prio_plan, "priority pick has no map-side combine"
+    assert "Window" not in prio_plan
+    sections.append(
+        (
+            "Source-priority exact dedup (struct-min, map-side combined)",
+            prio_plan,
+            "What to check: the canonical pick is min(struct(rank, doc_id,\n"
+            "source)) with partial_min BELOW the single fingerprint Exchange —\n"
+            "each task pre-reduces its rows to one candidate per local fp, so\n"
+            "the shuffle carries one struct per (task, fp).  A row_number window\n"
+            "over fp would move every duplicate row to one task per fingerprint\n"
+            "and sort there — hot fps (boilerplate dup groups at web scale)\n"
+            "become stragglers.  No Window operator appears.",
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plan audit (explain formatted)\n\n"
