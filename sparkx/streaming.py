@@ -471,6 +471,7 @@ def start_attribution_stream(
     right_type: str = "purchase",
     horizon_seconds: int = 3600,
     watermark: str = "1 hour",
+    join_type: str = "inner",
 ):
     """Stream-stream INTERVAL join: attribute each ``right_type`` event
     (purchase) to every ``left_type`` event (view) by the same user within
@@ -503,6 +504,13 @@ def start_attribution_stream(
     so readers deduplicate replays (same recipe as the window/dedup
     sinks).  No timers → plain ``Trigger.AvailableNow`` terminates.
 
+    ``join_type="left_outer"`` additionally emits each UNattributed view
+    once, with null purchase columns — but only after the watermark proves
+    no match can still arrive (purchase watermark past ``view.ts +
+    horizon``), i.e. null rows are delayed by horizon + watermark delay
+    and need the one-batch eviction lag like everything else.  That makes
+    it the streaming form of "conversion rate with a full denominator".
+
     Output rows: (user_id, view_id, purchase_id, lag_sec, p_value).
     """
     from pyspark.sql import functions as F
@@ -533,7 +541,7 @@ def start_attribution_stream(
             f"v_user = p_user AND p_ts >= v_ts AND "
             f"p_ts <= v_ts + interval {int(horizon_seconds)} seconds"
         ),
-        "inner",
+        join_type,
     ).select(
         F.col("v_user").alias("user_id"),
         "view_id",

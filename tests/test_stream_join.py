@@ -130,3 +130,34 @@ def test_interval_join_closed_input_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 10
+
+
+def test_left_outer_emits_unmatched_view_after_watermark(spark, tmp_path):
+    (tmp_path / "in").mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    # run 1: u1's view matches in-batch; u5's view has no purchase.  The
+    # null-attributed row must NOT appear yet — the watermark has not
+    # proven a match impossible.
+    _write(tmp_path, "a.parquet", [
+        (1, 1, "view", 0.0, 10),
+        (2, 5, "view", 0.0, 15),
+        (3, 1, "purchase", 5.0, 30),
+    ])
+    start_attribution_stream(spark, str(tmp_path / "in"), out, ckpt,
+                             join_type="left_outer")
+    assert _pairs(spark, out) == {(1, 1, 3, 1200)}
+
+    # run 2: u3's pair at the 3h mark advances BOTH watermarks to 2:00;
+    # the follow-up batch then proves u5's view (horizon closed 1:15)
+    # unmatched and emits it ONCE with null purchase columns.  u1's view
+    # matched, so no null row for it.
+    _write(tmp_path, "b.parquet", [
+        (9, 3, "view", 0.0, 180),
+        (10, 3, "purchase", 1.0, 185),
+    ])
+    start_attribution_stream(spark, str(tmp_path / "in"), out, ckpt,
+                             join_type="left_outer")
+    assert _pairs(spark, out) == {
+        (1, 1, 3, 1200), (3, 9, 10, 300), (5, 2, None, None),
+    }
