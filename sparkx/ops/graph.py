@@ -72,6 +72,10 @@ def _step(e: DataFrame, nodes: DataFrame, ranks: DataFrame,
     )
 
 
+PAGERANK_SCHEMA = "doc_id long, pagerank double, in_deg long, out_deg long"
+HITS_SCHEMA = "doc_id long, hub double, authority double"
+
+
 def _pagerank_driver(spark, pairs: list, iters: int) -> DataFrame:
     """Small-graph fast path: the same integer-grid recurrence as plain
     dict loops on the driver — one collect, zero iterative jobs.  Output
@@ -80,6 +84,8 @@ def _pagerank_driver(spark, pairs: list, iters: int) -> DataFrame:
     tests/test_graph.py::test_driver_and_distributed_paths_identical."""
     from collections import Counter
 
+    if not pairs:
+        return spark.createDataFrame([], PAGERANK_SCHEMA)
     nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
     out_deg = Counter(s for s, _ in pairs)
     in_deg = Counter(d for _, d in pairs)
@@ -124,6 +130,9 @@ def pagerank(edges: DataFrame, iters: int = 3, n_nodes: int | None = None,
     deg = degrees(edges)
     if n_nodes is None:
         n_nodes = deg.count()
+    if n_nodes == 0:  # no edges → no nodes; avoid the div-by-zero base term
+        edges.unpersist()
+        return edges.sparkSession.createDataFrame([], PAGERANK_SCHEMA)
     base_q = (15 * GRID) // (100 * n_nodes)
     init_q = GRID // n_nodes
 
@@ -156,6 +165,8 @@ def pagerank(edges: DataFrame, iters: int = 3, n_nodes: int | None = None,
 def _hits_driver(spark, pairs: list, iters: int) -> DataFrame:
     """Small-graph fast path for `hits` — same integer recurrence as dict
     loops on the driver; bit-identical to the distributed loop."""
+    if not pairs:
+        return spark.createDataFrame([], HITS_SCHEMA)
     nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
     h = dict.fromkeys(nodes, GRID)
     a = dict.fromkeys(nodes, 0)

@@ -208,3 +208,16 @@ def test_hits_hub_and_authority_structure(spark):
     # no out-links → hub exactly 0
     assert got[9][0] == 0.0
     assert max(h for h, _ in got.values()) == 1.0
+
+
+def test_empty_edge_set_yields_empty_results(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    for thresh in (1_000_000, 0):
+        pr = G.pagerank(empty, iters=3, driver_edges_threshold=thresh)
+        assert pr.count() == 0
+        assert [f.name for f in pr.schema.fields] == [
+            "doc_id", "pagerank", "in_deg", "out_deg"]
+        ht = G.hits(empty, iters=2, driver_edges_threshold=thresh)
+        assert ht.count() == 0
+        assert [f.name for f in ht.schema.fields] == [
+            "doc_id", "hub", "authority"]
