@@ -128,8 +128,9 @@ def main() -> int:
         "html_links", "html_pagerank", "html_hits",
         # r4: source-priority exact dedup (struct-min canonical pick)
         "dedup_priority",
-        # r4: stream-stream interval join (view→purchase attribution)
-        "stream_attribution",
+        # stream_attribution stays untimed like stream_extract/stream_dedup:
+        # its wall is streaming-rig setup (workspace + checkpoint init +
+        # micro-batch scheduling), not operator cost
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

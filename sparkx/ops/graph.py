@@ -214,7 +214,12 @@ def hits(edges: DataFrame, iters: int = 2,
     then edges⋈authorities on dst summed onto src — two bounded shuffles
     each, with the 1-row max broadcast back.  Small edge sets resolve on
     the driver like `pagerank`; pass ``driver_edges_threshold=0`` to force
-    the distributed loop."""
+    the distributed loop.
+
+    Range bound: the scale step computes ``raw*10^6`` in long arithmetic,
+    so a node whose raw score exceeds 9.2e12 — in-degree beyond ~9.2M at
+    the 10^6 hub ceiling — would overflow; at that scale drop GRID to
+    10^4 (the recurrence is grid-invariant up to rounding)."""
     edges = edges.persist()
     if driver_edges_threshold and edges.count() <= driver_edges_threshold:
         pairs = [(r[0], r[1]) for r in edges.select("src", "dst").collect()]
