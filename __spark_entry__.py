@@ -821,6 +821,19 @@ def _q_cur_stratified(spark, sf_dir):
     )
 
 
+def _q_cur_temperature(spark, sf_dir):
+    """Temperature-balanced multilingual sampling (mT5/CC-100, alpha=0.5):
+    per-language rates ∝ sqrt(observed tokens) normalized to a 20k-token
+    budget — low-resource languages upsampled vs proportional.  All
+    integer division on the e4 grid; sqrt is the one fractional power
+    both engines compute bit-identically (corpus.temperature_mixture)."""
+    from sparkx.ops import corpus as C
+
+    return C.temperature_mixture(
+        _docs(spark, sf_dir), total_tokens=20_000, by="lang"
+    )
+
+
 def _q_cur_mixture(spark, sf_dir):
     """Training-data mixing: target weights (en 50% / de 30% / fr 20%) at a
     20k-token budget → per-language deterministic sampling rates derived
@@ -1266,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_hits": _q_html_hits,
         "dedup_priority": _q_dedup_priority,
         "stream_attribution": _q_stream_attribution,
+        "cur_temperature": _q_cur_temperature,
         "html_main_content": _q_html_main_content,
         "html_freq_boiler": _q_html_freq_boiler,
         "ann_rrf": _q_ann_rrf,
@@ -2494,6 +2508,27 @@ GROUP BY 1"""
             SELECT doc_id, lang FROM documents
             WHERE {_TA_TOKENS} >= 20 AND {_TA_TOKENS} <= 5000
               AND {_TA_QUALITY} >= 0.3""",
+        "cur_temperature": f"""
+            WITH tot AS (
+              SELECT lang AS stratum, CAST(sum({_TA_TOKENS}) AS BIGINT) AS toks
+              FROM documents GROUP BY lang),
+            w AS (SELECT stratum, toks,
+                         CAST(floor(sqrt(toks)) AS BIGINT) AS w FROM tot),
+            s AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w),
+            rates AS (
+              SELECT stratum,
+                     least(10000,
+                           ((20000 * w) // (SELECT sw FROM s)) * 10000 // toks
+                     ) AS rate_e4
+              FROM w),
+            sampled AS (
+              SELECT d.lang, r.rate_e4, {_TA_TOKENS} AS n
+              FROM documents d JOIN rates r ON d.lang = r.stratum
+              WHERE (('0x' || substr(md5('temp0|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)
+                    < r.rate_e4)
+            SELECT lang, rate_e4, count(*) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS n_tokens
+            FROM sampled GROUP BY lang, rate_e4""",
         "cur_mixture": f"""
             WITH totals AS (
               SELECT lang AS stratum, CAST(sum({_TA_TOKENS}) AS BIGINT) AS toks

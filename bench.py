@@ -128,6 +128,8 @@ def main() -> int:
         "html_links", "html_pagerank", "html_hits",
         # r4: source-priority exact dedup (struct-min canonical pick)
         "dedup_priority",
+        # r4: temperature-balanced multilingual sampling (mT5 alpha=0.5)
+        "cur_temperature",
         # stream_attribution stays untimed like stream_extract/stream_dedup:
         # its wall is streaming-rig setup (workspace + checkpoint init +
         # micro-batch scheduling), not operator cost

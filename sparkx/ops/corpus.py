@@ -73,6 +73,55 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
     return df.filter(sample_bucket(key_col, salt) < gate)
 
 
+def temperature_mixture(
+    docs: DataFrame,
+    total_tokens: int,
+    by: str = "lang",
+    salt: str = "temp0",
+) -> DataFrame:
+    """Temperature-balanced sampling (the mT5 / CC-100 multilingual rule,
+    Xue et al. 2021 §3.2; Conneau et al. 2020): per-stratum rates ∝
+    observed_tokens^alpha instead of a hand-given mixture — low-resource
+    strata are upsampled relative to proportional sampling.  alpha is
+    pinned to 0.5 (T=2, inside the paper-recommended 0.2-0.7 band) because
+    ``floor(sqrt(bigint))`` is the one fractional power both engines
+    compute bit-identically (IEEE correctly-rounded sqrt + exact floor at
+    these magnitudes); arbitrary-alpha ``pow`` doubles would tie-break
+    differently on the e4 grid.  Every allocation step is integer
+    division: t_s = total_tokens·w_s div Σw, rate_e4 = min(10^4,
+    t_s·10^4 div n_s) — no float ever crosses an engine boundary.
+
+    Execution mirrors `mixture_plan`: one tiny per-stratum aggregate, a
+    1-row broadcast for the weight sum, one narrow hash-gated scan, final
+    tally.  Output: (stratum, rate_e4, n_docs, n_tokens) of the sample."""
+    n = token_count()
+    tot = docs.groupBy(F.col(by).alias("_stratum")).agg(
+        F.sum(n).alias("_toks")
+    )
+    w = tot.select(
+        "_stratum", "_toks",
+        F.floor(F.sqrt(F.col("_toks"))).cast("long").alias("_w"),
+    )
+    s = w.agg(F.sum("_w").alias("_sw"))
+    rates = w.crossJoin(F.broadcast(s)).select(
+        "_stratum",
+        F.least(
+            F.lit(SAMPLE_BUCKETS).cast("long"),
+            F.expr(
+                f"(({int(total_tokens)}L * _w) div _sw)"
+                f" * {SAMPLE_BUCKETS} div _toks"
+            ),
+        ).alias("rate_e4"),
+    )
+    sampled = docs.join(
+        F.broadcast(rates), docs[by] == F.col("_stratum")
+    ).filter(sample_bucket("doc_id", salt) < F.col("rate_e4"))
+    return (
+        sampled.groupBy(F.col("_stratum").alias(by), "rate_e4")
+        .agg(F.count("*").alias("n_docs"), F.sum(n).alias("n_tokens"))
+    )
+
+
 def mixture_plan(
     docs: DataFrame,
     weights: dict[str, float],

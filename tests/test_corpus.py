@@ -357,3 +357,50 @@ def test_corpus_scorecard_groups_and_grid_truncation(spark):
     assert 0.0 < a.mean_quality < 1.0
     assert b.n_docs == 1 and b.dup_frac == 0.0 and b.gopher_keep_frac == 0.0
     assert b.mean_tokens == 4.0
+
+
+def test_temperature_mixture_upsamples_low_resource(spark):
+    import hashlib
+    import math
+
+    from sparkx.ops.corpus import temperature_mixture
+
+    # skewed corpus: 'hi' is low-resource (2 docs x 10 tokens), 'en' is
+    # high-resource (50 docs x 20 tokens)
+    rows = [(i, " ".join(f"w{j}" for j in range(10)), "hi", "web")
+            for i in range(2)]
+    rows += [(100 + i, " ".join(f"w{j}" for j in range(20)), "en", "web")
+             for i in range(50)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    budget = 500
+    got = {
+        r["lang"]: (r["rate_e4"], r["n_docs"], r["n_tokens"])
+        for r in temperature_mixture(docs, total_tokens=budget).collect()
+    }
+
+    # python mirror of the integer allocation + hash gate
+    toks = {"hi": 20, "en": 1000}
+    w = {k: math.isqrt(v) for k, v in toks.items()}
+    sw = sum(w.values())
+    rate = {
+        k: min(10000, ((budget * w[k]) // sw) * 10000 // toks[k])
+        for k in toks
+    }
+
+    def bucket(doc_id):
+        return int(hashlib.md5(f"temp0|{doc_id}".encode())
+                   .hexdigest()[:8], 16) % 10000
+
+    want = {}
+    for k, ids, per_doc in (("hi", range(2), 10),
+                            ("en", range(100, 150), 20)):
+        kept = [i for i in ids if bucket(i) < rate[k]]
+        if kept:
+            want[k] = (rate[k], len(kept), per_doc * len(kept))
+    assert got == want
+
+    # alpha=0.5 upsamples the low-resource stratum: its sampling RATE
+    # exceeds the high-resource one's even though its share of tokens is
+    # 50x smaller (proportional sampling would give equal rates)
+    assert rate["hi"] > rate["en"]
