@@ -821,6 +821,74 @@ def _q_cur_stratified(spark, sf_dir):
     )
 
 
+def _q_cur_priority(spark, sf_dir):
+    """Priority sampling (Duffield–Lund–Thorup, JACM 2007): k=7 documents
+    per language with probability ∝ n_chars, without replacement —
+    heavy docs are near-certain picks, light ones win ∝ weight.  Exact by
+    construction: priority = weight * 2^32 div (md5-u + 1), all int64
+    (`corpus.priority_sample`); a float w/u would rank-tie differently
+    per engine.  Rank-filter form plans a WindowGroupLimit, so each
+    shuffle partition forwards only its local top-k per group."""
+    from sparkx.ops import corpus as C
+
+    return C.priority_sample(
+        _docs(spark, sf_dir), weight_col="n_chars", k=7, by="lang"
+    )
+
+
+def _q_cur_dsir(spark, sf_dir):
+    """DSIR-style data selection (Xie et al., NeurIPS 2023): score every
+    document's affinity to the lang='en' target on the hashed
+    unigram+bigram bucket space (4096 buckets).  Per-feature weight is
+    the add-one-smoothed INTEGER odds ratio (tgt+1)*10^6 div (raw+1) —
+    not the paper's float log-ratio, which can never pass a cross-engine
+    value-hash gate — and the doc score is the integer mean over its
+    features (`sparkx/ops/dsir.py`).  Two narrow passes + one broadcast
+    join of the <=4096-row weight table; no |tokens|-sized shuffle."""
+    from pyspark.sql import functions as FF
+
+    from sparkx.ops.dsir import domain_affinity
+
+    return domain_affinity(_docs(spark, sf_dir), FF.col("lang") == "en")
+
+
+def _q_cur_epochs(spark, sf_dir):
+    """Data-constrained mixture allocation (Muennighoff et al. 2023):
+    split a 40k-token budget over languages ∝ weights {en:5, de:3, fr:2,
+    else 1}, capping every language at 2 epochs of its observed tokens —
+    the excess share of any saturated (small) language water-fills onto
+    the rest.  Exact capacitated proportional allocation in closed form:
+    the saturation test is cross-multiplied int64, allocations are
+    integer division, and the one float (the cap/weight SORT key) is an
+    IEEE-correctly-rounded division identical on every engine
+    (`corpus.capped_mixture`).  All post-aggregate work runs on the
+    ≤5-row per-language frame."""
+    from sparkx.ops import corpus as C
+
+    return C.capped_mixture(
+        _docs(spark, sf_dir), budget_tokens=40_000,
+        weights={"en": 5, "de": 3, "fr": 2}, max_epochs=2,
+    )
+
+
+def _q_range_join(spark, sf_dir):
+    """Keyless time-range join: every purchase within 60 s after any error
+    event — two streams correlated by nothing but time, the shape Spark
+    can only plan as a nested-loop/cartesian join if written as a theta
+    join.  `temporal.range_join` quantizes epoch-µs by the horizon and
+    turns it into an EQUI-join on the bucket (left side explodes into its
+    2 probe buckets), so the plan is a partition-parallel hash/SMJ over
+    O(pairs-within-2h) candidates.  Lag is exact integer microseconds."""
+    from sparkx.ops.temporal import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return range_join(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon_sec=60,
+    )
+
+
 def _q_cur_temperature(spark, sf_dir):
     """Temperature-balanced multilingual sampling (mT5/CC-100, alpha=0.5):
     per-language rates ∝ sqrt(observed tokens) normalized to a 20k-token
@@ -1274,6 +1342,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate (tools/check_contract.py runs all of them).
     return {
         # never-driver-verified first (r3 rotation + new this round)
+        "cur_priority": _q_cur_priority,
+        "cur_dsir": _q_cur_dsir,
+        "cur_epochs": _q_cur_epochs,
+        "range_join_events": _q_range_join,
         "html_links": _q_html_links,
         "html_pagerank": _q_html_pagerank,
         "html_hits": _q_html_hits,
@@ -2496,6 +2568,106 @@ GROUP BY 1"""
               WHERE {_COS} >= 0.3),
             {_CC_CTES}
             SELECT cc_id AS vec_id, cc_cluster AS cluster_id FROM cc""",
+        "cur_priority": """
+            WITH p AS (
+              SELECT lang AS grp, doc_id, CAST(n_chars AS BIGINT) AS weight,
+                     (CAST(n_chars AS BIGINT) * 4294967296)
+                       // ((('0x' || substr(md5('pri0|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) + 1)
+                       AS priority_q
+              FROM documents)
+            SELECT grp, doc_id, weight, priority_q,
+                   row_number() OVER (
+                     PARTITION BY grp
+                     ORDER BY priority_q DESC, doc_id ASC) AS rn
+            FROM p QUALIFY rn <= 7""",
+        "cur_dsir": """
+            WITH toks AS (
+              SELECT doc_id,
+                     lang = 'en' AS is_tgt,
+                     regexp_split_to_array(
+                       lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS arr
+              FROM documents),
+            feats AS (
+              SELECT doc_id, is_tgt,
+                     unnest(list_concat(arr,
+                       CASE WHEN len(arr) < 2 THEN []
+                       ELSE list_transform(range(1, len(arr)),
+                         i -> arr[i] || ' ' || arr[i+1]) END)) AS f
+              FROM toks),
+            b AS (
+              SELECT doc_id, is_tgt,
+                     ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bucket
+              FROM feats),
+            w AS (
+              SELECT bucket,
+                     ((count(*) FILTER (is_tgt) + 1) * 1000000)
+                       // (count(*) + 1) AS w_q
+              FROM b GROUP BY bucket),
+            sc AS (
+              SELECT doc_id, count(*) AS n_feats,
+                     CAST(sum(w_q) AS BIGINT) AS sw
+              FROM b JOIN w USING (bucket) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+                   CAST(coalesce(sc.sw // sc.n_feats, 0) AS BIGINT) AS affinity_q
+            FROM documents d LEFT JOIN sc USING (doc_id)""",
+        "cur_epochs": f"""
+            WITH t AS (
+              SELECT lang AS stratum, CAST(sum({_TA_TOKENS}) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY lang),
+            d AS (
+              SELECT stratum, n_tokens,
+                CAST(CASE stratum WHEN 'en' THEN 5 WHEN 'de' THEN 3
+                                  WHEN 'fr' THEN 2 ELSE 1 END AS BIGINT) AS w,
+                CAST(2 * n_tokens AS BIGINT) AS cap
+              FROM t),
+            d2 AS (SELECT *, CAST(cap AS DOUBLE) / w AS _r FROM d),
+            o AS (
+              SELECT *, row_number() OVER win AS rn,
+                CAST(coalesce(sum(w) OVER pw, 0) AS BIGINT) AS cumw_prev,
+                CAST(coalesce(sum(cap) OVER pw, 0) AS BIGINT) AS cumcap_prev,
+                CAST(sum(w) OVER iw AS BIGINT) AS cumw,
+                CAST(sum(cap) OVER iw AS BIGINT) AS cumcap
+              FROM d2
+              WINDOW win AS (ORDER BY _r, stratum),
+                pw AS (ORDER BY _r, stratum
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                iw AS (ORDER BY _r, stratum
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_all FROM o),
+            f AS (
+              SELECT o.*, (SELECT w_all FROM tot) AS w_all,
+                cap * ((SELECT w_all FROM tot) - cumw_prev)
+                  <= w * (40000 - cumcap_prev) AS ok
+              FROM o),
+            mm AS (SELECT coalesce(
+                     min(CASE WHEN NOT ok THEN rn END) - 1, max(rn)) AS m
+                   FROM f),
+            cutz AS (SELECT
+              coalesce((SELECT cumcap FROM f WHERE rn = (SELECT m FROM mm)), 0) AS c_m,
+              coalesce((SELECT cumw FROM f WHERE rn = (SELECT m FROM mm)), 0) AS v_m),
+            a AS (
+              SELECT stratum, n_tokens, w, cap,
+                CAST(CASE WHEN rn <= (SELECT m FROM mm) THEN cap
+                     ELSE w * (40000 - (SELECT c_m FROM cutz))
+                          // (w_all - (SELECT v_m FROM cutz)) END AS BIGINT)
+                  AS alloc_tokens,
+                rn <= (SELECT m FROM mm) AS saturated
+              FROM f)
+            SELECT stratum, n_tokens, w, cap, alloc_tokens,
+              CAST(CASE WHEN n_tokens = 0 THEN 0
+                   ELSE alloc_tokens * 10000 // n_tokens END AS BIGINT)
+                AS epochs_e4,
+              saturated
+            FROM a""",
+        "range_join_events": """
+            WITH e AS (
+              SELECT event_id, event_type, epoch_us(ts) AS us FROM events)
+            SELECT a.event_id AS l_id, b.event_id AS r_id,
+                   b.us - a.us AS lag_us
+            FROM e a, e b
+            WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+              AND b.us >= a.us AND b.us <= a.us + 60000000""",
         "cur_sample": f"""
             SELECT doc_id, lang, n_chars FROM documents
             WHERE {_HASH_GATE} < 2000""",

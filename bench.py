@@ -130,6 +130,10 @@ def main() -> int:
         "dedup_priority",
         # r4: temperature-balanced multilingual sampling (mT5 alpha=0.5)
         "cur_temperature",
+        # r4: weighted sampling w/o replacement + DSIR domain affinity
+        "cur_priority", "cur_dsir",
+        # r4: capped-epochs mixture allocation + keyless time-range join
+        "cur_epochs", "range_join_events",
         # stream_attribution stays untimed like stream_extract/stream_dedup:
         # its wall is streaming-rig setup (workspace + checkpoint init +
         # micro-batch scheduling), not operator cost

@@ -450,3 +450,170 @@ def pack_assignments(docs: DataFrame, budget_tokens: int = 2048,
         (running - F.col("n_tokens")).alias("start_offset"),
         F.floor((running - F.col("n_tokens")) / budget_tokens).cast("long").alias("bin"),
     )
+
+
+def priority_sample(docs: DataFrame, weight_col: str, k: int,
+                    by: str = "lang", id_col: str = "doc_id",
+                    salt: str = "pri0") -> DataFrame:
+    """Weight-proportional sampling without replacement via priority
+    sampling (Duffield, Lund & Thorup, JACM 2007): each row gets priority
+    q = w / u with u uniform from a deterministic hash, and the k highest
+    priorities per group are kept — heavy rows are near-certain picks,
+    light rows win proportionally to weight.  The classic use here:
+    pick k representative documents per language with probability ∝ size,
+    reproducibly (subset estimators over the kept rows are unbiased with
+    the (k+1)-th priority as the threshold — not emitted; this operator is
+    the selection, not the estimator).
+
+    Engine-exact by construction: u is the 32-bit md5 prefix of
+    ``salt|id`` plus one (range [1, 2^32], never zero), and the priority is
+    the INTEGER ``w * 2^32 div u`` — no float ever crosses an engine
+    boundary (a float w/u would rank-tie differently per engine).  Ties
+    (same integer priority) break on ascending id.
+
+    Scale shape: one narrow map computes u and q, then a per-group top-k.
+    The rank-filter form lets Spark plan a ``WindowGroupLimit`` — each
+    shuffle partition keeps only its local top-k per group BEFORE the
+    exchange, so the shuffle carries O(groups * k) rows, not the corpus.
+    Weights up to ~2^31 are safe from int64 overflow (w * 2^32)."""
+    from pyspark.sql import Window as W
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), F.lit("|"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        + 1
+    )
+    d = docs.select(
+        F.col(by).alias("grp"),
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("weight"),
+        u.alias("_u"),
+    ).withColumn(
+        "priority_q", F.expr("(weight * 4294967296L) div _u")
+    )
+    w = W.partitionBy("grp").orderBy(
+        F.col("priority_q").desc(), F.col(id_col).asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", id_col, "weight", "priority_q", "rn")
+    )
+
+
+def capped_mixture(docs: DataFrame, budget_tokens: int,
+                   weights: dict[str, int], max_epochs: int = 2,
+                   by: str = "lang", default_weight: int = 1) -> DataFrame:
+    """Data-constrained mixture allocation (the Muennighoff et al. 2023
+    "scaling data-constrained LMs" regime): split a token budget across
+    strata proportionally to integer ``weights``, but cap every stratum at
+    ``max_epochs`` passes over its observed tokens — repeating a small
+    source beyond a few epochs stops helping, so its excess share is
+    water-filled onto the others.
+
+    Exact capacitated proportional allocation (water-filling), closed form:
+    sort strata by cap/weight ascending; the saturated set is the maximal
+    prefix where ``cap_i * (W - cumw_{i-1}) <= w_i * (B - cumcap_{i-1})``
+    (the lambda >= r_i test, cross-multiplied so it stays in int64 — no
+    float in any decision); the rest get ``w_s * (B - C_m) div (W - V_m)``.
+    The cap/weight SORT key is an IEEE double division — correctly rounded
+    and therefore bit-identical on every engine — with ties broken on the
+    stratum name; every allocated quantity is integer arithmetic.
+
+    Scale shape: ONE map-side-combinable groupBy builds the per-stratum
+    token counts; everything after runs on that <=|strata|-row aggregate
+    (the single-partition window is over strata, never the corpus).
+
+    Output per stratum: observed tokens, weight, cap, ``alloc_tokens``,
+    ``epochs_e4`` (allocated epochs on the e4 grid), ``saturated``.
+    Int64-safe for budgets/caps up to ~2^62 / sum(weights)."""
+    from pyspark.sql import Window as W
+
+    from sparkx.ops.textstats import token_count
+
+    wexpr: Column = F.lit(default_weight).cast("long")
+    for name, wt in sorted(weights.items()):
+        wexpr = F.when(F.col("stratum") == name, F.lit(wt).cast("long")).otherwise(wexpr)
+
+    t = (
+        docs.groupBy(F.col(by).alias("stratum"))
+        .agg(F.sum(token_count()).cast("long").alias("n_tokens"))
+        .withColumn("w", wexpr)
+        .withColumn("cap", F.lit(max_epochs).cast("long") * F.col("n_tokens"))
+        .withColumn("_r", F.col("cap") / F.col("w"))
+    )
+    order = W.orderBy("_r", "stratum")
+    prev = order.rowsBetween(W.unboundedPreceding, -1)
+    base = (
+        t.withColumn("rn", F.row_number().over(order))
+        .withColumn("cumw_prev", F.coalesce(F.sum("w").over(prev), F.lit(0)))
+        .withColumn("cumcap_prev", F.coalesce(F.sum("cap").over(prev), F.lit(0)))
+    )
+    totals = base.agg(
+        F.sum("w").alias("w_all"), F.max("rn").alias("n_strata")
+    )
+    b = F.lit(int(budget_tokens)).cast("long")
+    flagged = base.crossJoin(F.broadcast(totals)).withColumn(
+        "ok",
+        F.col("cap") * (F.col("w_all") - F.col("cumw_prev"))
+        <= F.col("w") * (b - F.col("cumcap_prev")),
+    )
+    m = flagged.agg(
+        F.coalesce(
+            F.min(F.when(~F.col("ok"), F.col("rn"))) - 1, F.max("rn")
+        ).alias("m")
+    )
+    # C_m / V_m: inclusive prefix sums at the cutoff row (0 when m = 0)
+    incl = order.rowsBetween(W.unboundedPreceding, 0)
+    cut = (
+        base.withColumn("cumw", F.sum("w").over(incl))
+        .withColumn("cumcap", F.sum("cap").over(incl))
+        .join(F.broadcast(m), F.col("rn") == F.col("m"))
+        .select(F.col("cumcap").alias("c_m"), F.col("cumw").alias("v_m"))
+    )
+    # m = 0 (nothing saturates) leaves `cut` empty; union a (0, 0) fallback
+    # row and prefer the real one so the frame is always exactly one row
+    zero = docs.sparkSession.createDataFrame(
+        [(0, 0, 1)], "c_m long, v_m long, pri int"
+    )
+    cutz = (
+        cut.withColumn("pri", F.lit(0))
+        .unionByName(zero)
+        .orderBy("pri")
+        .limit(1)
+        .select("c_m", "v_m")
+    )
+    wf = (
+        flagged.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(cutz))
+        .withColumn(
+            "alloc_tokens",
+            F.when(F.col("rn") <= F.col("m"), F.col("cap"))
+            .otherwise(
+                F.expr(f"w * ({int(budget_tokens)}L - c_m) div (w_all - v_m)")
+            )
+            .cast("long"),
+        )
+    )
+    return wf.select(
+        "stratum",
+        "n_tokens",
+        "w",
+        "cap",
+        "alloc_tokens",
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN 0L"
+            " ELSE alloc_tokens * 10000 div n_tokens END"
+        ).cast("long").alias("epochs_e4"),
+        (F.col("rn") <= F.col("m")).alias("saturated"),
+    )

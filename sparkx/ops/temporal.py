@@ -189,3 +189,58 @@ def pivot_event_counts(events: DataFrame) -> DataFrame:
         for t in types
     ]
     return events.groupBy("user_id").agg(*aggs)
+
+
+def range_join(left: DataFrame, right: DataFrame, horizon_sec: int,
+               left_ts: str = "ts", right_ts: str = "ts",
+               left_id: str = "event_id",
+               right_id: str = "event_id") -> DataFrame:
+    """Time-range join WITHOUT an equality key: every (l, r) pair with
+    ``r.ts`` in ``[l.ts, l.ts + horizon_sec]`` — e.g. "every purchase
+    within 60 s after any error", correlating two event streams that share
+    nothing but time.  Expressed naively (a theta join on the range
+    predicate) Spark can only plan BroadcastNestedLoopJoin / cartesian —
+    the canonical scale-killer.
+
+    Bucketed rewrite: quantize epoch-microseconds by the horizon; a match
+    forces ``bucket(r) ∈ {bucket(l), bucket(l)+1}``, so the left side
+    explodes into those two probe buckets, the join becomes an EQUI-join
+    on the bucket (shuffle-hash/SMJ, partition-parallel), and the exact
+    range predicate filters the bounded candidate set.  Cost is
+    O(|L| + |R| + pairs-within-2h) instead of |L|x|R|; the same rewrite
+    at any horizon.  Lag is exact integer microseconds (``unix_micros``;
+    DuckDB mirror ``epoch_us``), so output is engine-exact.  Parquet
+    timestamps read as TIMESTAMP_NTZ are cast through TIMESTAMP first —
+    identity under the UTC session zone (sparkx.session), and the cast is
+    what ``unix_micros`` requires.
+
+    Output: (l_id, r_id, lag_us), lag_us in [0, horizon*10^6]."""
+    h_us = int(horizon_sec) * 1_000_000
+    l = left.select(
+        F.col(left_id).alias("l_id"),
+        F.unix_micros(F.col(left_ts).cast("timestamp")).alias("l_us"),
+    ).withColumn(
+        "_pb",
+        F.explode(
+            F.array(
+                F.expr(f"l_us div {h_us}"),
+                F.expr(f"l_us div {h_us} + 1"),
+            )
+        ),
+    )
+    r = right.select(
+        F.col(right_id).alias("r_id"),
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("r_us"),
+    ).withColumn("_b", F.expr(f"r_us div {h_us}"))
+    return (
+        l.join(r, F.col("_pb") == F.col("_b"))
+        .filter(
+            (F.col("r_us") >= F.col("l_us"))
+            & (F.col("r_us") <= F.col("l_us") + h_us)
+        )
+        .select(
+            "l_id",
+            "r_id",
+            (F.col("r_us") - F.col("l_us")).alias("lag_us"),
+        )
+    )
