@@ -1239,6 +1239,36 @@ def _stream_workspace(spark, sf_dir, tag: str,
     return base
 
 
+def _q_stream_sessions(spark, sf_dir):
+    """Event-time session windows, driver-verified: the events table
+    streams through ``session_window`` (gap 30 min, watermark 1 h,
+    availableNow).  The workspace input is 4 files < the 16-file trigger
+    cap → ONE data micro-batch, then the engine's no-data batch advances
+    the watermark to max(ts) − 1 h and evicts every session whose end
+    (last event + gap) it passed — so on a closed input the emitted set
+    is exactly the gaps-and-islands sessions ending at or before that
+    watermark, which is what the DuckDB oracle computes relationally.
+    Session bounds are emitted as µs-precision STRINGS (timestamp
+    value-hash parity is the known cross-engine trap); value sums ride
+    the integer e4 grid."""
+    from sparkx.streaming import start_session_window_stream
+
+    base = _stream_workspace(spark, sf_dir, "sw", source="events")
+    start_session_window_stream(
+        spark, f"{base}/in", f"{base}/out", f"{base}/ckpt",
+        gap_seconds=1800, watermark="1 hour",
+    )
+    out = spark.read.parquet(f"{base}/out/sessions")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "n_events",
+        "total_value_e4",
+    )
+
+
 def _q_stream_extract(spark, sf_dir):
     """The Structured-Streaming ingest path, driver-verified: the derived
     transcripts are written to a temp dir, streamed through the SAME
@@ -1346,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_dsir": _q_cur_dsir,
         "cur_epochs": _q_cur_epochs,
         "range_join_events": _q_range_join,
+        "stream_sessions": _q_stream_sessions,
         "html_links": _q_html_links,
         "html_pagerank": _q_html_pagerank,
         "html_hits": _q_html_hits,
@@ -2660,6 +2691,36 @@ GROUP BY 1"""
                 AS epochs_e4,
               saturated
             FROM a""",
+        "stream_sessions": """
+            WITH e AS (
+              SELECT user_id, ts, epoch_us(ts) AS us, value FROM events),
+            s AS (
+              SELECT *, CASE WHEN us - lag(us) OVER w IS NULL
+                              OR us - lag(us) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS is_new
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+            g AS (
+              SELECT *, CAST(sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS sid
+              FROM s),
+            agg AS (
+              SELECT user_id,
+                min(ts) AS start_ts,
+                max(ts) + INTERVAL 1800 SECOND AS end_ts,
+                max(us) + 1800000000 AS end_us,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+                  AS total_value_e4
+              FROM g GROUP BY user_id, sid),
+            wm AS (SELECT max(us) - 3600000000 AS wm_us FROM e)
+            SELECT user_id,
+              strftime(start_ts, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+              strftime(end_ts, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+              n_events, total_value_e4
+            FROM agg WHERE end_us <= (SELECT wm_us FROM wm)""",
         "range_join_events": """
             WITH e AS (
               SELECT event_id, event_type, epoch_us(ts) AS us FROM events)

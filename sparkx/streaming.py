@@ -566,3 +566,70 @@ def start_attribution_stream(
     )
     q.awaitTermination()
     return q
+
+
+def start_session_window_stream(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+):
+    """Event-time SESSION windows over the events stream — the streaming
+    twin of ``ops.temporal.sessionize``/``session_stats``: a per-user
+    session is any run of events with gaps below ``gap_seconds``, and the
+    window is DYNAMIC (it grows as events arrive and two open sessions
+    MERGE when a bridging event lands between them, including across
+    micro-batches — the stateful behavior ``session_window`` exists for).
+
+    Append-mode semantics mirror the tumbling rollup
+    (`start_turn_window_stream`): a session emits exactly once from the
+    ENGINE when the watermark passes its end (last event + gap), so
+    emitted rows are finalized and immutable; rows later than the
+    watermark are dropped.  The parquet sink is at-least-once, so every
+    row is stamped with ``batch_id`` for reader-side dedup — same recipe
+    as the other streaming sinks.  No timers → plain
+    ``Trigger.AvailableNow`` terminates and is used directly.
+
+    Scale: state is one open session struct per (user, session) — bounded
+    by the watermark horizon, keyed on user_id so it partitions with the
+    shuffle; value sums ride the integer e4 grid (engine-parity rule)."""
+    from pyspark.sql import functions as F
+
+    ev = stream_events(spark, in_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window(F.col("ts"), f"{gap_seconds} seconds").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias(
+                "total_value_e4"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value_e4",
+        )
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(f"{out_dir}/sessions")
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
