@@ -861,8 +861,9 @@ def _q_cur_epochs(spark, sf_dir):
     the saturation test is cross-multiplied int64, allocations are
     integer division, and the one float (the cap/weight SORT key) is an
     IEEE-correctly-rounded division identical on every engine
-    (`corpus.capped_mixture`).  All post-aggregate work runs on the
-    ≤5-row per-language frame."""
+    (`corpus.capped_mixture`).  The only distributed work is the token
+    groupBy; the cutoff search runs on the driver over its ≤5-row
+    output (graph-ops small-input fast-path precedent)."""
     from sparkx.ops import corpus as C
 
     return C.capped_mixture(

@@ -531,89 +531,58 @@ def capped_mixture(docs: DataFrame, budget_tokens: int,
     stratum name; every allocated quantity is integer arithmetic.
 
     Scale shape: ONE map-side-combinable groupBy builds the per-stratum
-    token counts; everything after runs on that <=|strata|-row aggregate
-    (the single-partition window is over strata, never the corpus).
+    token counts — the only distributed work; its output is <=|strata|
+    rows BY CONSTRUCTION, so the cutoff search runs on the driver (the
+    same distributed-aggregate + driver-closed-form split as the graph
+    ops' small-input fast path).  An all-Spark formulation costs ~5
+    broadcast subplans of fixed job overhead to shuffle a 5-row frame.
 
     Output per stratum: observed tokens, weight, cap, ``alloc_tokens``,
     ``epochs_e4`` (allocated epochs on the e4 grid), ``saturated``.
     Int64-safe for budgets/caps up to ~2^62 / sum(weights)."""
-    from pyspark.sql import Window as W
-
     from sparkx.ops.textstats import token_count
 
-    wexpr: Column = F.lit(default_weight).cast("long")
-    for name, wt in sorted(weights.items()):
-        wexpr = F.when(F.col("stratum") == name, F.lit(wt).cast("long")).otherwise(wexpr)
-
-    t = (
+    rows = (
         docs.groupBy(F.col(by).alias("stratum"))
         .agg(F.sum(token_count()).cast("long").alias("n_tokens"))
-        .withColumn("w", wexpr)
-        .withColumn("cap", F.lit(max_epochs).cast("long") * F.col("n_tokens"))
-        .withColumn("_r", F.col("cap") / F.col("w"))
+        .collect()
     )
-    order = W.orderBy("_r", "stratum")
-    prev = order.rowsBetween(W.unboundedPreceding, -1)
-    base = (
-        t.withColumn("rn", F.row_number().over(order))
-        .withColumn("cumw_prev", F.coalesce(F.sum("w").over(prev), F.lit(0)))
-        .withColumn("cumcap_prev", F.coalesce(F.sum("cap").over(prev), F.lit(0)))
-    )
-    totals = base.agg(
-        F.sum("w").alias("w_all"), F.max("rn").alias("n_strata")
-    )
-    b = F.lit(int(budget_tokens)).cast("long")
-    flagged = base.crossJoin(F.broadcast(totals)).withColumn(
-        "ok",
-        F.col("cap") * (F.col("w_all") - F.col("cumw_prev"))
-        <= F.col("w") * (b - F.col("cumcap_prev")),
-    )
-    m = flagged.agg(
-        F.coalesce(
-            F.min(F.when(~F.col("ok"), F.col("rn"))) - 1, F.max("rn")
-        ).alias("m")
-    )
-    # C_m / V_m: inclusive prefix sums at the cutoff row (0 when m = 0)
-    incl = order.rowsBetween(W.unboundedPreceding, 0)
-    cut = (
-        base.withColumn("cumw", F.sum("w").over(incl))
-        .withColumn("cumcap", F.sum("cap").over(incl))
-        .join(F.broadcast(m), F.col("rn") == F.col("m"))
-        .select(F.col("cumcap").alias("c_m"), F.col("cumw").alias("v_m"))
-    )
-    # m = 0 (nothing saturates) leaves `cut` empty; union a (0, 0) fallback
-    # row and prefer the real one so the frame is always exactly one row
-    zero = docs.sparkSession.createDataFrame(
-        [(0, 0, 1)], "c_m long, v_m long, pri int"
-    )
-    cutz = (
-        cut.withColumn("pri", F.lit(0))
-        .unionByName(zero)
-        .orderBy("pri")
-        .limit(1)
-        .select("c_m", "v_m")
-    )
-    wf = (
-        flagged.crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(cutz))
-        .withColumn(
-            "alloc_tokens",
-            F.when(F.col("rn") <= F.col("m"), F.col("cap"))
-            .otherwise(
-                F.expr(f"w * ({int(budget_tokens)}L - c_m) div (w_all - v_m)")
+    strata = sorted(
+        (
+            (
+                r["stratum"],
+                int(r["n_tokens"]),
+                int(weights.get(r["stratum"], default_weight)),
+                int(max_epochs) * int(r["n_tokens"]),
             )
-            .cast("long"),
-        )
+            for r in rows
+        ),
+        key=lambda r: (r[3] / r[2], r[0]),  # IEEE-exact sort key + tie-break
     )
-    return wf.select(
-        "stratum",
-        "n_tokens",
-        "w",
-        "cap",
-        "alloc_tokens",
-        F.expr(
-            "CASE WHEN n_tokens = 0 THEN 0L"
-            " ELSE alloc_tokens * 10000 div n_tokens END"
-        ).cast("long").alias("epochs_e4"),
-        (F.col("rn") <= F.col("m")).alias("saturated"),
+    b = int(budget_tokens)
+    w_all = sum(r[2] for r in strata)
+    c_m = v_m = m = 0
+    for i, (_, _, w, cap) in enumerate(strata, start=1):
+        if cap * (w_all - v_m) <= w * (b - c_m):
+            m, c_m, v_m = i, c_m + cap, v_m + w
+        else:
+            break
+    out = []
+    for i, (stratum, n_tokens, w, cap) in enumerate(strata, start=1):
+        alloc = cap if i <= m else w * (b - c_m) // (w_all - v_m)
+        out.append(
+            (
+                stratum,
+                n_tokens,
+                w,
+                cap,
+                alloc,
+                alloc * 10000 // n_tokens if n_tokens else 0,
+                i <= m,
+            )
+        )
+    return docs.sparkSession.createDataFrame(
+        out,
+        "stratum string, n_tokens long, w long, cap long, "
+        "alloc_tokens long, epochs_e4 long, saturated boolean",
     )
