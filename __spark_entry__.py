@@ -890,6 +890,20 @@ def _q_range_join(spark, sf_dir):
     )
 
 
+def _q_ta_top_tokens(spark, sf_dir):
+    """Exact corpus-wide top-50 most-frequent tokens WITHOUT a full-vocab
+    shuffle: per-partition Misra-Gries(4096) summaries via mapInPandas
+    propose a candidate superset (pigeonhole: every token with global
+    count > N/4096 survives some partition summary), then an exact
+    broadcast-semi-join recount of the bounded candidate set — two corpus
+    scans total, sketch error never reaches the output, and a runtime
+    check REFUSES when the k-th count can't certify the superset
+    (`textstats.top_tokens`).  Oracle = the plain exact top-50."""
+    from sparkx.ops.textstats import top_tokens
+
+    return top_tokens(_docs(spark, sf_dir), k=50, capacity=4096)
+
+
 def _q_cur_temperature(spark, sf_dir):
     """Temperature-balanced multilingual sampling (mT5/CC-100, alpha=0.5):
     per-language rates ∝ sqrt(observed tokens) normalized to a 20k-token
@@ -1378,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_epochs": _q_cur_epochs,
         "range_join_events": _q_range_join,
         "stream_sessions": _q_stream_sessions,
+        "ta_top_tokens": _q_ta_top_tokens,
         "html_links": _q_html_links,
         "html_pagerank": _q_html_pagerank,
         "html_hits": _q_html_hits,
@@ -2692,6 +2707,15 @@ GROUP BY 1"""
                 AS epochs_e4,
               saturated
             FROM a""",
+        "ta_top_tokens": """
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(
+                lower(trim(coalesce(text, ''))),
+                '[ \\t\\n\\x0b\\f\\r]+')) AS tok
+              FROM documents)
+            SELECT tok, CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY tok
+            ORDER BY n DESC, tok ASC LIMIT 50""",
         "stream_sessions": """
             WITH e AS (
               SELECT user_id, ts, epoch_us(ts) AS us, value FROM events),

@@ -134,6 +134,8 @@ def main() -> int:
         "cur_priority", "cur_dsir",
         # r4: capped-epochs mixture allocation + keyless time-range join
         "cur_epochs", "range_join_events",
+        # r4: exact top-k frequent tokens (Misra-Gries candidates + recount)
+        "ta_top_tokens",
         # stream_attribution stays untimed like stream_extract/stream_dedup:
         # its wall is streaming-rig setup (workspace + checkpoint init +
         # micro-batch scheduling), not operator cost

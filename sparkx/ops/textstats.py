@@ -538,3 +538,107 @@ def text_profile(docs: DataFrame) -> DataFrame:
         lang_id().alias("lang_pred"),
         fingerprint().alias("fp_md5"),
     )
+
+
+def top_tokens(docs: DataFrame, k: int = 50, capacity: int = 4096,
+               col: str = "text") -> DataFrame:
+    """EXACT corpus-wide top-k most-frequent tokens at unbounded vocabulary,
+    without ever shuffling the full (token, count) space: distributed
+    Misra-Gries candidate generation + an exact recount of the candidates.
+
+    Why not a plain groupBy(token)?  At 100 TB the token key space is
+    billions of distinct strings; the full-width shuffle is the cost.  The
+    classic two-pass instead (Misra & Gries 1982 summaries as the candidate
+    filter):
+
+    1. Each partition builds an MG(``capacity``) summary in one pass via
+       ``mapInPandas`` (Arrow-batched; the dict lives across batches within
+       the partition) — at most ``capacity`` candidate tokens per partition,
+       plus one NULL-token marker row carrying the partition's token total
+       (so N needs no extra corpus scan).  Pigeonhole guarantee: any token
+       with GLOBAL count > N/capacity exceeds n_p/capacity in at least one
+       partition and therefore survives that partition's summary, so the
+       candidate union is a superset of every such token.
+    2. The exact pass re-tokenizes, broadcast-semi-joins the bounded
+       candidate set, and counts ONLY candidates — a map-side-combinable
+       aggregate over ≤ partitions*capacity keys.
+
+    Exactly two corpus scans; the summary frame (≤ partitions*capacity
+    rows) is persisted across its two consumers and released before
+    return.  The result is exact (recounted), deterministic (count desc,
+    token asc tie-break), and SAFE by a runtime check: if the k-th exact
+    count does not exceed N/capacity the superset guarantee cannot certify
+    completeness and this raises (raise ``capacity``).  Sketch error never
+    reaches the output — MG only proposes candidates."""
+    from pyspark.sql import Window as W
+
+    def _mg(batches):
+        import re as _re
+
+        import pandas as _pd
+
+        counts: dict[str, int] = {}
+        n_part = 0
+        for pdf in batches:
+            for text in pdf[col]:
+                toks = _re.split(r"\s+", str(text or "").lower().strip())
+                n_part += len(toks)
+                for t in toks:
+                    if t in counts:
+                        counts[t] += 1
+                    elif len(counts) < capacity:
+                        counts[t] = 1
+                    else:
+                        # decrement-all step; drop zeros
+                        dead = []
+                        for kk in counts:
+                            counts[kk] -= 1
+                            if counts[kk] == 0:
+                                dead.append(kk)
+                        for kk in dead:
+                            del counts[kk]
+        yield _pd.DataFrame(
+            {"tok": list(counts.keys()) + [None], "cnt": [0] * len(counts) + [n_part]}
+        )
+
+    summary = docs.select(col).mapInPandas(
+        _mg, schema="tok string, cnt long"
+    ).persist()
+    try:
+        cands = summary.filter(F.col("tok").isNotNull()).select("tok").distinct()
+        n_total = (
+            summary.filter(F.col("tok").isNull())
+            .agg(F.sum("cnt").alias("n"))
+            .collect()[0]["n"]
+        ) or 0
+        toks = docs.select(
+            F.explode(
+                F.split(
+                    F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+"
+                )
+            ).alias("tok")
+        )
+        exact = (
+            toks.join(F.broadcast(cands), "tok", "left_semi")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = W.orderBy(F.col("n").desc(), F.col("tok").asc())
+        rows = (
+            exact.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .collect()
+        )
+    finally:
+        summary.unpersist()
+    if len(rows) == k:
+        kth = min(r["n"] for r in rows)
+        if kth * capacity <= n_total:
+            raise ValueError(
+                f"top_tokens: k-th count {kth} <= N/capacity "
+                f"({n_total}/{capacity}) — the MG candidate superset cannot "
+                f"be certified complete; raise capacity"
+            )
+    return docs.sparkSession.createDataFrame(
+        [(r["tok"], r["n"]) for r in rows], "tok string, n long"
+    )

@@ -89,3 +89,36 @@ def test_priority_sample_matches_loop_mirror(spark):
     assert got == want
     # exactly k per full group
     assert sum(1 for (g, _) in got if g == "en") == 2
+
+
+def test_top_tokens_exact_vs_loop(spark):
+    from collections import Counter
+
+    from sparkx.ops.textstats import top_tokens
+
+    docs = _mk(spark)
+    got = [(r["tok"], r["n"]) for r in top_tokens(docs, k=5, capacity=64)
+           .orderBy("n", "tok").collect()]
+
+    cnt = Counter()
+    for _, text, _, _ in DOCS:
+        cnt.update(__import__("re").split(r"\s+", text.lower().strip()))
+    want = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:5]
+    assert sorted(got, key=lambda t: (-t[1], t[0])) == want
+
+
+def test_top_tokens_capacity_certification(spark):
+    import pytest
+
+    from sparkx.ops.textstats import top_tokens
+
+    # capacity 2 over a diverse stream: the k-th count cannot beat
+    # N/capacity, so the operator must refuse rather than return a
+    # possibly-incomplete top-k
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}x{j}" for j in range(20)), "en", 0)
+         for i in range(30)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    with pytest.raises(ValueError, match="cannot be certified"):
+        top_tokens(docs, k=3, capacity=2)
