@@ -1378,6 +1378,106 @@ def _q_mm_frame_sample(spark, sf_dir):
     return M.frame_sample_plan(M.documents_as_media(_docs(spark, sf_dir)))
 
 
+def _q_cur_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (Brown et al., GPT-3 App. C): flag every
+    train doc (doc_id % 20 != 0) sharing ≥ 1 token 3-gram with the held-out
+    5% eval slice — the REMOVAL complement of fp_contamination's per-test
+    audit.  The eval side's distinct 32-bit shingle fingerprints broadcast
+    (benchmarks are kilodocs; the corpus side is never shuffled at full
+    width — broadcast semi-join + map-side-combinable per-doc count)."""
+    d = _docs(spark, sf_dir)
+    return T.decontaminate(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        n=3,
+    )
+
+
+def _q_ta_entropy(spark, sf_dir):
+    """Per-doc character-level Shannon entropy (nats) — the cheap
+    mojibake/binary-junk detector beside the Gopher rules.  Per-char terms
+    quantized to the 1e-6 grid BEFORE the per-doc sum (order-free float
+    rule), shuffle bounded by docs × |alphabet|."""
+    return T.char_entropy(_docs(spark, sf_dir))
+
+
+def _q_ta_bigram_logprob(spark, sf_dir):
+    """Self-trained bigram LM score per doc (one Markov order above
+    ta_unigram_logprob, toward CCNet's KenLM filter): Laplace-smoothed
+    conditionals, per-bigram ln on the 1e-6 grid, tie-free integer-grid
+    mean.  One tokenized pass feeds bigram + context counts; the vocab
+    size is a 1-row broadcast."""
+    return T.bigram_logprob(_docs(spark, sf_dir))
+
+
+def _q_cur_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity tiers (Wenzek et al. 2020) per
+    language over the self-trained LM score: exact ntile on the tie-free
+    (avg_logprob DESC, doc_id) order for the gate; the 100-TB path
+    (exact=False, pytest-covered) replaces the per-lang global sort with
+    approx_percentile cutoffs broadcast back as a narrow map."""
+    from sparkx.ops import corpus as C
+
+    return C.ccnet_buckets(_docs(spark, sf_dir), buckets=3)
+
+
+def _q_profile_columns(spark, sf_dir):
+    """Single-scan dataset profiler over the documents table: one aggregate
+    node computes every column's null/distinct/min/max in one pass, then a
+    stack() unpivot reshapes to one row per column — never k scans.  Exact
+    count_distinct for the gate; approx_count_distinct (HLL++, no Expand)
+    is the wide-table default, pytest-covered."""
+    from sparkx.ops import corpus as C
+
+    return C.profile_columns(_docs(spark, sf_dir))
+
+
+def _q_dedup_url(spark, sf_dir):
+    """URL-level exact dedup over canonicalized URLs — the crawl-frontier
+    dedup rung before content hashing.  Dirty URLs are synthesized
+    deterministically from (source, doc_id) IDENTICALLY in both engines
+    (uppercase scheme/host noise, default :443 port, www., trailing slash,
+    utm_*/fbclid tracking params, unsorted param order, #fragment); the
+    operator under test is the canonicalization expression chain
+    (sparkx.ops.html_extract.canonical_url — pure codegen'd regexp/array
+    ops) plus the bounded groupBy."""
+    from sparkx.ops import html_extract as H
+
+    d = _docs(spark, sf_dir)
+    dirty = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, ":443").otherwise(""),
+        F.lit("/p/"), (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, "/").otherwise(""),
+        F.lit("?utm_source=feed&b="), (F.col("doc_id") % 5).cast("string"),
+        F.lit("&a="), (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, "&fbclid=xyz").otherwise(""),
+        F.lit("#sec"), (F.col("doc_id") % 9).cast("string"),
+    )
+    return H.url_dedup(d.select("doc_id", dirty.alias("url")))
+
+
+def _q_html_components(spark, sf_dir):
+    """Site clustering: weakly-connected components over the HUB subgraph of
+    the extracted hyperlink graph (edges whose target is the page's
+    ``doc_id % 97`` hub — the skewed-in-degree links render_pages plants),
+    resolved by the same O(log n) min-label-propagation machinery as the
+    dedup clusters.  Render → regex edge extraction → arithmetic hub filter
+    → CC; the oracle re-derives the same edge set arithmetically and closes
+    it with a recursive CTE, so the whole chain is independently checked."""
+    from sparkx.ops import html_extract as H
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    edges = H.extract_links(H.render_pages(docs, link_mod=n))
+    hub = edges.filter(F.col("dst") == F.col("src") % F.lit(min(97, n)))
+    pairs = hub.select(
+        F.least("src", "dst").alias("a_id"),
+        F.greatest("src", "dst").alias("b_id"),
+    ).distinct()
+    return D.connected_components(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE ordering is load-bearing: the driver's CORRECTNESS file records the
     # FIRST 50 entries of this dict per round (observed r3: exactly positions
@@ -1387,6 +1487,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate (tools/check_contract.py runs all of them).
     return {
         # never-driver-verified first (r3 rotation + new this round)
+        "cur_decontaminate": _q_cur_decontaminate,
+        "ta_entropy": _q_ta_entropy,
+        "ta_bigram_logprob": _q_ta_bigram_logprob,
+        "cur_ccnet_buckets": _q_cur_ccnet_buckets,
+        "profile_columns": _q_profile_columns,
+        "dedup_url": _q_dedup_url,
+        "html_components": _q_html_components,
         "cur_priority": _q_cur_priority,
         "cur_dsir": _q_cur_dsir,
         "cur_epochs": _q_cur_epochs,
@@ -1971,6 +2078,191 @@ _HTML_HITS_SQL = _HTML_EDGES_CTE + """,
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # GPT-3-style decontamination: distinct 3-gram shingles per doc,
+        # 32-bit md5-prefix fingerprints (the engine-portable hash), eval
+        # slice = doc_id % 20 = 0, train docs flagged on any shared fp
+        "cur_decontaminate": """
+            WITH sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(arr) < 3 THEN [] ELSE
+                list_distinct(list_transform(range(1, len(arr) - 1),
+                  i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) END) AS sh
+              FROM (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)),
+                        '[ \\t\\n\\x0b\\f\\r]+') AS arr
+                    FROM documents)),
+            fps AS (SELECT doc_id,
+                      ('0x' || substr(md5(sh), 1, 8))::BIGINT AS fp FROM sh),
+            te AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 20 = 0),
+            hits AS (
+              SELECT doc_id, count(DISTINCT fp) AS n_hits FROM fps
+              WHERE doc_id % 20 != 0 AND fp IN (SELECT fp FROM te)
+              GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+                   h.n_hits IS NOT NULL AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 20 != 0) d
+            LEFT JOIN hits h USING (doc_id)""",
+        # char-level Shannon entropy in nats; per-char-class term quantized
+        # to the 1e-6 grid before the per-doc long sum (order-free rule)
+        "ta_entropy": """
+            WITH ch AS (
+              SELECT doc_id, unnest(CASE WHEN length(coalesce(text, '')) = 0
+                THEN [] ELSE list_transform(range(1, length(text) + 1),
+                  i -> substr(text, i, 1)) END) AS ch
+              FROM documents),
+            cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+            n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id),
+            t AS (SELECT cnt.doc_id, n.n,
+              CAST(round(1e6 * (CAST(c AS DOUBLE) / n.n)
+                   * ln(CAST(n.n AS DOUBLE) / c)) AS BIGINT) AS t
+              FROM cnt JOIN n USING (doc_id)),
+            sc AS (SELECT doc_id, max(n) AS n_chars,
+                     CAST(sum(t) AS BIGINT) AS s FROM t GROUP BY doc_id)
+            SELECT d.doc_id, CAST(coalesce(sc.n_chars, 0) AS BIGINT) AS n_chars,
+              coalesce(CAST(sc.s AS DOUBLE) / 1e6, 0.0) AS entropy
+            FROM documents d LEFT JOIN sc USING (doc_id)""",
+        # self-trained add-one-smoothed bigram LM; per-bigram ln on the 1e-6
+        # grid, tie-free integer-div mean, < 2-token docs as (0, 0.0)
+        "ta_bigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(
+                lower(trim(coalesce(text, ''))),
+                '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS arr
+              FROM documents),
+            bg AS (
+              SELECT doc_id, unnest(CASE WHEN len(arr) < 2 THEN []
+                ELSE list_transform(range(1, len(arr)),
+                  i -> [arr[i], arr[i+1]]) END) AS pair
+              FROM toks),
+            pairs AS (SELECT doc_id, pair[1] AS w1, pair[2] AS w2 FROM bg),
+            c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+            c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+            v AS (SELECT count(DISTINCT t) AS v
+                  FROM (SELECT unnest(arr) AS t FROM toks)),
+            lp AS (
+              SELECT p.doc_id, CAST(round(ln(CAST(c12.c12 + 1 AS DOUBLE)
+                / (c1.c1 + v.v)) * 1e6) AS BIGINT) AS lp
+              FROM pairs p JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+            sc AS (SELECT doc_id, count(*) AS n_bigrams,
+                     CAST(sum(lp) AS BIGINT) AS s FROM lp GROUP BY doc_id)
+            SELECT d.doc_id,
+              CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              coalesce(CAST(sc.s // sc.n_bigrams AS DOUBLE) / 1e6, 0.0)
+                AS avg_logprob
+            FROM documents d LEFT JOIN sc USING (doc_id)""",
+        # CCNet tiers: ntile(3) per lang over the tie-free
+        # (avg_logprob DESC, doc_id) order of the unigram-LM score
+        "cur_ccnet_buckets": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                lower(trim(coalesce(text, ''))),
+                '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS term
+              FROM documents),
+            tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+            tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM tf),
+            lpq AS (SELECT t.doc_id, CAST(round(ln(CAST(tf.tf AS DOUBLE)
+                      / tot.n_total) * 1e6) AS BIGINT) AS lpq
+                    FROM toks t JOIN tf USING (term), tot),
+            sc AS (SELECT doc_id, count(*) AS n_tokens,
+                     CAST(sum(lpq) AS BIGINT) AS slp FROM lpq GROUP BY doc_id),
+            lp AS (SELECT d.doc_id, d.lang,
+              coalesce(CAST(sc.slp // sc.n_tokens AS DOUBLE) / 1e6, 0.0)
+                AS avg_logprob
+              FROM documents d LEFT JOIN sc USING (doc_id))
+            SELECT doc_id, lang, avg_logprob,
+              ntile(3) OVER (PARTITION BY lang
+                             ORDER BY avg_logprob DESC, doc_id) AS tier,
+              CASE ntile(3) OVER (PARTITION BY lang
+                                  ORDER BY avg_logprob DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END
+                AS tier_name
+            FROM lp""",
+        # single-scan profiler unpivoted to one row per column; min/max on
+        # the native type THEN cast (lexicographic numeric min is wrong)
+        "profile_columns": """
+            WITH n AS (SELECT count(*) AS n_rows FROM documents)
+            SELECT 'doc_id' AS col_name, n.n_rows,
+              n.n_rows - count(doc_id) AS n_nulls,
+              count(DISTINCT doc_id) AS n_distinct,
+              CAST(min(doc_id) AS VARCHAR) AS min_s,
+              CAST(max(doc_id) AS VARCHAR) AS max_s
+            FROM documents, n GROUP BY n.n_rows
+            UNION ALL SELECT 'text', n.n_rows, n.n_rows - count(text),
+              count(DISTINCT text), CAST(min(text) AS VARCHAR),
+              CAST(max(text) AS VARCHAR) FROM documents, n GROUP BY n.n_rows
+            UNION ALL SELECT 'lang', n.n_rows, n.n_rows - count(lang),
+              count(DISTINCT lang), min(lang), max(lang)
+            FROM documents, n GROUP BY n.n_rows
+            UNION ALL SELECT 'source', n.n_rows, n.n_rows - count(source),
+              count(DISTINCT source), min(source), max(source)
+            FROM documents, n GROUP BY n.n_rows
+            UNION ALL SELECT 'n_chars', n.n_rows, n.n_rows - count(n_chars),
+              count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+              CAST(max(n_chars) AS VARCHAR)
+            FROM documents, n GROUP BY n.n_rows""",
+        # the same deterministic dirty-URL synth, then the identical
+        # canonicalization chain (fragment strip, scheme/host lowercase,
+        # www./default-port strip, tracking-param drop, param sort,
+        # trailing-slash norm) and the bounded groupBy
+        "dedup_url": """
+            WITH urls AS (
+              SELECT doc_id,
+                'HTTPS://WWW.' || source || '.Example.COM' ||
+                CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+                '/p/' || CAST(doc_id % 40 AS VARCHAR) ||
+                CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+                '?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR) ||
+                '&a=' || CAST(doc_id % 7 AS VARCHAR) ||
+                CASE WHEN doc_id % 4 = 0 THEN '&fbclid=xyz' ELSE '' END ||
+                '#sec' || CAST(doc_id % 9 AS VARCHAR) AS url
+              FROM documents),
+            parts AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u
+                      FROM urls),
+            comp AS (
+              SELECT doc_id,
+                lower(regexp_extract(u,
+                  '^([^:]+)://([^/?]+)([^?]*)\\??(.*)$', 1)) AS scheme,
+                regexp_replace(lower(regexp_extract(u,
+                  '^([^:]+)://([^/?]+)([^?]*)\\??(.*)$', 2)),
+                  '^www\\.', '') AS host1,
+                regexp_extract(u,
+                  '^([^:]+)://([^/?]+)([^?]*)\\??(.*)$', 3) AS path0,
+                regexp_extract(u,
+                  '^([^:]+)://([^/?]+)([^?]*)\\??(.*)$', 4) AS query
+              FROM parts),
+            canon AS (
+              SELECT doc_id,
+                scheme || '://' ||
+                CASE WHEN scheme = 'https'
+                       THEN regexp_replace(host1, ':443$', '')
+                     WHEN scheme = 'http'
+                       THEN regexp_replace(host1, ':80$', '')
+                     ELSE host1 END ||
+                CASE WHEN path0 = '' THEN '/'
+                     WHEN length(path0) > 1 AND path0 LIKE '%/'
+                       THEN substr(path0, 1, length(path0) - 1)
+                     ELSE path0 END ||
+                CASE WHEN p = '' THEN '' ELSE '?' || p END AS canonical_url
+              FROM (SELECT *, array_to_string(list_sort(list_filter(
+                      string_split(query, '&'),
+                      x -> x != '' AND NOT regexp_matches(x,
+                        '^(utm_[^=]*|fbclid|gclid)='))), '&') AS p
+                    FROM comp))
+            SELECT canonical_url, count(*) AS n_dups,
+                   min(doc_id) AS canonical_id
+            FROM canon GROUP BY canonical_url""",
+        # hub-subgraph components: the arithmetic edge set (same CTE as the
+        # other html_* oracles) filtered to hub links, undirected, closed by
+        # the shared recursive-CTE machinery
+        "html_components": _HTML_EDGES_CTE.replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        ) + """,
+            nn2 AS (SELECT least(97, (SELECT n FROM nn)) AS m),
+            mh_pairs AS (
+              SELECT DISTINCT least(src, dst) AS a_id,
+                              greatest(src, dst) AS b_id
+              FROM edges WHERE dst = src % (SELECT m FROM nn2)),
+            """ + _CC_CTES + """
+            SELECT cc_id AS node_id, cc_cluster AS cluster_id FROM cc""",
         "html_links": _HTML_LINKS_SQL,
         "html_pagerank": _HTML_PAGERANK_SQL,
         "html_hits": _HTML_HITS_SQL,

@@ -139,6 +139,12 @@ def main() -> int:
         # stream_attribution stays untimed like stream_extract/stream_dedup:
         # its wall is streaming-rig setup (workspace + checkpoint init +
         # micro-batch scheduling), not operator cost
+        # r4 continuation: decontamination semi-join, char entropy, bigram
+        # LM, CCNet perplexity tiers, single-scan profiler, URL-canonical
+        # dedup, hub-subgraph link components
+        "cur_decontaminate", "ta_entropy", "ta_bigram_logprob",
+        "cur_ccnet_buckets", "profile_columns", "dedup_url",
+        "html_components",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

@@ -586,3 +586,112 @@ def capped_mixture(docs: DataFrame, budget_tokens: int,
         "stratum string, n_tokens long, w long, cap long, "
         "alloc_tokens long, epochs_e4 long, saturated boolean",
     )
+
+
+def ccnet_buckets(docs: DataFrame, buckets: int = 3,
+                  exact: bool = True) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al., LREC 2020): per language,
+    rank documents by their self-trained LM score and cut the ranking into
+    ``buckets`` equal-population tiers — CCNet's head/middle/tail split
+    that downstream corpus builds weight or drop (tail = highest
+    perplexity = noisiest).  Returns ``(doc_id, lang, avg_logprob, tier,
+    tier_name)`` with tier 1 = head (best).  ``tier_name`` is
+    head/middle/tail for the canonical 3-way split, ``t<k>`` otherwise.
+
+    Execution, two modes:
+
+    * ``exact=True`` (oracle gate): ``ntile(buckets)`` over a per-language
+      window ordered by the tie-free total order (avg_logprob DESC, doc_id)
+      — deterministic because the LM score is already on the 1e-6 integer
+      grid.  A per-language window is a per-language global sort; fine at
+      verification scale.
+    * ``exact=False`` (100-TB shape): no global sort — per-language tier
+      CUTOFFS from an ``approx_percentile`` sketch (map-side-combinable, one
+      bounded shuffle of sketch state), broadcast back onto the doc stream
+      as a range lookup: a narrow map over the corpus.  Tier POPULATIONS are
+      then approximate at the cutoff boundaries (sketch-error docs land one
+      tier off), which is exactly the trade CCNet itself makes on shards.
+    """
+    from sparkx.ops.textstats import unigram_logprob
+
+    lp = unigram_logprob(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    names = (
+        F.when(F.col("tier") == 1, "head")
+        .when(F.col("tier") == buckets, "tail")
+        .otherwise("middle")
+        if buckets == 3
+        else F.concat(F.lit("t"), F.col("tier"))
+    )
+    if exact:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("lang").orderBy(
+            F.col("avg_logprob").desc(), F.col("doc_id")
+        )
+        tiered = lp.withColumn("tier", F.ntile(buckets).over(w))
+    else:
+        probs = [i / buckets for i in range(1, buckets)]
+        cuts = lp.groupBy("lang").agg(
+            F.expr(
+                f"approx_percentile(-avg_logprob, array({', '.join(map(str, probs))}), 10000)"
+            ).alias("cuts")
+        )
+        tier = F.lit(1)
+        for i in range(len(probs)):
+            tier = tier + F.when(-F.col("avg_logprob") > F.col("cuts")[i], 1).otherwise(0)
+        tiered = lp.join(F.broadcast(cuts), "lang").withColumn("tier", tier)
+    return tiered.select(
+        "doc_id", "lang", "avg_logprob", "tier", names.alias("tier_name")
+    )
+
+
+def profile_columns(df: DataFrame, columns: list[str] | None = None,
+                    exact: bool = True) -> DataFrame:
+    """Single-scan dataset profiler — the ingest-time audit every pipeline
+    runs before trusting a new drop: per column, row count, null count,
+    distinct count, and min/max (cast to string so one schema fits every
+    column type).  Returns one row per profiled column:
+    ``(col_name, n_rows, n_nulls, n_distinct, min_s, max_s)``.
+
+    Execution: ONE aggregate node computes all per-column measures in a
+    single pass over the scan, then a ``stack``(unpivot) reshapes the 1-row
+    wide result into the per-column report — the input is never rescanned
+    per column (the naive loop-over-columns profiler is k scans).
+    ``exact=True`` uses ``count_distinct`` (Catalyst plans one Expand — k×
+    row multiplication before partial aggregation — the oracle-gate mode);
+    the 100-TB default for wide tables is ``exact=False`` →
+    ``approx_count_distinct`` (HLL++, Heule et al. 2013): no Expand, plain
+    map-side-combinable partials, ±2% on distincts.  min/max are computed
+    on the NATIVE type, then cast — lexicographic min of a numeric column
+    would be wrong, and doubles would need grid formatting (profile integer
+    and string columns; that covers every gate table)."""
+    cols = columns or df.columns
+    nd = F.count_distinct if exact else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            nd(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            f"(col_name, _nn, n_distinct, min_s, max_s)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select(
+        "col_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("_nn")).alias("n_nulls"),
+        "n_distinct",
+        "min_s",
+        "max_s",
+    )

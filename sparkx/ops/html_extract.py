@@ -277,3 +277,78 @@ def freq_boilerplate(pages: DataFrame, html_col: str = "html",
         "_keep", F.col("_boiler").isNull()
     )
     return _reassemble(flagged, "_keep")
+
+
+# URL canonicalization: tracking params any web pipeline strips before
+# URL-level dedup (CDX/WARC convention; the SURT idea minus scheme folding).
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid)="
+_URL_PARTS_RE = r"^([^:]+)://([^/?]+)([^?]*)\??(.*)$"
+
+
+def canonical_url(col: str = "url"):
+    """Canonical form of a URL as a pure codegen'd expression chain — the
+    normalization pass before URL-level exact dedup (every web-crawl
+    pipeline's first dedup rung, upstream of content hashing: the same
+    page is fetched under thousands of tracking-parameter variants).
+
+    Steps (each a documented canonicalization choice):
+      1. strip the ``#fragment``;
+      2. lowercase scheme and host; drop a leading ``www.``;
+      3. drop default ports (``:80`` http, ``:443`` https);
+      4. drop tracking params (``utm_*``, ``fbclid``, ``gclid``), SORT the
+         survivors (param order is transport noise);
+      5. strip the trailing ``/`` of a non-root path; empty path → ``/``.
+
+    Pure regexp_extract / split / filter / array_sort / concat — a narrow
+    map, no UDF, no shuffle; identical expressions exist in DuckDB SQL so
+    the canonicalization itself is oracle-gated (parity trap: both engines
+    must sort params by raw byte order, which binary UTF8 collation gives)."""
+    u = F.regexp_replace(F.col(col), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, _URL_PARTS_RE, 1))
+    host0 = F.lower(F.regexp_extract(u, _URL_PARTS_RE, 2))
+    host1 = F.regexp_replace(host0, r"^www\.", "")
+    # expression-only port strip: conditional regexp on the scheme
+    host = F.when(scheme == "https", F.regexp_replace(host1, r":443$", "")) \
+        .when(scheme == "http", F.regexp_replace(host1, r":80$", "")) \
+        .otherwise(host1)
+    path0 = F.regexp_extract(u, _URL_PARTS_RE, 3)
+    path = F.when(path0 == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(path0) > 1) & path0.endswith("/"),
+            path0.substr(F.lit(1), F.length(path0) - 1),
+        ).otherwise(path0)
+    )
+    query = F.regexp_extract(u, _URL_PARTS_RE, 4)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params == "", "").otherwise(F.concat(F.lit("?"), params)),
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """URL-level exact dedup over the canonical form: one row per canonical
+    URL with the duplicate count and the min-id canonical representative —
+    the crawl-frontier dedup that runs before any content is even fetched
+    twice.  groupBy on the canonicalized string: one bounded shuffle with
+    map-side combine, no UDFs (the canonicalization is a narrow map)."""
+    return (
+        df.select(F.col(id_col), canonical_url(url_col).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )

@@ -642,3 +642,190 @@ def top_tokens(docs: DataFrame, k: int = 50, capacity: int = 4096,
     return docs.sparkSession.createDataFrame(
         [(r["tok"], r["n"]) for r in rows], "tok string, n long"
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every TRAIN document sharing ≥ 1
+    token ``n``-gram with the held-out TEST set — the removal pass (Brown
+    et al., GPT-3 appendix C; 13-gram overlap is the published recipe, the
+    ``n`` here is a knob) that complements :func:`contamination_report`'s
+    per-test audit.  Returns one row per train doc:
+    ``(id_col, n_hits, contaminated)`` where ``n_hits`` counts DISTINCT
+    contaminated shingles; callers drop ``contaminated`` rows.
+
+    Execution, 100-TB shape: the eval set is tiny by construction
+    (benchmarks are kilodocs, the corpus is terabytes), so its distinct
+    shingle fingerprints — 32-bit md5-prefix hashes, the same
+    engine-portable trick as the winnowing kernel — are BROADCAST; the
+    train side explodes shingles, broadcast-hash-joins (no shuffle of the
+    corpus), and the per-doc count is map-side combinable.  The corpus is
+    scanned once and never shuffled at full width; the only wide op is the
+    final bounded groupBy on ``id_col``.  A hash collision flags a clean
+    doc (never the reverse); at 32 bits × kilodoc eval sets the rate is
+    ~|eval_fps|/2^32 per shingle and the oracle computes the identical
+    hash, so the gate stays exact."""
+    h = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+    te = (
+        with_shingles(test, col=col, n=n, out="shingles")
+        .select(F.explode("shingles").alias("sh"))
+        .select(h.alias("fp"))
+        .distinct()
+    )
+    tr = (
+        with_shingles(train, col=col, n=n, out="shingles")
+        .select(id_col, F.explode("shingles").alias("sh"))
+        .select(id_col, h.alias("fp"))
+    )
+    hits = (
+        tr.join(F.broadcast(te), "fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count_distinct("fp").alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.col("n_hits").isNotNull().alias("contaminated"),
+        )
+    )
+
+
+def char_entropy(docs: DataFrame, id_col: str = "doc_id",
+                 col: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the cheap
+    mojibake / binary-junk / compression-artifact detector a web-corpus
+    quality battery runs next to the Gopher rules: natural prose sits in a
+    narrow entropy band, base64 blobs and repeated-char padding fall far
+    outside it.
+
+    Returns ``(id_col, n_chars, entropy)`` with ``entropy = −Σ p·ln p``
+    over the doc's character distribution (0.0 for empty docs).
+
+    Execution: explode to (doc, char) — a narrow generate —, one groupBy
+    (doc, char) with map-side combine (the key space per doc is the
+    alphabet, so the shuffle is bounded by docs × |alphabet|, not corpus
+    bytes), then a per-doc sum.  Cross-engine exactness: each character
+    class's term ``(c/n)·ln(n/c)`` is quantized to the 1e-6 grid as a long
+    BEFORE the per-doc sum (the BM25/unigram-LM recipe — float sums must
+    be order-free), so the 6-dp entropy is bit-identical across engines
+    and partition orders."""
+    chars = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(coalesce({col}, '')) = 0 "
+                f"THEN cast(array() as array<string>) "
+                f"ELSE transform(sequence(1, length({col})), "
+                f"i -> substring({col}, i, 1)) END"
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = counts.groupBy(id_col).agg(F.sum("c").alias("n"))
+    term_e6 = F.round(
+        F.lit(1e6) * (F.col("c") / F.col("n")) * F.log(F.col("n") / F.col("c"))
+    ).cast("long")
+    scored = (
+        counts.join(n, id_col)
+        .select(id_col, F.col("n"), term_e6.alias("_t"))
+        .groupBy(id_col)
+        .agg(F.max("n").alias("n_chars"), F.sum("_t").alias("_s"))
+        .select(id_col, "n_chars", (F.col("_s") / 1e6).alias("entropy"))
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chars", F.lit(0).cast("long")).alias("n_chars"),
+            F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+        )
+    )
+
+
+def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                   col: str = "text") -> DataFrame:
+    """Corpus-trained BIGRAM language-model score per document — one Markov
+    order above :func:`unigram_logprob`, the next rung toward the KenLM
+    perplexity filter of CCNet: token-salad documents that pass a unigram
+    screen (common words, wrong order) score poorly under conditionals.
+
+    ``avg_logprob`` = mean over the doc's bigrams of
+    ``ln (c(w1,w2)+1) / (c(w1·)+V)`` — add-one (Laplace) smoothing over the
+    corpus vocabulary ``V``, self-trained, no external model.  Docs with
+    < 2 tokens return ``(0, 0.0)``.
+
+    Execution: the bigram stream is positional pairs via a
+    sequence/transform lambda behind the explode(array(·)) CollapseProject
+    barrier (see :func:`with_shingles`).  Bigram counts are one
+    map-side-combinable aggregate over it; CONTEXT counts roll up from the
+    bigram count table itself (c(w1·) = Σ_w2 c(w1,w2)) — never a separate
+    corpus pass; the vocabulary size is a 1-row broadcast (one
+    unigram-distinct pass).  Catalyst does not share the tokenize subtree
+    between the count build and the scoring probe, so the corpus is
+    tokenized three times (count pass, vocab pass, probe pass) — at the
+    100 TB design point, persist the exploded pair stream (or extract once
+    to a table) exactly as the corpus funnel persists extraction.  The
+    scoring join is an equi-join on the bigram key (AQE-skew-splittable —
+    stopword pairs are hot).
+    Cross-engine exactness: per-bigram ln quantized to the 1e-6 grid before
+    the long sum, tie-free integer-grid mean (never round(sum/n))."""
+    arr = (
+        f"filter(split(lower(trim(coalesce({col}, ''))), '\\\\s+'), "
+        f"t -> t != '')"
+    )
+    d = docs.select(
+        F.col(id_col), F.explode(F.array(F.expr(arr))).alias("_toks")
+    )
+    bg = d.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_toks) < 2 THEN "
+                "cast(array() as array<struct<w1:string,w2:string>>) "
+                "ELSE transform(sequence(0, size(_toks) - 2), "
+                "i -> struct(_toks[i] as w1, _toks[i+1] as w2)) END"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # context counts roll up from the bigram table (c(w1·) = Σ_w2 c(w1,w2))
+    # instead of a THIRD corpus scan+explode — at 100 TB the rollup input is
+    # the bounded (w1,w2) count table, not the corpus
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = d.select(F.explode("_toks").alias("t")).agg(
+        F.count_distinct("t").alias("v")
+    )
+    lp_e6 = F.round(
+        F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v"))) * 1e6
+    ).cast("long")
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(id_col, lp_e6.alias("_lp"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("_lp").alias("_s"))
+        .select(
+            id_col,
+            "n_bigrams",
+            (F.expr("_s div n_bigrams") / 1e6).alias("avg_logprob"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+        )
+    )

@@ -1057,3 +1057,161 @@ def test_cohort_retention_table(spark):
         ("2024-01-08", 0): (1, 1, 1.0),
         ("2024-01-08", 1): (1, 1, 1.0),
     }
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    import math
+
+    from sparkx.ops.textstats import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over it"),  # shares "quick brown fox"
+            (2, "completely different words entirely here now"),
+            (3, None),  # NULL text: never flagged
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "a quick brown fox appears")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(train, test, n=3).collect()}
+    assert rows[1]["contaminated"] and rows[1]["n_hits"] >= 1
+    assert not rows[2]["contaminated"] and rows[2]["n_hits"] == 0
+    assert not rows[3]["contaminated"]
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from sparkx.ops.textstats import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, ""), (4, None), (5, "abcd")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert rows[1]["entropy"] == 0.0 and rows[1]["n_chars"] == 4
+    assert abs(rows[2]["entropy"] - math.log(2)) < 1e-5
+    assert rows[3]["entropy"] == 0.0 and rows[3]["n_chars"] == 0
+    assert rows[4]["entropy"] == 0.0
+    assert abs(rows[5]["entropy"] - math.log(4)) < 1e-5
+
+
+def test_bigram_logprob_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from sparkx.ops.textstats import bigram_logprob
+
+    texts = {1: "a b a b c", 2: "a b", 3: "solo", 4: None, 5: "c c c"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    # loop-based reference with the same grid arithmetic
+    toks = {d: (t or "").lower().strip().split() for d, t in texts.items()}
+    toks = {d: [x for x in v if x] for d, v in toks.items()}
+    bigrams = {d: list(zip(v, v[1:])) for d, v in toks.items()}
+    c12 = Counter(bg for v in bigrams.values() for bg in v)
+    c1 = Counter(bg[0] for v in bigrams.values() for bg in v)
+    vocab = len({t for v in toks.values() for t in v})
+    rows = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    for d, v in bigrams.items():
+        assert rows[d]["n_bigrams"] == len(v)
+    assert rows[3]["avg_logprob"] == 0.0 and rows[4]["avg_logprob"] == 0.0
+    # spot-check doc 5 ("c c c"): two equal (c,c) terms, c12=2, c1=2, V=4,
+    # so the grid mean IS the per-bigram term
+    lp = round(math.log((2 + 1) / (2 + 4)) * 1e6)
+    assert abs(rows[5]["avg_logprob"] - lp / 1e6) < 1e-9
+    # full-corpus spot: doc 1 "a b a b c" -> (a,b)x2,(b,a),(b,c)
+    s1 = (2 * round(math.log((c12[("a", "b")] + 1) / (c1["a"] + vocab)) * 1e6)
+          + round(math.log((c12[("b", "a")] + 1) / (c1["b"] + vocab)) * 1e6)
+          + round(math.log((c12[("b", "c")] + 1) / (c1["b"] + vocab)) * 1e6))
+    q = int(s1 / 4) if s1 >= 0 else -((-s1) // 4)  # long `div`: trunc toward 0
+    assert abs(rows[1]["avg_logprob"] - q / 1e6) < 1e-9
+
+
+def test_ccnet_buckets_exact_and_sketch_paths(spark):
+    from pyspark.sql import functions as F
+
+    from sparkx.ops.corpus import ccnet_buckets
+
+    # tie-free scores: distinct doc lengths over a shared skewed vocab (tied
+    # scores make rank tiers and value-cutoff tiers legitimately diverge)
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(2 + i)), "en" if i % 2 else "de")
+         for i in range(60)],
+        "doc_id long, text string, lang string",
+    )
+    exact = ccnet_buckets(docs, buckets=3)
+    per = exact.groupBy("lang", "tier").count().collect()
+    by_lang = {}
+    for r in per:
+        by_lang.setdefault(r["lang"], []).append(r["count"])
+    for lang, counts in by_lang.items():
+        assert max(counts) - min(counts) <= 1, (lang, counts)  # ntile balance
+    names = {r["tier"]: r["tier_name"] for r in exact.select("tier", "tier_name").distinct().collect()}
+    assert names == {1: "head", 2: "middle", 3: "tail"}
+    # sketch path: same schema, tiers within one rank of exact at this size
+    approx = ccnet_buckets(docs, buckets=3, exact=False)
+    assert approx.columns == exact.columns
+    joined = (
+        exact.select("doc_id", F.col("tier").alias("t_exact"))
+        .join(approx.select("doc_id", F.col("tier").alias("t_approx")), "doc_id")
+    )
+    assert joined.filter(F.abs(F.col("t_exact") - F.col("t_approx")) > 1).count() == 0
+
+
+def test_profile_columns_exact_and_approx(spark):
+    from sparkx.ops.corpus import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, "a")], "id long, s string"
+    )
+    rows = {r["col_name"]: r for r in profile_columns(df).collect()}
+    assert rows["id"]["n_rows"] == 4 and rows["id"]["n_nulls"] == 0
+    assert rows["id"]["n_distinct"] == 4
+    assert rows["id"]["min_s"] == "1" and rows["id"]["max_s"] == "4"
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["s"]["min_s"] == "a" and rows["s"]["max_s"] == "b"
+    ap = {r["col_name"]: r for r in profile_columns(df, exact=False).collect()}
+    assert set(ap) == set(rows)  # HLL++ path: same shape, counts close
+    assert abs(ap["id"]["n_distinct"] - 4) <= 1
+
+
+def test_canonical_url_normalization_cases(spark):
+    from sparkx.ops.html_extract import canonical_url
+
+    cases = [
+        # tracking params dropped, survivors sorted, fragment stripped
+        ("https://Example.com/p?utm_source=x&b=2&a=1#frag",
+         "https://example.com/p?a=1&b=2"),
+        # default port + www + trailing slash
+        ("HTTP://WWW.Site.ORG:80/path/", "http://site.org/path"),
+        # https default port, empty path -> /
+        ("https://host.com:443", "https://host.com/"),
+        # non-default port kept; all params tracking -> no ?
+        ("https://h.io:8443/x/?utm_a=1&gclid=2", "https://h.io:8443/x"),
+        # root slash kept
+        ("https://h.io/", "https://h.io/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url("url")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_groups_variants(spark):
+    from sparkx.ops.html_extract import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.com/p?b=2&a=1"),
+            (2, "HTTPS://WWW.A.com:443/p/?a=1&utm_x=9&b=2#f"),
+            (3, "https://a.com/q"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["canonical_url"]: r for r in url_dedup(df).collect()}
+    assert rows["https://a.com/p?a=1&b=2"]["n_dups"] == 2
+    assert rows["https://a.com/p?a=1&b=2"]["canonical_id"] == 1
+    assert rows["https://a.com/q"]["n_dups"] == 1
