@@ -145,6 +145,8 @@ def main() -> int:
         "cur_decontaminate", "ta_entropy", "ta_bigram_logprob",
         "cur_ccnet_buckets", "profile_columns", "dedup_url",
         "html_components",
+        # CCNet line-level dedup with document reassembly
+        "dedup_lines",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

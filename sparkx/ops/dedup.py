@@ -129,6 +129,85 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
     return batch.join(seen, "fp", "left_anti").select("fp", "doc_id", "batch_dups")
 
 
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 2,
+) -> DataFrame:
+    """Corpus-wide line-level exact dedup with document reassembly — the
+    CCNet paragraph-dedup rung (Wenzek et al., "CCNet: Extracting high
+    quality monolingual datasets from web crawl data", LREC 2020): hash
+    every line of every document, keep only the FIRST occurrence of each
+    line corpus-wide (ordered by ``(doc_id, line position)``), and rebuild
+    each document from its surviving lines.  This removes boilerplate that
+    repeats *across* pages (nav bars, cookie banners, footers) that
+    document-level dedup can never touch.
+
+    Lines shorter than ``min_chars`` are exempt (always kept): hashing
+    empty/one-char lines would collapse every blank separator in the corpus
+    onto its first page.
+
+    Execution: posexplode → groupBy on ``md5(line)`` (map-side combinable
+    ``min(struct(doc_id, pos))`` canonical pick — NOT a row_number window,
+    which would single-task hot boilerplate lines) → join back on the hash
+    → ordered per-doc reassembly via ``array_sort(collect_list(struct))``.
+    Shuffles are on the 32-char line hash and on ``doc_id`` — both bounded.
+    At 100 TB the line-hash exchange carries (hash, doc_id, pos) triples
+    only, never the line text twice.
+
+    Returns one row per input document: ``(doc_id, text, lines_in,
+    lines_kept, lines_cut)`` — documents whose every line was cut survive
+    with empty ``text``.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    )
+    elig = lines.filter(F.length("line") >= min_chars).withColumn(
+        "lkey", F.md5(F.col("line"))
+    )
+    first = elig.groupBy("lkey").agg(
+        F.min(F.struct("doc_id", "pos")).alias("keeper")
+    )
+    kept = (
+        elig.join(first, "lkey")
+        .filter(
+            (F.col("doc_id") == F.col("keeper.doc_id"))
+            & (F.col("pos") == F.col("keeper.pos"))
+        )
+        .select("doc_id", "pos", "line")
+        .unionByName(lines.filter(F.length("line") < min_chars))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("_arr"),
+        F.count("*").alias("lines_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("lines_in"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.array_join(
+                    F.transform("_arr", lambda s: s["line"]), "\n"
+                ),
+                F.lit(""),
+            ).alias("text"),
+            "lines_in",
+            F.coalesce(F.col("lines_kept"), F.lit(0)).cast("long").alias(
+                "lines_kept"
+            ),
+            (
+                F.col("lines_in")
+                - F.coalesce(F.col("lines_kept"), F.lit(0))
+            ).cast("long").alias("lines_cut"),
+        )
+    )
+
+
 # ── n-gram Jaccard (exact verification path) ────────────────────────────────
 def _pair_jaccard(sh: DataFrame, threshold: float) -> DataFrame:
     """Candidate pairs already joined as (a_id, b_id, a_sh, b_sh) → verified

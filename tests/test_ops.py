@@ -1215,3 +1215,30 @@ def test_url_dedup_groups_variants(spark):
     assert rows["https://a.com/p?a=1&b=2"]["n_dups"] == 2
     assert rows["https://a.com/p?a=1&b=2"]["canonical_id"] == 1
     assert rows["https://a.com/q"]["n_dups"] == 1
+
+
+def test_line_dedup_keep_first_and_reassembly(spark):
+    """Hand-computed CCNet line-dedup case: keep-first by (doc_id, pos),
+    short-line exemption, all-lines-cut doc surviving empty, ordered
+    reassembly."""
+    from sparkx.ops.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha line\nshared line\nx"),   # x exempt (len < 2)
+            (2, "shared line\nbeta line"),        # loses 'shared line' to doc 1
+            (3, "shared line\nalpha line"),       # loses both -> empty text
+            (4, None),                            # NULL -> one exempt empty line
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert got[1]["text"] == "alpha line\nshared line\nx"
+    assert (got[1]["lines_in"], got[1]["lines_kept"], got[1]["lines_cut"]) == (3, 3, 0)
+    assert got[2]["text"] == "beta line"
+    assert (got[2]["lines_in"], got[2]["lines_kept"], got[2]["lines_cut"]) == (2, 1, 1)
+    assert got[3]["text"] == ""
+    assert (got[3]["lines_in"], got[3]["lines_kept"], got[3]["lines_cut"]) == (2, 0, 2)
+    # NULL text: one empty line, exempt from dedup, survives
+    assert got[4]["text"] == ""
+    assert (got[4]["lines_in"], got[4]["lines_kept"], got[4]["lines_cut"]) == (1, 1, 0)
