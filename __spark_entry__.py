@@ -1478,6 +1478,19 @@ def _q_html_components(spark, sf_dir):
     return D.connected_components(pairs)
 
 
+def _q_cur_cluster_split(spark, sf_dir):
+    """Leakage-safe split (corpus.cluster_split): MinHash-LSH near-dup pairs
+    (same construction as dedup_clusters) → connected components → the
+    whole cluster hashed to one split, singletons on their own id — so no
+    near-duplicate of a training doc can sit in val/test.  Oracle: the
+    shared recursive-CTE closure + the identical md5 hash gate."""
+    from sparkx.ops import corpus as C
+
+    d = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(d, n=3, threshold=0.05)
+    return C.cluster_split(d, pairs, val_rate=0.1, test_rate=0.1)
+
+
 def _q_dedup_lines(spark, sf_dir):
     """CCNet-style corpus-wide LINE dedup (dedup.line_dedup; Wenzek et al.
     LREC 2020): every line kept only at its first corpus-wide occurrence by
@@ -1512,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # never-driver-verified first (r3 rotation + new this round)
         "dedup_lines": _q_dedup_lines,
+        "cur_cluster_split": _q_cur_cluster_split,
         "cur_decontaminate": _q_cur_decontaminate,
         "ta_entropy": _q_ta_entropy,
         "ta_bigram_logprob": _q_ta_bigram_logprob,
@@ -2439,6 +2453,20 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
         "dedup_clusters": (
             "WITH RECURSIVE " + _minhash_pairs_ctes(0.05) + ",\n" + _CC_CTES
             + "\nSELECT cc_id AS doc_id, cc_cluster AS cluster_id FROM cc"
+        ),
+        # leakage-safe split: shared CC closure over the same LSH pairs,
+        # then the identical md5 hash gate keyed on the cluster id
+        "cur_cluster_split": (
+            "WITH RECURSIVE " + _minhash_pairs_ctes(0.05) + ",\n" + _CC_CTES
+            + """,
+            labeled AS (
+              SELECT d.doc_id, coalesce(cc.cc_cluster, d.doc_id) AS split_key
+              FROM documents d LEFT JOIN cc ON cc.cc_id = d.doc_id)
+            SELECT doc_id, split_key,
+              CASE WHEN (('0x' || substr(md5('splitc|' || CAST(split_key AS VARCHAR)), 1, 8))::BIGINT % 10000) < 1000 THEN 'test'
+                   WHEN (('0x' || substr(md5('splitc|' || CAST(split_key AS VARCHAR)), 1, 8))::BIGINT % 10000) < 2000 THEN 'val'
+                   ELSE 'train' END AS split
+            FROM labeled"""
         ),
         "dedup_recall_report": (
             "WITH " + _minhash_pairs_ctes(0.05) + """,

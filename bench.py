@@ -147,6 +147,8 @@ def main() -> int:
         "html_components",
         # CCNet line-level dedup with document reassembly
         "dedup_lines",
+        # leakage-safe cluster-atomic split (LSH pairs -> CC -> hash gate)
+        "cur_cluster_split",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

@@ -243,6 +243,48 @@ def split_assign(
     )
 
 
+def cluster_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    val_rate: float = 0.01,
+    test_rate: float = 0.01,
+    id_col: str = "doc_id",
+    salt: str = "splitc",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate CLUSTERS are the
+    atomic unit, so no near-dup of a training document can land in the eval
+    split (the eval-contamination hole a doc-keyed split leaves open — the
+    reason benchmark decontamination work treats near-dups, not just exact
+    matches, as leaks).  ``pairs`` is any (a_id, b_id) near-dup pair frame
+    (MinHash-LSH at scale); pairs → connected components → each document's
+    split key is its cluster id (min member id), singletons key on their
+    own id — then the same deterministic hash gate as ``split_assign``, so
+    the split stays reproducible and re-ingest-stable.
+
+    Execution: the CC machinery is O(log n) bounded-shuffle rounds
+    (dedup.connected_components); the label attach is ONE left join on
+    doc_id (broadcast when the dup set is small — AQE decides); the gate
+    itself is a narrow map.  Returns ``(doc_id, split_key, split)``.
+    """
+    from sparkx.ops.dedup import connected_components
+
+    cc = connected_components(pairs).withColumnRenamed("node_id", id_col)
+    labeled = docs.select(id_col).join(cc, id_col, "left").withColumn(
+        "split_key", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    b = sample_bucket("split_key", salt)
+    test_gate = _gate(test_rate)
+    val_gate = test_gate + _gate(val_rate)
+    return labeled.select(
+        id_col,
+        "split_key",
+        F.when(b < test_gate, F.lit("test"))
+        .when(b < val_gate, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def corpus_cube(docs: DataFrame) -> DataFrame:
     """OLAP corpus summary: doc and token counts over CUBE(lang, source) —
     every (lang, source) cell plus per-lang, per-source, and grand totals in

@@ -1242,3 +1242,29 @@ def test_line_dedup_keep_first_and_reassembly(spark):
     # NULL text: one empty line, exempt from dedup, survives
     assert got[4]["text"] == ""
     assert (got[4]["lines_in"], got[4]["lines_kept"], got[4]["lines_cut"]) == (1, 1, 0)
+
+
+def test_cluster_split_is_leakage_safe(spark):
+    """Every member of a near-dup cluster gets the SAME split; singletons
+    key on their own id (identical to split_assign's gate)."""
+    from sparkx.ops.corpus import cluster_split, sample_bucket, _gate
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(30)], "doc_id long"
+    )
+    # two clusters: {0,1,2,7} (via chain) and {10,11}; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 7), (10, 11)], "a_id long, b_id long"
+    )
+    rows = cluster_split(docs, pairs, val_rate=0.2, test_rate=0.2).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(rows) == 30
+    for cluster in ([0, 1, 2, 7], [10, 11]):
+        keys = {by_id[i]["split_key"] for i in cluster}
+        splits = {by_id[i]["split"] for i in cluster}
+        assert keys == {min(cluster)}
+        assert len(splits) == 1
+    # singleton: split key is its own id
+    assert by_id[5]["split_key"] == 5
+    # split populations are non-degenerate at these rates
+    assert {r["split"] for r in rows} >= {"train"}
