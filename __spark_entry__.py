@@ -1478,6 +1478,34 @@ def _q_html_components(spark, sf_dir):
     return D.connected_components(pairs)
 
 
+def _q_host_scorecard(spark, sf_dir):
+    """Per-registered-domain health rollup (html_extract.host_scorecard):
+    the aggregate behind domain blocklists / per-site sampling weights.
+    URLs are synthesized deterministically IDENTICALLY in both engines
+    (mixed-case host noise, www. subdomains, :8080 port noise, 3 TLDs ×
+    5 hub names → 15 registered domains spanning multiple full hosts), so
+    the chain under test is host extraction → last-two-labels registered
+    domain → grouped rollup with tie-free integer-division ratios."""
+    from sparkx.ops import html_extract as H
+
+    d = _docs(spark, sf_dir)
+    host = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, "www.").otherwise(""),
+        F.col("source"), F.lit("."), F.col("lang"), F.lit("-hub"),
+        (F.col("doc_id") % 5).cast("string"), F.lit("."),
+        F.when(F.col("doc_id") % 3 == 0, "com")
+        .when(F.col("doc_id") % 3 == 1, "org")
+        .otherwise("net"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper(host)).otherwise(host),
+        F.when(F.col("doc_id") % 6 == 0, ":8080").otherwise(""),
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+    )
+    return H.host_scorecard(d.select("doc_id", "text", url.alias("url")))
+
+
 def _q_cur_cluster_split(spark, sf_dir):
     """Leakage-safe split (corpus.cluster_split): MinHash-LSH near-dup pairs
     (same construction as dedup_clusters) → connected components → the
@@ -1526,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-verified first (r3 rotation + new this round)
         "dedup_lines": _q_dedup_lines,
         "cur_cluster_split": _q_cur_cluster_split,
+        "host_scorecard": _q_host_scorecard,
         "cur_decontaminate": _q_cur_decontaminate,
         "ta_entropy": _q_ta_entropy,
         "ta_bigram_logprob": _q_ta_bigram_logprob,
@@ -2238,6 +2267,55 @@ def oracle_sql() -> dict[str, str]:
               count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
               CAST(max(n_chars) AS VARCHAR)
             FROM documents, n GROUP BY n.n_rows""",
+        # same deterministic URL synth, then the identical host extraction
+        # (lowercase, port strip), last-two-labels registered domain, and
+        # tie-free integer-division ratios
+        "host_scorecard": """
+            WITH urls AS (
+              SELECT doc_id, text,
+                'https://' ||
+                CASE WHEN doc_id % 2 = 0 THEN upper(h) ELSE h END ||
+                CASE WHEN doc_id % 6 = 0 THEN ':8080' ELSE '' END ||
+                '/p/' || CAST(doc_id AS VARCHAR) AS url
+              FROM (
+                SELECT doc_id, text,
+                  CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||
+                  source || '.' || lang || '-hub' ||
+                  CAST(doc_id % 5 AS VARCHAR) || '.' ||
+                  CASE WHEN doc_id % 3 = 0 THEN 'com'
+                       WHEN doc_id % 3 = 1 THEN 'org'
+                       ELSE 'net' END AS h
+                FROM documents)),
+            hosts AS (
+              SELECT doc_id, text,
+                regexp_replace(lower(regexp_extract(url,
+                  '^[^:]+://([^/?#]+)', 1)), ':[0-9]+$', '') AS host
+              FROM urls),
+            lab AS (
+              SELECT doc_id, text, host,
+                string_split(host, '.') AS ls
+              FROM hosts),
+            base AS (
+              SELECT
+                CASE WHEN len(ls) >= 2
+                     THEN ls[len(ls) - 1] || '.' || ls[len(ls)]
+                     ELSE host END AS domain,
+                host,
+                len(regexp_split_to_array(trim(text),
+                  '[ \\t\\n\\x0b\\f\\r]+')) AS t,
+                md5(lower(trim(regexp_replace(text,
+                  '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp
+              FROM lab),
+            agg AS (
+              SELECT domain, count(*) AS n_docs,
+                     count(DISTINCT host) AS n_hosts,
+                     sum(t) AS n_tokens,
+                     count(DISTINCT fp) AS ndist
+              FROM base GROUP BY domain)
+            SELECT domain, n_docs, n_hosts, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   ((n_tokens * 10000) // n_docs) / 10000.0 AS mean_tokens,
+                   (((n_docs - ndist) * 10000) // n_docs) / 10000.0 AS dup_frac
+            FROM agg""",
         # same deterministic page synth (doc_id+1 self-join), then the
         # identical keep-first-by-(doc_id,pos) rule — window form here vs
         # the min-struct groupBy in Spark — and ordered reassembly

@@ -149,6 +149,8 @@ def main() -> int:
         "dedup_lines",
         # leakage-safe cluster-atomic split (LSH pairs -> CC -> hash gate)
         "cur_cluster_split",
+        # per-registered-domain health rollup
+        "host_scorecard",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

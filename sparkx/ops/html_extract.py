@@ -352,3 +352,68 @@ def url_dedup(df: DataFrame, url_col: str = "url",
             F.min(id_col).alias("canonical_id"),
         )
     )
+
+
+def url_host(col: str = "url"):
+    """Lowercased hostname of a URL, port stripped — pure regexp chain."""
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(F.col(col), r"^[^:]+://([^/?#]+)", 1)),
+        r":[0-9]+$",
+        "",
+    )
+
+
+def registered_domain(col: str = "url"):
+    """Registered-domain heuristic: the last two dot-labels of the host
+    (``a.b.example.com`` → ``example.com``).  A public-suffix-list stand-in
+    — correct for gTLDs, folds ``co.uk``-style ccSLDs one level too far; a
+    production deployment swaps in the PSL table via a broadcast join, the
+    expression shape stays the same."""
+    h = url_host(col)
+    labels = F.split(h, r"\.")
+    return F.when(
+        F.size(labels) >= 2,
+        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
+    ).otherwise(h)
+
+
+def host_scorecard(
+    df: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Per-registered-domain corpus health rollup — the table behind domain
+    blocklists and per-site sampling weights in web-corpus curation (C4 /
+    RefinedWeb both gate on domain aggregates): volume (docs, distinct
+    hosts, tokens), mean tokens per doc, and exact-duplicate fraction by
+    normalized content fingerprint.
+
+    One narrow map (host/domain regexps, token count, md5 fingerprint)
+    into a grouped aggregate; the two count(DISTINCT) get Catalyst's
+    expand-based rewrite so a mega-domain doesn't funnel through one task.
+    Ratios are truncated on the 1e-4 grid by integer division (the
+    tie-free cross-engine rule — see corpus_scorecard)."""
+    from sparkx.ops.textstats import fingerprint, token_count
+
+    base = df.select(
+        registered_domain(url_col).alias("domain"),
+        url_host(url_col).alias("_h"),
+        token_count(text_col).alias("_t"),
+        fingerprint(text_col).alias("_fp"),
+    )
+    agg = base.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("_h").alias("n_hosts"),
+        F.sum("_t").alias("n_tokens"),
+        F.count_distinct("_fp").alias("_ndist"),
+    )
+    return agg.select(
+        "domain",
+        "n_docs",
+        "n_hosts",
+        "n_tokens",
+        (F.expr("(n_tokens * 10000) div n_docs") / 10000.0).alias(
+            "mean_tokens"
+        ),
+        (F.expr("((n_docs - _ndist) * 10000) div n_docs") / 10000.0).alias(
+            "dup_frac"
+        ),
+    )

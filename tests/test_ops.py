@@ -1268,3 +1268,28 @@ def test_cluster_split_is_leakage_safe(spark):
     assert by_id[5]["split_key"] == 5
     # split populations are non-degenerate at these rates
     assert {r["split"] for r in rows} >= {"train"}
+
+
+def test_host_scorecard_domains_and_dup_frac(spark):
+    from sparkx.ops.html_extract import host_scorecard, registered_domain
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.news.example.com/x", "one two three"),
+            (2, "HTTPS://B.news.EXAMPLE.com:8080/y", "one two three"),
+            (3, "https://example.com/z", "four five"),
+            (4, "https://other.org/w", "six"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    # registered_domain folds subdomains and case/port noise
+    doms = [r[0] for r in df.select(registered_domain("url")).collect()]
+    assert doms == ["example.com", "example.com", "example.com", "other.org"]
+    rows = {r["domain"]: r for r in host_scorecard(df).collect()}
+    ex = rows["example.com"]
+    assert (ex["n_docs"], ex["n_hosts"]) == (3, 3)
+    assert ex["n_tokens"] == 8
+    # docs 1 and 2 are exact dups after normalization -> 1/3 truncated
+    assert ex["dup_frac"] == 0.3333
+    assert ex["mean_tokens"] == 2.6666
+    assert rows["other.org"]["dup_frac"] == 0.0
