@@ -1478,6 +1478,16 @@ def _q_html_components(spark, sf_dir):
     return D.connected_components(pairs)
 
 
+def _q_ta_tfidf_keywords(spark, sf_dir):
+    """Per-document top-5 TF-IDF keywords (textstats.tfidf_keywords):
+    tf·ln(N/df) quantized to the 1e-6 integer grid before ranking (BM25
+    precedent), per-doc row_number window with term tiebreak, score
+    reported on the 1e-4 grid by integer division (tie-free)."""
+    from sparkx.ops import textstats as T
+
+    return T.tfidf_keywords(_docs(spark, sf_dir), k=5)
+
+
 def _q_host_scorecard(spark, sf_dir):
     """Per-registered-domain health rollup (html_extract.host_scorecard):
     the aggregate behind domain blocklists / per-site sampling weights.
@@ -1555,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": _q_dedup_lines,
         "cur_cluster_split": _q_cur_cluster_split,
         "host_scorecard": _q_host_scorecard,
+        "ta_tfidf_keywords": _q_ta_tfidf_keywords,
         "cur_decontaminate": _q_cur_decontaminate,
         "ta_entropy": _q_ta_entropy,
         "ta_bigram_logprob": _q_ta_bigram_logprob,
@@ -2267,6 +2278,33 @@ def oracle_sql() -> dict[str, str]:
               count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
               CAST(max(n_chars) AS VARCHAR)
             FROM documents, n GROUP BY n.n_rows""",
+        # identical tokenization, tf/df counts, ln on the same exact double
+        # (N/df), 1e-6-grid quantization before ranking, term tiebreak,
+        # 1e-4-grid score via integer division
+        "ta_tfidf_keywords": """
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                  '[ \\t\\n\\x0b\\f\\r]+')) AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM toks WHERE term != '' GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, term,
+                CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1e6)
+                     AS BIGINT) AS q
+              FROM tf JOIN dfq USING (term), n),
+            ranked AS (
+              SELECT doc_id, term, q,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY q DESC, term ASC) AS rank
+              FROM scored)
+            SELECT doc_id, CAST(rank AS INT) AS rank, term,
+                   (q // 100) / 10000.0 AS score
+            FROM ranked WHERE rank <= 5""",
         # same deterministic URL synth, then the identical host extraction
         # (lowercase, port strip), last-two-labels registered domain, and
         # tie-free integer-division ratios

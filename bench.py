@@ -151,6 +151,8 @@ def main() -> int:
         "cur_cluster_split",
         # per-registered-domain health rollup
         "host_scorecard",
+        # per-doc top-k TF-IDF keywords
+        "ta_tfidf_keywords",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

@@ -829,3 +829,64 @@ def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
             F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
         )
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords (Sparck Jones, "A statistical
+    interpretation of term specificity", JDoc 1972): ``tf · ln(N/df)`` with
+    the unsmoothed idf — the standard keyword/topic signal a curation
+    pipeline attaches per document (cluster labeling, topic balance
+    reports, near-dup triage).
+
+    Fully relational: explode → (doc, term) counts (map-side combinable)
+    → term document frequencies → broadcast-joined corpus size → one
+    ``row_number`` window PARTITIONED BY doc (bounded by the doc's distinct
+    term count, never corpus-wide).  Determinism across engines: the score
+    is quantized to the 1e-6 grid immediately (``round(tf·idf·10⁶)`` as a
+    long — the BM25 precedent), ranked on the exact integer with ``term``
+    as tiebreak, and reported on the 1e-4 grid via integer division (no
+    round-at-4dp tie, CLAUDE.md).
+
+    Returns ``(doc_id, rank, term, score)``, ``rank`` in 1..k.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    q = F.round(
+        F.col("tf")
+        * F.log(F.col("n_docs").cast("double") / F.col("df"))
+        * 1e6
+    ).cast("long")
+    # NB: unlike bm25_topk (df filtered to a handful of query terms), the
+    # full-vocabulary df table is NOT broadcastable at corpus scale — this
+    # is a shuffle join on term, co-partitioned with the tf aggregate's own
+    # output partitioning, so Catalyst elides the second exchange.
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", q.alias("_q"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_q"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            (F.expr("_q div 100") / 10000.0).alias("score"),
+        )
+    )

@@ -1293,3 +1293,36 @@ def test_host_scorecard_domains_and_dup_frac(spark):
     assert ex["dup_frac"] == 0.3333
     assert ex["mean_tokens"] == 2.6666
     assert rows["other.org"]["dup_frac"] == 0.0
+
+
+def test_tfidf_keywords_matches_python(spark):
+    import math
+
+    from sparkx.ops.textstats import tfidf_keywords
+
+    corpus = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry date"),
+        (3, "apple elderberry"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["score"])
+        for r in tfidf_keywords(df, k=2).collect()
+    }
+    # python reference with the same grid rules
+    from collections import Counter
+
+    n = len(corpus)
+    docs_terms = {d: Counter(t.split()) for d, t in corpus}
+    dfc = Counter()
+    for c in docs_terms.values():
+        dfc.update(c.keys())
+    for d, c in docs_terms.items():
+        q = {
+            t: round(tf * math.log(n / dfc[t]) * 1e6)
+            for t, tf in c.items()
+        }
+        ranked = sorted(q.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        for i, (t, qq) in enumerate(ranked, 1):
+            assert got[(d, i)] == (t, (qq // 100) / 10000.0), (d, i)
