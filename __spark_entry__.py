@@ -1478,6 +1478,26 @@ def _q_html_components(spark, sf_dir):
     return D.connected_components(pairs)
 
 
+def _q_cur_fixed_k(spark, sf_dir):
+    """Fixed-budget stratified sample (corpus.stratified_fixed_k): exactly
+    min(20, |stratum|) docs per language in deterministic md5 hash order —
+    the exact-count balanced-subset constructor (eval sets, ablations)
+    that rate-based sampling can't promise.  rank<=k plans as
+    WindowGroupLimit: map-side per-group top-k before the shuffle."""
+    from sparkx.ops import corpus as C
+
+    return C.stratified_fixed_k(_docs(spark, sf_dir), k=20, group_col="lang")
+
+
+def _q_dedup_novelty(spark, sf_dir):
+    """Per-document n-gram novelty (dedup.novelty_scores): fraction of a
+    doc's distinct 3-gram shingles first seen (min doc_id) in that doc —
+    the marginal-contribution curve of an ordered ingest, catching diffuse
+    redundancy no pairwise threshold sees.  Linear posting-table pass, no
+    pairs; ratio truncated on the 1e-4 grid."""
+    return D.novelty_scores(_docs(spark, sf_dir), n=3)
+
+
 def _q_ta_tfidf_keywords(spark, sf_dir):
     """Per-document top-5 TF-IDF keywords (textstats.tfidf_keywords):
     tf·ln(N/df) quantized to the 1e-6 integer grid before ranking (BM25
@@ -1566,6 +1586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_cluster_split": _q_cur_cluster_split,
         "host_scorecard": _q_host_scorecard,
         "ta_tfidf_keywords": _q_ta_tfidf_keywords,
+        "dedup_novelty": _q_dedup_novelty,
+        "cur_fixed_k": _q_cur_fixed_k,
         "cur_decontaminate": _q_cur_decontaminate,
         "ta_entropy": _q_ta_entropy,
         "ta_bigram_logprob": _q_ta_bigram_logprob,
@@ -2278,6 +2300,45 @@ def oracle_sql() -> dict[str, str]:
               count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
               CAST(max(n_chars) AS VARCHAR)
             FROM documents, n GROUP BY n.n_rows""",
+        # identical md5 pick order (doc_id tiebreak) and rank<=k gate
+        "cur_fixed_k": """
+            SELECT doc_id, text, lang, source, n_chars,
+                   CAST(pick_order AS INT) AS pick_order
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY md5('stratk0|' || CAST(doc_id AS VARCHAR)) ASC,
+                         doc_id ASC) AS pick_order
+              FROM documents)
+            WHERE pick_order <= 20""",
+        # identical distinct-shingle construction, min-doc_id first
+        # occurrence, per-doc counts, 1e-4-grid truncation; all docs
+        # preserved (NULL novelty when < n tokens)
+        "dedup_novelty": """
+            WITH t AS (
+              SELECT doc_id,
+                regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                  '[ \\t\\n\\x0b\\f\\r]+') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                unnest(list_distinct(list_transform(
+                  range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+              FROM t WHERE len(toks) >= 3),
+            first AS (SELECT s, min(doc_id) AS first_id FROM sh GROUP BY s),
+            per_doc AS (
+              SELECT sh.doc_id, count(*) AS n_shingles,
+                sum(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END)
+                  AS n_novel
+              FROM sh JOIN first f USING (s) GROUP BY sh.doc_id)
+            SELECT d.doc_id,
+              CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+              CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+              CASE WHEN coalesce(p.n_shingles, 0) > 0
+                   THEN ((p.n_novel * 10000) // p.n_shingles) / 10000.0
+              END AS novelty
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)""",
         # identical tokenization, tf/df counts, ln on the same exact double
         # (N/df), 1e-6-grid quantization before ranking, term tiebreak,
         # 1e-4-grid score via integer division

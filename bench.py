@@ -153,6 +153,8 @@ def main() -> int:
         "host_scorecard",
         # per-doc top-k TF-IDF keywords
         "ta_tfidf_keywords",
+        # n-gram novelty curve; exact-k stratified sample
+        "dedup_novelty", "cur_fixed_k",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

@@ -737,3 +737,38 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None,
         "min_s",
         "max_s",
     )
+
+
+def stratified_fixed_k(
+    docs: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "stratk0",
+) -> DataFrame:
+    """Fixed-BUDGET stratified sample: exactly ``min(k, |stratum|)`` docs
+    per group, picked in deterministic hash order (``md5(salt|id)``, id
+    tiebreak) — the balanced-subset constructor for eval sets and ablation
+    corpora where "500 docs per language" is the spec, not a rate (the
+    rate-based `deterministic_sample`/`stratified_sample` cannot promise an
+    exact count).  Same salt → same picks on any engine/run; adding new
+    docs only ever displaces picks at the hash boundary.
+
+    Execution: a rank-limit window per group.  Spark plans the ``rank <=
+    k`` filter as WindowGroupLimit — each map task keeps only its local
+    top-k per group BEFORE the shuffle, so a mega-stratum ships k rows per
+    input partition, not the whole group, and the final per-group task
+    merges bounded inputs.  Returns the sampled rows plus ``pick_order``
+    (1..k within the stratum).
+    """
+    from pyspark.sql import Window
+
+    hkey = F.md5(
+        F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(hkey.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("pick_order", F.row_number().over(w))
+        .filter(F.col("pick_order") <= k)
+        .withColumn("pick_order", F.col("pick_order").cast("int"))
+    )

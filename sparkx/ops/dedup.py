@@ -1001,3 +1001,59 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def novelty_scores(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    n-gram shingles whose corpus-wide first occurrence (min doc_id) is this
+    document — the marginal-contribution curve of an ordered ingest.  Docs
+    near 0 add nothing the corpus hasn't seen (dedup candidates even when
+    no single pair crosses a Jaccard threshold — diffuse redundancy);
+    ordering the corpus by source priority makes this "what does feed X
+    add on top of feed Y".
+
+    Execution: one shingle pass (the Generate-barrier ``with_shingles``),
+    groupBy on the shingle for the corpus-wide min-id first-occurrence
+    (map-side combinable), join back, per-doc counts — two bounded shuffles
+    on the shingle key, one on doc_id.  No pairs anywhere: this reads the
+    same posting table n-gram Jaccard builds, but consumes it linearly.
+    The novelty ratio is truncated on the 1e-4 grid by integer division
+    (tie-free across engines); docs with fewer than ``n`` tokens have no
+    shingles and report NULL novelty.
+
+    Returns ``(doc_id, n_shingles, n_novel, novelty)``.
+    """
+    from sparkx.ops.textstats import with_shingles
+
+    sh = with_shingles(
+        docs.select(F.col(id_col).alias("doc_id"), col), col=col, n=n
+    ).select("doc_id", F.explode("shingles").alias("s"))
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_id"))
+    per_doc = (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("first_id") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.expr("(n_novel * 10000) div n_shingles") / 10000.0,
+            ).alias("novelty"),
+        )
+    )

@@ -1326,3 +1326,48 @@ def test_tfidf_keywords_matches_python(spark):
         ranked = sorted(q.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
         for i, (t, qq) in enumerate(ranked, 1):
             assert got[(d, i)] == (t, (qq // 100) / 10000.0), (d, i)
+
+
+def test_novelty_scores_ordered_ingest(spark):
+    from sparkx.ops.dedup import novelty_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),            # shingles: abc, bcd -> both novel
+            (2, "a b c d"),            # exact dup -> novelty 0
+            (3, "a b c x y z"),        # abc seen; bcx,cxy,xyz novel -> 3/4
+            (4, "q"),                  # < 3 tokens -> NULL novelty
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in novelty_scores(df, n=3).collect()}
+    assert (got[1]["n_shingles"], got[1]["n_novel"]) == (2, 2)
+    assert got[1]["novelty"] == 1.0
+    assert got[2]["novelty"] == 0.0
+    assert (got[3]["n_shingles"], got[3]["n_novel"]) == (4, 3)
+    assert got[3]["novelty"] == 0.75
+    assert got[4]["novelty"] is None and got[4]["n_shingles"] == 0
+
+
+def test_stratified_fixed_k_exact_budget_and_plan(spark, docs):
+    from sparkx.ops.corpus import stratified_fixed_k
+
+    out = stratified_fixed_k(docs, k=7, group_col="lang")
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    for lang, n in counts.items():
+        assert n == min(7, sizes[lang])
+    assert set(counts) == set(sizes)
+    # determinism: same salt -> identical pick set
+    a = {(r["lang"], r["doc_id"]) for r in out.collect()}
+    b = {(r["lang"], r["doc_id"]) for r in stratified_fixed_k(docs, k=7, group_col="lang").collect()}
+    assert a == b
+    # the rank<=k filter must plan as WindowGroupLimit (map-side group top-k)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
