@@ -508,6 +508,50 @@ def main() -> int:
         )
     )
 
+    # r4 continuation operators
+    lines_plan = fmt(E.queries()["dedup_lines"](spark, sf))
+    assert "Window" not in lines_plan, "line_dedup must not plan a window"
+    sections.append(
+        (
+            "CCNet line dedup (keep-first groupBy, ordered reassembly)",
+            lines_plan,
+            "What to check: the corpus-wide keep-first pick is a HashAggregate\n"
+            "pair on md5(line) (min(struct(doc_id,pos)) — map-side combinable;\n"
+            "asserted: NO Window operator anywhere, a row_number form would\n"
+            "single-task hot boilerplate lines); reassembly is one doc_id\n"
+            "exchange into array_sort(collect_list).  Exchanges carry (hash,\n"
+            "doc_id, pos) triples and the kept lines once each.",
+        )
+    )
+    fixedk_plan = fmt(E.queries()["cur_fixed_k"](spark, sf))
+    assert "WindowGroupLimit" in fixedk_plan
+    sections.append(
+        (
+            "Exact-k stratified sample (WindowGroupLimit)",
+            fixedk_plan,
+            "What to check (asserted): the rank<=k filter plans as\n"
+            "WindowGroupLimit with a PARTIAL pass below the lang exchange —\n"
+            "each map task forwards at most k rows per stratum, so a\n"
+            "mega-stratum ships O(partitions*k) rows, never the whole group.",
+        )
+    )
+    sections.append(
+        (
+            "TF-IDF keywords (vocabulary df joined by shuffle, not broadcast)",
+            fmt(E.queries()["ta_tfidf_keywords"](spark, sf)),
+            "What to check: tf and df are HashAggregate pairs on (doc,term)/\n"
+            "(term).  The code places NO broadcast hint on the tf<->df join\n"
+            "(contrast bm25_topk, whose df is query-filtered to a handful of\n"
+            "terms and explicitly broadcast): Catalyst's size estimate picks\n"
+            "BroadcastHashJoin at this toy SF and flips the SAME plan node to\n"
+            "a shuffle join once vocabulary stats exceed the threshold — the\n"
+            "design point is that nothing forces the full vocabulary through a\n"
+            "broadcast at corpus scale.  The 1-row corpus-size frame is the\n"
+            "only DESIGNED BroadcastExchange; the per-doc top-k is\n"
+            "WindowGroupLimit-bounded.",
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plan audit (explain formatted)\n\n"
