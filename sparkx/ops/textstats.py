@@ -579,9 +579,18 @@ def top_tokens(docs: DataFrame, k: int = 50, capacity: int = 4096,
 
         counts: dict[str, int] = {}
         n_part = 0
+        # tokenize EXACTLY like the recount pass and the oracle: space-only
+        # trim (Spark/DuckDB trim() strip ' ' only — Python str.strip()
+        # would eat \t/\n edges) and the explicit ASCII whitespace class
+        # (Python's \s is Unicode-aware and splits on \xa0/　, so a
+        # token containing them would never be PROPOSED as a candidate and
+        # the pigeonhole completeness argument breaks — caught by the
+        # adversarial contract suite)
         for pdf in batches:
             for text in pdf[col]:
-                toks = _re.split(r"\s+", str(text or "").lower().strip())
+                toks = _re.split(
+                    "[ \t\n\x0b\f\r]+", str(text or "").lower().strip(" ")
+                )
                 n_part += len(toks)
                 for t in toks:
                     if t in counts:
@@ -614,7 +623,8 @@ def top_tokens(docs: DataFrame, k: int = 50, capacity: int = 4096,
         toks = docs.select(
             F.explode(
                 F.split(
-                    F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+"
+                    F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))),
+                    "[ \t\n\x0b\f\r]+",
                 )
             ).alias("tok")
         )
