@@ -1573,6 +1573,45 @@ def _q_dedup_lines(spark, sf_dir):
     return D.line_dedup(pages, text_col="page")
 
 
+def _q_cur_shards(spark, sf_dir):
+    """Deterministic balanced shard-writer assignment (corpus.shard_assign):
+    every doc gets (shard, pos) under a reproducible md5 global shuffle —
+    the final shuffle+shard step of a training-corpus pipeline.  One hash
+    exchange on shard + a per-shard local sort; no global sort."""
+    from sparkx.ops import corpus as C
+
+    return C.shard_assign(_docs(spark, sf_dir), n_shards=8)
+
+
+def _q_cur_snapshot_diff(spark, sf_dir):
+    """Recrawl delta between two corpus snapshots (corpus.snapshot_diff):
+    old = docs except every 7th, new = docs except every 5th with every
+    11th's text mutated — so all four statuses (added/removed/changed/
+    unchanged) appear.  One narrow fingerprint map per side + one
+    full-outer join on the key."""
+    from sparkx.ops import corpus as C
+
+    d = _docs(spark, sf_dir)
+    old = d.filter(F.col("doc_id") % 7 != 0)
+    new = d.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" [v2]")),
+        ).otherwise(F.col("text")),
+    )
+    return C.snapshot_diff(old, new)
+
+
+def _q_ann_int8_topk(spark, sf_dir):
+    """Top-10 neighbours by cosine over INT8-quantized codes
+    (similarity.quantize_int8 + int8_topk): the 4×-compression fidelity
+    surface as a query.  Ranking arithmetic is exact int64 (dot, norms)
+    until the final cosine, which on exact ints is an IEEE-determined
+    double — value-hash verifiable across engines."""
+    return S.int8_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE ordering is load-bearing: the driver's CORRECTNESS file records the
     # FIRST 50 entries of this dict per round (observed r3: exactly positions
@@ -1632,6 +1671,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_chunks": _q_cur_chunks,
         "dedup_incremental": _q_dedup_incremental,
         "cur_split": _q_cur_split,
+        # r4-close additions (positions >49: mirror-gate + pytest covered
+        # this round; front-load in r5 for driver rows)
+        "cur_shards": _q_cur_shards,
+        "cur_snapshot_diff": _q_cur_snapshot_diff,
+        "ann_int8_topk": _q_ann_int8_topk,
         "corpus_funnel": _q_corpus_funnel,
         "stream_extract": _q_stream_extract,
         "sessionize": _q_sessionize,
@@ -3404,6 +3448,72 @@ GROUP BY 1"""
                    array_to_string(toks[start_tok + 1 : start_tok + 64], ' ')
                      AS chunk_text
             FROM st""",
+        "cur_shards": """
+            WITH h AS (
+              SELECT doc_id,
+                md5('shard0|' || coalesce(CAST(doc_id AS VARCHAR), '∅')) AS hh
+              FROM documents),
+            s AS (
+              SELECT doc_id, hh,
+                CAST(('0x' || substr(hh, 1, 8))::BIGINT % 8 AS INT) AS shard
+              FROM h)
+            SELECT doc_id, shard,
+              CAST(row_number() OVER (
+                     PARTITION BY shard
+                     ORDER BY hh ASC, doc_id ASC NULLS LAST) - 1
+                   AS BIGINT) AS pos
+            FROM s""",
+        "cur_snapshot_diff": """
+            WITH old AS (
+              SELECT doc_id, md5(coalesce(text, '∅null')) AS old_fp
+              FROM documents WHERE doc_id % 7 <> 0),
+            new AS (
+              SELECT doc_id,
+                md5(coalesce(
+                  CASE WHEN doc_id % 11 = 0
+                       THEN coalesce(text, '') || ' [v2]'
+                       ELSE text END, '∅null')) AS new_fp
+              FROM documents WHERE doc_id % 5 <> 0)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.old_fp IS NULL THEN 'added'
+                        WHEN n.new_fp IS NULL THEN 'removed'
+                        WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   o.old_fp, n.new_fp
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id""",
+        "ann_int8_topk": """
+            WITH m AS (
+              SELECT vec_id, embedding,
+                list_aggregate(
+                  list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                  'max') AS maxabs
+              FROM embeddings WHERE embedding IS NOT NULL),
+            c AS (
+              SELECT vec_id,
+                CASE WHEN maxabs = 0
+                     THEN list_transform(embedding, x -> 0)
+                     ELSE list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5)
+                            AS INT)) END AS codes
+              FROM m),
+            cd AS (
+              SELECT vec_id,
+                list_transform(codes, x -> CAST(x AS DOUBLE)) AS dcodes
+              FROM c),
+            q AS (SELECT dcodes AS qc FROM cd WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id,
+                CAST(list_dot_product(dcodes, qc) AS BIGINT) AS dot_q,
+                CAST(list_dot_product(dcodes, dcodes) AS BIGINT) AS n_v,
+                CAST(list_dot_product(qc, qc) AS BIGINT) AS n_q
+              FROM cd, q)
+            SELECT vec_id, dot_q,
+                   CAST(dot_q AS DOUBLE)
+                     / (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_v AS DOUBLE)))
+                     AS cos_q
+            FROM scored
+            WHERE vec_id <> 0 AND n_v > 0 AND n_q > 0
+            ORDER BY cos_q DESC, vec_id ASC LIMIT 10""",
         "stream_dedup": TRANSCRIPTS_SQL_CTE + """,
             dd_rows AS (
               SELECT

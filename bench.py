@@ -155,6 +155,9 @@ def main() -> int:
         "ta_tfidf_keywords",
         # n-gram novelty curve; exact-k stratified sample
         "dedup_novelty", "cur_fixed_k",
+        # r4 close: shard-writer assignment, recrawl snapshot diff,
+        # int8-quantized ANN top-k
+        "cur_shards", "cur_snapshot_diff", "ann_int8_topk",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

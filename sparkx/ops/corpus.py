@@ -772,3 +772,84 @@ def stratified_fixed_k(
         .filter(F.col("pick_order") <= k)
         .withColumn("pick_order", F.col("pick_order").cast("int"))
     )
+
+
+def shard_assign(
+    docs: DataFrame,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    salt: str = "shard0",
+) -> DataFrame:
+    """Deterministic balanced shard-writer assignment: every doc gets a
+    ``shard`` in [0, n_shards) and a ``pos`` (0-based) giving its position
+    within that shard under a reproducible global shuffle — the final
+    "shuffle + shard" step of every training-corpus pipeline (the trainer
+    streams shard files in ``pos`` order and sees a fixed pseudo-random
+    document permutation, independent of input partitioning or cluster
+    size; same salt → byte-identical shard layout on any engine/run).
+
+    Execution: ONE hash exchange on ``shard`` + a per-shard local sort for
+    the ``row_number`` — exactly the minimum a shard writer needs (the
+    physical analogue is ``repartition(n, shard).sortWithinPartitions``).
+    There is no global sort and no driver state; at 100 TB you raise
+    ``n_shards`` until a shard's rows fit an executor's sort spill budget
+    (10k shards of ~10 GB, not 8 of ~12 TB).  NULL keys coalesce to a
+    sentinel so they are assigned, not dropped; the window tiebreak pins
+    NULLS LAST explicitly because Spark's ``asc`` default (NULLS FIRST)
+    and DuckDB/ANSI (NULLS LAST) disagree.
+    """
+    from pyspark.sql import Window
+
+    hh = F.md5(
+        F.concat(
+            F.lit(salt), F.lit("|"),
+            F.coalesce(F.col(key_col).cast("string"), F.lit("∅")),
+        )
+    )
+    keyed = docs.select(F.col(key_col), hh.alias("_h"))
+    shard = (
+        F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("long")
+        % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_h").asc(), F.col(key_col).asc_nulls_last()
+    )
+    return (
+        keyed.withColumn("shard", shard)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_h")
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Recrawl / corpus-refresh delta between two snapshots of the same
+    logical table: per key, status ``added`` (new only), ``removed`` (old
+    only), ``changed`` (both, content fingerprint differs) or
+    ``unchanged`` — the op an incremental ingest runs so downstream
+    (re-dedup, re-embed, re-index) touches only the delta instead of
+    reprocessing 100 TB per crawl.
+
+    Content identity is ``md5`` of the text with NULL coalesced to a
+    sentinel distinct from the empty string (NULL text and '' are
+    different contents).  Execution: one fingerprint projection per side
+    (narrow map) + ONE full-outer shuffle join on the key — and when both
+    snapshots are bucketed by ``key_col`` (the natural layout for a
+    versioned corpus) the exchange is elided entirely and the diff is a
+    co-located merge per bucket.
+    """
+    fp = lambda c: F.md5(F.coalesce(F.col(c), F.lit("∅null")))  # noqa: E731
+    of = old.select(F.col(key_col), fp(text_col).alias("old_fp"))
+    nf = new.select(F.col(key_col), fp(text_col).alias("new_fp"))
+    j = of.join(nf, key_col, "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(key_col), status.alias("status"), "old_fp", "new_fp")

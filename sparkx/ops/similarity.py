@@ -447,3 +447,103 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "cosine", "rank")
     )
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (max-abs scaling): adds a
+    ``codes`` array<int> column with ``code_j = floor(v_j·127/maxabs + 0.5)``
+    in [-127, 127] — the standard 4× memory compression for ANN serving
+    (100 TB of fp32 embeddings → 25 TB resident, dot products in integer
+    SIMD).  The op itself is a narrow map, no shuffle.
+
+    Engine-parity notes baked into the formula: ``floor(x + 0.5)`` instead
+    of ``round(x)`` because Spark rounds HALF_UP on the shortest decimal
+    repr while DuckDB rounds half-away on the raw double (the
+    cur_scorecard lesson), whereas floor is exact on IEEE doubles in every
+    engine; ``v·127`` is exact (24-bit float mantissa + 7 bits < 53) and
+    the divide is correctly rounded, so codes are bit-identical across
+    engines.  The per-vector ``maxabs`` aggregate is bound through an
+    ``explode(array(...))`` Generate barrier so CollapseProject cannot
+    inline the O(d) reduction into the per-element transform loop and make
+    it O(d²) (the with_shingles lesson).  Zero vectors quantize to all-zero
+    codes; NULL vectors pass through as NULL codes.
+    """
+    maxabs = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    out = emb.withColumn("_maxabs", F.explode(F.array(maxabs)))
+    codes = F.when(
+        F.col("_maxabs") == 0.0,
+        F.transform(F.col(vec_col), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * 127.0 / F.col("_maxabs") + 0.5
+            ).cast("int"),
+        )
+    )
+    return out.withColumn("codes", codes).drop("_maxabs")
+
+
+def _int_dot(a: str, b: str):
+    """Exact int64 dot product of two int-code arrays (every partial sum
+    bounded by 127²·d — no overflow, no float error, hash-gate safe)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def int8_topk(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Top-k nearest neighbours by cosine over the INT8-quantized codes —
+    the fidelity surface of :func:`quantize_int8` made a query: compare
+    its neighbour list against :func:`topk_bruteforce` on the fp32
+    originals to measure what 4× compression costs in recall.
+
+    All ranking arithmetic is exact-integer until the final cosine: dot
+    and self-norms are int64 (bit-identical on any engine), and
+    ``cos = dot / (sqrt(nq)·sqrt(nv))`` on exact ints ≤ 127²·d is a fully
+    IEEE-determined double — stronger cross-engine ground than the fp32
+    cosine, which is why the quantized path can be value-hash verified at
+    all.  Plan: quantize (narrow map) → broadcast the 1-row query codes →
+    one scan with per-row integer dots → global top-k (TakeOrdered, no
+    full sort).  Zero-norm vectors are excluded (cosine undefined).
+    """
+    codes = quantize_int8(emb.filter(F.col("embedding").isNotNull())).select(
+        "vec_id", "codes"
+    )
+    q = codes.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("codes").alias("q_codes")
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .withColumn("dot_q", _int_dot("codes", "q_codes"))
+        .withColumn("n_v", _int_dot("codes", "codes"))
+        .withColumn("n_q", _int_dot("q_codes", "q_codes"))
+        .filter(
+            (F.col("vec_id") != query_vec_id)
+            & (F.col("n_v") > 0)
+            & (F.col("n_q") > 0)
+        )
+        .withColumn(
+            "cos_q",
+            F.col("dot_q").cast("double")
+            / (
+                F.sqrt(F.col("n_q").cast("double"))
+                * F.sqrt(F.col("n_v").cast("double"))
+            ),
+        )
+    )
+    return (
+        scored.select("vec_id", "dot_q", "cos_q")
+        .orderBy(F.desc("cos_q"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -1,0 +1,169 @@
+"""Loop-mirror tests for the r4-close operators: shard_assign,
+snapshot_diff, quantize_int8/int8_topk.  Each Spark result is compared
+against a boring pure-Python recomputation (the oracle style of
+sparkx/oracle.py) including the NULL/zero edge paths the driver's clean
+testdata never exercises."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+# ───────────────────────── shard_assign ────────────────────────────────────
+
+
+def test_shard_assign_mirror(spark):
+    from sparkx.ops.corpus import shard_assign
+
+    ids = list(range(37)) + [None]
+    docs = spark.createDataFrame(
+        [(i, f"t{j}") for j, i in enumerate(ids)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shard_assign(docs, n_shards=4, salt="shard0").collect()
+    }
+
+    # mirror: md5('shard0|' + str(id or ∅)), shard = first-8-hex % 4,
+    # pos = rank of hash within shard (ties impossible: distinct keys)
+    rows = []
+    for i in ids:
+        key = "∅" if i is None else str(i)
+        hh = _md5(f"shard0|{key}")
+        rows.append((i, hh, int(hh[:8], 16) % 4))
+    want: dict = {}
+    for shard in range(4):
+        members = sorted(
+            [(hh, i) for (i, hh, s) in rows if s == shard],
+            key=lambda t: (t[0], (t[1] is None, t[1])),  # NULLS LAST
+        )
+        for pos, (_, i) in enumerate(members):
+            want[i] = (shard, pos)
+    assert got == want
+    # balance sanity: every shard non-pathological on 38 keys
+    sizes = [sum(1 for v in want.values() if v[0] == s) for s in range(4)]
+    assert min(sizes) >= 1
+
+
+def test_shard_assign_deterministic(spark):
+    from sparkx.ops.corpus import shard_assign
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(100), "text": ["x"] * 100})
+    )
+    a = sorted(map(tuple, shard_assign(docs, n_shards=8).collect()))
+    b = sorted(map(tuple, shard_assign(docs.repartition(7), n_shards=8).collect()))
+    assert a == b  # layout independent of input partitioning
+
+
+# ───────────────────────── snapshot_diff ───────────────────────────────────
+
+
+def test_snapshot_diff_statuses(spark):
+    from sparkx.ops.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 5],
+                      "text": ["same", "will change", None, "", "gone"]})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 6],
+                      "text": ["same", "changed!", "", None, "fresh"]})
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",  # NULL → ''  is a content change (sentinel ≠ md5(''))
+        4: "changed",  # ''  → NULL likewise
+        5: "removed",
+        6: "added",
+    }
+
+
+# ─────────────────────── int8 quantization ─────────────────────────────────
+
+
+def _codes_mirror(vec):
+    if vec is None:
+        return None
+    f32 = [float(np.float32(x)) for x in vec]  # array<float> storage rounding
+    m = max((abs(x) for x in f32), default=0.0)
+    if m == 0.0:
+        return [0] * len(vec)
+    return [int(math.floor(x * 127.0 / m + 0.5)) for x in f32]
+
+
+def test_quantize_int8_mirror(spark):
+    from sparkx.ops.similarity import quantize_int8
+
+    vecs = [
+        [1.0, -2.0, 0.5, 2.0],
+        [0.0, 0.0, 0.0, 0.0],          # zero vector → all-zero codes
+        [1e-9, -1e-9, 1e-9, -1e-9],    # tiny but nonzero → ±127 at extremes
+        None,                          # NULL vector → NULL codes
+        [-3.5, 3.5, 1.75, -1.75],      # exact .5 rounding edges
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = {r["vec_id"]: r["codes"] for r in quantize_int8(df).collect()}
+    for i, v in enumerate(vecs):
+        assert got[i] == _codes_mirror(v), f"vec {i}"
+    # range invariant
+    for cs in got.values():
+        if cs is not None:
+            assert all(-127 <= c <= 127 for c in cs)
+
+
+def test_int8_topk_vs_numpy(spark):
+    from sparkx.ops.similarity import int8_topk
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(30, 16).astype(np.float32)
+    mat[5] = 0.0  # zero vector must be excluded, not crash
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    got = [(r["vec_id"], r["dot_q"]) for r in int8_topk(df, query_vec_id=0, k=5).collect()]
+
+    codes = {i: _codes_mirror([float(x) for x in mat[i]]) for i in range(30)}
+    qc = codes[0]
+    scored = []
+    for i in range(1, 30):
+        c = codes[i]
+        dot = sum(a * b for a, b in zip(c, qc))
+        nv = sum(a * a for a in c)
+        nq = sum(a * a for a in qc)
+        if nv > 0 and nq > 0:
+            scored.append((dot / (math.sqrt(nq) * math.sqrt(nv)), i, dot))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    want = [(i, d) for (_, i, d) in scored[:5]]
+    assert got == want
+    assert all(i != 5 for i, _ in got)  # zero vector excluded
+
+
+def test_int8_topk_close_to_fp32(spark):
+    """Fidelity: on smooth random vectors the quantized top-5 should
+    largely agree with the fp32 brute-force top-5 (overlap ≥ 3/5)."""
+    from sparkx.ops.similarity import int8_topk, topk_bruteforce
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(40, 32).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]], 0) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q5 = {r["vec_id"] for r in int8_topk(df, query_vec_id=0, k=5).collect()}
+    f5 = {r["vec_id"] for r in topk_bruteforce(df, query_vec_id=0, k=5).collect()}
+    assert len(q5 & f5) >= 3

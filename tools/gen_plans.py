@@ -552,6 +552,54 @@ def main() -> int:
         )
     )
 
+    shards_plan = fmt(E.queries()["cur_shards"](spark, sf))
+    assert shards_plan.count("Exchange") - shards_plan.count("ReusedExchange") == 1, \
+        "shard_assign must cost exactly ONE exchange"
+    assert "hashpartitioning(shard" in shards_plan
+    assert "Window" in shards_plan
+    sections.append(
+        (
+            "Balanced shard-writer assignment (one exchange, local sort)",
+            shards_plan,
+            "What to check (asserted): exactly ONE Exchange, hash-partitioned\n"
+            "on shard, followed by a LOCAL sort feeding the row_number Window\n"
+            "— the minimal shard-writer shape (repartition(n, shard) +\n"
+            "sortWithinPartitions).  No global sort anywhere; per-shard\n"
+            "positions come from the per-partition sort, so scale is bounded\n"
+            "by a single shard's rows, which n_shards controls.",
+        )
+    )
+    snap_plan = fmt(E.queries()["cur_snapshot_diff"](spark, sf))
+    assert "FullOuter" in snap_plan
+    sections.append(
+        (
+            "Corpus snapshot diff (fingerprint maps + one full-outer join)",
+            snap_plan,
+            "What to check (asserted FullOuter): each snapshot side is a\n"
+            "narrow md5-fingerprint projection pushed onto its scan; the only\n"
+            "wide operation is the single full-outer join on doc_id.  At this\n"
+            "toy SF Catalyst may broadcast one side; at corpus scale the same\n"
+            "node is a SortMergeJoin whose exchanges vanish entirely when both\n"
+            "snapshots are bucketed by doc_id (the natural versioned-corpus\n"
+            "layout).",
+        )
+    )
+    int8_plan = fmt(E.queries()["ann_int8_topk"](spark, sf))
+    assert "TakeOrderedAndProject" in int8_plan
+    assert "Generate explode" in int8_plan
+    sections.append(
+        (
+            "INT8-quantized ANN top-k (Generate barrier, TakeOrdered)",
+            int8_plan,
+            "What to check (asserted): the per-vector maxabs aggregate is\n"
+            "bound through a Generate(explode) barrier so CollapseProject\n"
+            "cannot inline the O(d) reduction into the per-element quantize\n"
+            "transform and make it O(d²); the 1-row query codes arrive via\n"
+            "BroadcastExchange; the final top-k is TakeOrderedAndProject (a\n"
+            "bounded heap per partition + k-row merge), never a full sort.",
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plan audit (explain formatted)\n\n"
