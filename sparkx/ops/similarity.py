@@ -520,14 +520,18 @@ def int8_topk(
     codes = quantize_int8(emb.filter(F.col("embedding").isNotNull())).select(
         "vec_id", "codes"
     )
+    # n_q is a per-QUERY constant: compute it once on the 1-row broadcast
+    # side, never per scanned row (the knn_join norm-hoist rule — HOF
+    # lambdas are interpreted, so constant per-row re-evaluation is real
+    # wall at scale)
     q = codes.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("codes").alias("q_codes")
+        F.col("codes").alias("q_codes"),
+        _int_dot("codes", "codes").alias("n_q"),
     )
     scored = (
         codes.crossJoin(F.broadcast(q))
         .withColumn("dot_q", _int_dot("codes", "q_codes"))
         .withColumn("n_v", _int_dot("codes", "codes"))
-        .withColumn("n_q", _int_dot("q_codes", "q_codes"))
         .filter(
             (F.col("vec_id") != query_vec_id)
             & (F.col("n_v") > 0)
