@@ -1603,6 +1603,28 @@ def _q_cur_snapshot_diff(spark, sf_dir):
     return C.snapshot_diff(old, new)
 
 
+def _q_dedup_containment(spark, sf_dir):
+    """Near-superset pairs by exact shingle containment
+    (dedup.containment_pairs; Broder 1997) — the asymmetric rung Jaccard
+    misses: a doc wrapped in boilerplate has low Jaccard but containment
+    ≈ 1.  Composite pages are synthesized from the documents table itself
+    (page i = text_i + ' ' + text_{i+1}, id offset 10^6) so every original
+    doc is genuinely contained in 1-2 composites and the threshold does
+    real work.  Purely aggregative: posting self-join + pair count, no
+    per-pair array verification."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    nxt = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_n")
+    )
+    comp = d.join(nxt, "doc_id").select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat_ws(" ", "text", "_n").alias("text"),
+    )
+    return D.containment_pairs(d.unionByName(comp), n=3, threshold=0.9)
+
+
 def _q_ann_int8_topk(spark, sf_dir):
     """Top-10 neighbours by cosine over INT8-quantized codes
     (similarity.quantize_int8 + int8_topk): the 4×-compression fidelity
@@ -1676,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_shards": _q_cur_shards,
         "cur_snapshot_diff": _q_cur_snapshot_diff,
         "ann_int8_topk": _q_ann_int8_topk,
+        "dedup_containment": _q_dedup_containment,
         "corpus_funnel": _q_corpus_funnel,
         "stream_extract": _q_stream_extract,
         "sessionize": _q_sessionize,
@@ -3514,6 +3537,35 @@ GROUP BY 1"""
             FROM scored
             WHERE vec_id <> 0 AND n_v > 0 AND n_q > 0
             ORDER BY cos_q DESC, vec_id ASC LIMIT 10""",
+        "dedup_containment": """
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS text FROM documents
+              UNION ALL
+              SELECT d.doc_id + 1000000 AS doc_id,
+                     coalesce(d.text, '') || ' ' || coalesce(nx.text, '') AS text
+              FROM documents d JOIN documents nx ON nx.doc_id = d.doc_id + 1),
+            sh AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) < 3 THEN []
+                ELSE list_transform(range(1, len(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) - 1),
+                  i -> regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')[i] || ' ' ||
+                       regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')[i+1] || ' ' ||
+                       regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')[i+2]) END) AS shingles
+              FROM base),
+            sizes AS (
+              SELECT doc_id, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0),
+            posting AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            inter AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+              FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT i.a_id, i.b_id, i.n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+                   CAST(i.n_inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)
+                     AS containment
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a_id
+            JOIN sizes sb ON sb.doc_id = i.b_id
+            WHERE CAST(i.n_inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.9""",
         "stream_dedup": TRANSCRIPTS_SQL_CTE + """,
             dd_rows AS (
               SELECT

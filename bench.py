@@ -156,7 +156,10 @@ def main() -> int:
         # n-gram novelty curve; exact-k stratified sample
         "dedup_novelty", "cur_fixed_k",
         # r4 close: shard-writer assignment, recrawl snapshot diff,
-        # int8-quantized ANN top-k
+        # int8-quantized ANN top-k (dedup_containment stays untimed: the
+        # driver query pins max_shingle_df=None for the exact oracle, the
+        # quadratic verification path — same rationale as
+        # dedup_ngram_jaccard; the capped scale path is pytest-covered)
         "cur_shards", "cur_snapshot_diff", "ann_int8_topk",
     ]
     for name in suite:

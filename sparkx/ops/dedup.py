@@ -1057,3 +1057,71 @@ def novelty_scores(
             ).alias("novelty"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact near-SUPERSET pairs by shingle containment (Broder 1997's
+    second resemblance measure): ``containment = |A∩B| / min(|A|, |B|)``
+    — the asymmetric signal Jaccard structurally misses.  A short article
+    embedded verbatim in a long boilerplate-framed page has Jaccard
+    ≈ |article|/|page| (arbitrarily low) but containment ≈ 1.0; web-corpus
+    dedup needs this rung to catch syndicated/wrapped copies that pairwise
+    Jaccard keeps.
+
+    Purely AGGREGATIVE — no per-pair array re-verification (contrast
+    ``ngram_jaccard_pairs``): shingles are distinct per doc, so the
+    posting-list self-join yields exactly one row per (pair, shared
+    shingle) and ``groupBy(pair).count()`` IS ``|A∩B|``; denominators are
+    per-doc shingle counts joined back.  Two bounded shuffles (shingle,
+    pair) + two size joins.  ``max_shingle_df`` drops hot shingles from
+    the posting list BEFORE the self-join (the stop-shingle cap); unlike
+    the Jaccard op the intersection is counted on the capped postings, so
+    with a cap the reported containment is a LOWER BOUND over the
+    informative-shingle space — exact when ``None`` (the oracle-gate
+    default here; production sets a cap).
+    """
+    sh = with_shingles(docs, n=n).select("doc_id", "shingles")
+    sizes = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh")
+    ).filter(F.col("n_sh") > 0)
+    posting = sh.select("doc_id", F.explode("shingles").alias("s"))
+    if max_shingle_df is not None:
+        hot = (
+            posting.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("s")
+        )
+        posting = posting.join(F.broadcast(hot), "s", "left_anti")
+    inter = (
+        posting.alias("a")
+        .join(posting.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    j = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a")),
+            "a_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b")),
+            "b_id",
+        )
+    )
+    # exact-int division: n_inter and the least() are int64, so the double
+    # is IEEE-determined — no round() (the cross-engine half-tie trap)
+    cont = F.col("n_inter").cast("double") / F.least("n_a", "n_b").cast("double")
+    return (
+        j.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("a_id", "b_id", "n_inter", "n_a", "n_b", "containment")
+    )

@@ -167,3 +167,69 @@ def test_int8_topk_close_to_fp32(spark):
     q5 = {r["vec_id"] for r in int8_topk(df, query_vec_id=0, k=5).collect()}
     f5 = {r["vec_id"] for r in topk_bruteforce(df, query_vec_id=0, k=5).collect()}
     assert len(q5 & f5) >= 3
+
+
+# ─────────────────────── containment pairs ─────────────────────────────────
+
+
+def _shingles(text, n=3):
+    import re as _re
+
+    toks = _re.split("[ \t\n\x0b\f\r]+", text.lower().strip(" "))
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_containment_mirror(spark):
+    from sparkx.ops.dedup import containment_pairs
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "intro words alpha beta gamma delta epsilon zeta outro tail here",  # ⊃ 1
+        3: "alpha beta gamma completely different suffix tokens",
+        4: "unrelated document about entirely other topics now",
+        5: "tiny doc",  # < n tokens → no shingles → excluded
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["a_id"], r["b_id"]): (r["n_inter"], r["n_a"], r["n_b"], r["containment"])
+        for r in containment_pairs(df, n=3, threshold=0.5).collect()
+    }
+
+    sh = {i: _shingles(t) for i, t in texts.items()}
+    want = {}
+    ids = sorted(sh)
+    for i in ids:
+        for j in ids:
+            if i >= j or not sh[i] or not sh[j]:
+                continue
+            inter = len(sh[i] & sh[j])
+            if inter == 0:
+                continue
+            c = inter / min(len(sh[i]), len(sh[j]))
+            if c >= 0.5:
+                want[(i, j)] = (inter, len(sh[i]), len(sh[j]), c)
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)][3] == 1.0  # doc 1 fully inside doc 2
+    # Jaccard for the same pair is well below 1 — the asymmetric signal
+    assert got[(1, 2)][0] / (got[(1, 2)][1] + got[(1, 2)][2] - got[(1, 2)][0]) < 0.5
+
+
+def test_containment_df_cap_is_lower_bound(spark):
+    from sparkx.ops.dedup import containment_pairs
+
+    # one shingle shared by every doc ('x y z' prefix) becomes hot under
+    # the cap; capped containment must never exceed the exact value
+    texts = [(i, f"x y z doc{i} tail{i} more{i} words{i}") for i in range(6)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    exact = {
+        (r["a_id"], r["b_id"]): r["containment"]
+        for r in containment_pairs(df, n=3, threshold=0.0).collect()
+    }
+    capped = {
+        (r["a_id"], r["b_id"]): r["containment"]
+        for r in containment_pairs(df, n=3, threshold=0.0, max_shingle_df=3).collect()
+    }
+    for pair, c in capped.items():
+        assert c <= exact[pair] + 1e-12
