@@ -161,6 +161,8 @@ def main() -> int:
         # quadratic verification path — same rationale as
         # dedup_ngram_jaccard; the capped scale path is pytest-covered)
         "cur_shards", "cur_snapshot_diff", "ann_int8_topk",
+        # incremental distinct stats: per-batch HLL sketches + binary merge
+        "cur_hll_batches",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

@@ -233,3 +233,54 @@ def test_containment_df_cap_is_lower_bound(spark):
     }
     for pair, c in capped.items():
         assert c <= exact[pair] + 1e-12
+
+
+# ───────────────────── HLL incremental sketches ────────────────────────────
+
+
+def test_hll_merge_equals_whole_corpus_sketch(spark):
+    """Union of per-batch sketches must estimate IDENTICALLY to one sketch
+    built over the whole corpus (merge is exact over sketch state), and in
+    the sparse regime both equal the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from sparkx.ops.corpus import hll_batch_sketches, hll_merge_stats
+
+    rows = [(i, f"doc body {i % 97} tail", "en" if i % 2 else "de", i % 5)
+            for i in range(400)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, batch long"
+    )
+    merged = {
+        r["grp"]: (r["n_distinct_merged"], r["n_docs"])
+        for r in hll_merge_stats(hll_batch_sketches(docs)).collect()
+    }
+    whole = {
+        r["grp"]: r["n_distinct_merged"]
+        for r in hll_merge_stats(
+            hll_batch_sketches(docs.withColumn("batch", F.lit(0)))
+        ).collect()
+    }
+    assert {g: v[0] for g, v in merged.items()} == whole
+    # sparse regime → exact: 97 is odd, so over 400 ids BOTH parities see
+    # every body residue — 97 distinct per lang
+    exact = {"en": 97, "de": 97}
+    assert {g: v[0] for g, v in merged.items()} == exact
+    assert merged["en"][1] == merged["de"][1] == 200
+
+
+def test_hll_dense_mode_tolerance(spark):
+    """Past sparse promotion the estimate is approximate — pin the lg_k=12
+    error envelope (±5% is ~3 standard errors) on 20k distinct values."""
+    from pyspark.sql import functions as F
+
+    from sparkx.ops.corpus import hll_batch_sketches, hll_merge_stats
+
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique doc "), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"),
+        (F.col("id") % 4).alias("batch"),
+    )
+    est = hll_merge_stats(hll_batch_sketches(docs)).collect()[0]["n_distinct_merged"]
+    assert abs(est - 20_000) / 20_000 < 0.05
