@@ -553,8 +553,8 @@ def main() -> int:
     )
 
     shards_plan = fmt(E.queries()["cur_shards"](spark, sf))
-    assert shards_plan.count("Exchange") - shards_plan.count("ReusedExchange") == 1, \
-        "shard_assign must cost exactly ONE exchange"
+    n_ex = len(re.findall(r"^\s*\(\d+\)\s+Exchange", shards_plan, re.M))
+    assert n_ex == 1, f"shard_assign must cost exactly ONE exchange, saw {n_ex}"
     assert "hashpartitioning(shard" in shards_plan
     assert "Window" in shards_plan
     sections.append(
@@ -586,7 +586,8 @@ def main() -> int:
     )
     int8_plan = fmt(E.queries()["ann_int8_topk"](spark, sf))
     assert "TakeOrderedAndProject" in int8_plan
-    assert "Generate explode" in int8_plan
+    assert re.search(r"^\s*\(\d+\)\s+Generate", int8_plan, re.M) and \
+        "explode" in int8_plan, "maxabs must bind through a Generate barrier"
     sections.append(
         (
             "INT8-quantized ANN top-k (Generate barrier, TakeOrdered)",
@@ -597,6 +598,39 @@ def main() -> int:
             "transform and make it O(d²); the 1-row query codes arrive via\n"
             "BroadcastExchange; the final top-k is TakeOrderedAndProject (a\n"
             "bounded heap per partition + k-row merge), never a full sort.",
+        )
+    )
+
+    cont_plan = fmt(E.queries()["dedup_containment"](spark, sf))
+    assert "array_intersect" not in cont_plan, \
+        "containment must be aggregative — no per-pair array verification"
+    sections.append(
+        (
+            "Containment pairs (aggregative — no array re-verification)",
+            cont_plan,
+            "What to check (asserted: NO array_intersect anywhere): the\n"
+            "intersection size |A∩B| is a HashAggregate count over the\n"
+            "posting-list self-join (shingles are distinct per doc, so one\n"
+            "row per (pair, shared shingle)); denominators join back from\n"
+            "the per-doc size frame.  Contrast the Jaccard plan, which must\n"
+            "re-join the full shingle arrays per candidate pair — here no\n"
+            "array ever crosses a shuffle after the explode.",
+        )
+    )
+    hll_plan = fmt(E.queries()["cur_hll_batches"](spark, sf))
+    assert "hll_union_agg" in hll_plan and "hll_sketch_agg" in hll_plan
+    assert "partial_hll_sketch_agg" in hll_plan, \
+        "batch sketches must build map-side (partial aggregation)"
+    sections.append(
+        (
+            "Incremental HLL sketch build + merge (map-side partial)",
+            hll_plan,
+            "What to check (asserted): hll_sketch_agg runs with a PARTIAL\n"
+            "pass below the (batch, group) exchange — sketch state, never\n"
+            "fingerprints, crosses the shuffle — and the report side is an\n"
+            "hll_union_agg over the tiny sketch table.  In production the\n"
+            "sketch frame is PERSISTED per ingest batch and the merge never\n"
+            "touches the corpus again.",
         )
     )
 
