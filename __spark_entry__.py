@@ -1603,6 +1603,29 @@ def _q_cur_snapshot_diff(spark, sf_dir):
     return C.snapshot_diff(old, new)
 
 
+def _q_cur_drift(spark, sf_dir):
+    """Token-length PSI drift report between two corpus snapshots
+    (corpus.snapshot_drift): new = old minus every 3rd doc, with every
+    4th doc's text doubled — a real distribution shift, so non-zero PSI
+    contributions appear in the moved buckets.  Per-bucket e6-grid
+    contributions; the caller sums (PSI > 0.25 = actionable drift)."""
+    from sparkx.ops import corpus as C
+
+    d = _docs(spark, sf_dir)
+    new = d.filter(F.col("doc_id") % 3 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" "),
+                F.coalesce(F.col("text"), F.lit("")),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return C.snapshot_drift(d, new)
+
+
 def _q_cur_hll_batches(spark, sf_dir):
     """Incremental distinct-content stats via persisted mergeable HLL
     sketches (corpus.hll_batch_sketches + hll_merge_stats): per-batch
@@ -1716,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8_topk": _q_ann_int8_topk,
         "dedup_containment": _q_dedup_containment,
         "cur_hll_batches": _q_cur_hll_batches,
+        "cur_drift": _q_cur_drift,
         "corpus_funnel": _q_corpus_funnel,
         "stream_extract": _q_stream_extract,
         "sessionize": _q_sessionize,
@@ -3554,6 +3578,40 @@ GROUP BY 1"""
             FROM scored
             WHERE vec_id <> 0 AND n_v > 0 AND n_q > 0
             ORDER BY cos_q DESC, vec_id ASC LIMIT 10""",
+        "cur_drift": """
+            WITH spine AS (
+              SELECT CAST(range AS BIGINT) AS bucket FROM range(16)),
+            oldc AS (
+              SELECT least(floor(CAST(len(regexp_split_to_array(
+                       trim(coalesce(text, '')), '[ \t\n\x0b\f\r]+')) AS DOUBLE) / 32), 15) AS bucket,
+                     count(*) AS n_old
+              FROM documents GROUP BY 1),
+            newd AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN coalesce(text, '') || ' ' || coalesce(text, '')
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 3 <> 0),
+            newc AS (
+              SELECT least(floor(CAST(len(regexp_split_to_array(
+                       trim(coalesce(text, '')), '[ \t\n\x0b\f\r]+')) AS DOUBLE) / 32), 15) AS bucket,
+                     count(*) AS n_new
+              FROM newd GROUP BY 1),
+            j AS (
+              SELECT s.bucket,
+                     coalesce(o.n_old, 0) AS n_old,
+                     coalesce(n.n_new, 0) AS n_new
+              FROM spine s LEFT JOIN oldc o ON o.bucket = s.bucket
+                           LEFT JOIN newc n ON n.bucket = s.bucket),
+            tot AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM j)
+            SELECT CAST(j.bucket AS INT) AS bucket, j.n_old, j.n_new,
+                   CAST(round(
+                     (CAST(j.n_new + 1 AS DOUBLE) / CAST(t.t_new + 16 AS DOUBLE)
+                      - CAST(j.n_old + 1 AS DOUBLE) / CAST(t.t_old + 16 AS DOUBLE))
+                     * ln((CAST(j.n_new + 1 AS DOUBLE) / CAST(t.t_new + 16 AS DOUBLE))
+                          / (CAST(j.n_old + 1 AS DOUBLE) / CAST(t.t_old + 16 AS DOUBLE)))
+                     * 1e6) AS BIGINT) AS psi_e6
+            FROM j, tot t""",
         "cur_hll_batches": """
             WITH d AS (
               SELECT lang AS grp,

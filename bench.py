@@ -163,6 +163,8 @@ def main() -> int:
         "cur_shards", "cur_snapshot_diff", "ann_int8_topk",
         # incremental distinct stats: per-batch HLL sketches + binary merge
         "cur_hll_batches",
+        # token-length PSI drift between snapshots
+        "cur_drift",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

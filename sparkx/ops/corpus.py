@@ -904,3 +904,73 @@ def hll_merge_stats(sketches: DataFrame, by: str = "grp") -> DataFrame:
         ),
         F.sum("n_docs").alias("n_docs"),
     )
+
+
+def snapshot_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    bucket_width: int = 32,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Population-stability index (PSI) of the token-length distribution
+    between two corpus snapshots — the drift monitor a recurring ingest
+    runs next to :func:`snapshot_diff`: diff says WHICH docs changed, PSI
+    says whether the corpus SHAPE moved (a new crawl source, a boilerplate
+    regression, a truncation bug all shift the length histogram long
+    before anyone reads samples).  PSI < 0.1 is the classic "stable"
+    bound; > 0.25 is actionable drift.
+
+    Buckets are fixed-width integer token-count bins
+    (``least(tokens div width, n_buckets-1)``) — pure int64 arithmetic,
+    not log2 bucketing, whose float boundaries (ln(8)/ln(2) =
+    2.9999999999999996…) tie-break differently per engine.  Per-bucket
+    contribution ``(p_new − p_old)·ln(p_new/p_old)`` with add-one
+    smoothing over the FULL bucket spine (so empty buckets are defined),
+    quantized to the 1e-6 grid per bucket (the bigram_logprob ln idiom)
+    and emitted PER BUCKET — the caller sums ``psi_e6``; no cross-engine
+    float accumulation ever happens inside the op.
+
+    Execution: one narrow token-count map + one ≤``n_buckets``-row
+    aggregate per side, a broadcast spine and a broadcast 1-row totals
+    frame — the whole report is two corpus scans and constant-size
+    state."""
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        toks = F.size(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        )
+        # floor(int/width) is integer-valued, so the long cast is identical
+        # under Spark's truncate and DuckDB's round — no cast ambiguity
+        bucket = F.least(
+            F.floor(toks / F.lit(bucket_width)), F.lit(n_buckets - 1)
+        ).cast("long")
+        return df.select(bucket.alias("bucket")).groupBy("bucket").agg(
+            F.count("*").alias(out)
+        )
+
+    spark = old.sparkSession
+    spine = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    j = (
+        spine.join(counts(old, "n_old"), "bucket", "left")
+        .join(counts(new, "n_new"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_old", F.lit(0).cast("long")).alias("n_old"),
+            F.coalesce("n_new", F.lit(0).cast("long")).alias("n_new"),
+        )
+    )
+    tot = j.agg(F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new"))
+    p_o = (F.col("n_old") + 1).cast("double") / (
+        F.col("t_old") + n_buckets
+    ).cast("double")
+    p_n = (F.col("n_new") + 1).cast("double") / (
+        F.col("t_new") + n_buckets
+    ).cast("double")
+    psi_e6 = F.round((p_n - p_o) * F.log(p_n / p_o) * 1e6).cast("long")
+    return j.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_old",
+        "n_new",
+        psi_e6.alias("psi_e6"),
+    )

@@ -284,3 +284,48 @@ def test_hll_dense_mode_tolerance(spark):
     )
     est = hll_merge_stats(hll_batch_sketches(docs)).collect()[0]["n_distinct_merged"]
     assert abs(est - 20_000) / 20_000 < 0.05
+
+
+# ───────────────────────── snapshot drift (PSI) ─────────────────────────────
+
+
+def test_snapshot_drift_mirror(spark):
+    import re as _re
+
+    from sparkx.ops.corpus import snapshot_drift
+
+    old_rows = [(i, "tok " * (i * 7 % 200)) for i in range(60)] + [(60, None)]
+    new_rows = [(i, "tok " * ((i * 7 % 200) + 40)) for i in range(45)]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    got = {
+        r["bucket"]: (r["n_old"], r["n_new"], r["psi_e6"])
+        for r in snapshot_drift(old, new, bucket_width=32, n_buckets=16).collect()
+    }
+
+    def bucket(text):
+        toks = _re.split(r"\s+", (text or "").strip())
+        return min(len(toks) // 32, 15)
+
+    import math
+
+    co, cn = [0] * 16, [0] * 16
+    for _, t in old_rows:
+        co[bucket(t)] += 1
+    for _, t in new_rows:
+        cn[bucket(t)] += 1
+    t_old, t_new = sum(co), sum(cn)
+    want = {}
+    for b in range(16):
+        p_o = (co[b] + 1) / (t_old + 16)
+        p_n = (cn[b] + 1) / (t_new + 16)
+        want[b] = (co[b], cn[b], round((p_n - p_o) * math.log(p_n / p_o) * 1e6))
+    assert set(got) == set(want)
+    for b in range(16):
+        assert got[b][:2] == want[b][:2], f"bucket {b} counts"
+        assert abs(got[b][2] - want[b][2]) <= 1, f"bucket {b} psi grid"
+    # the +40-token shift must register as real drift
+    assert sum(v[2] for v in got.values()) / 1e6 > 0.25
+    # identical snapshots → zero PSI everywhere
+    zero = snapshot_drift(old, old).collect()
+    assert all(r["psi_e6"] == 0 for r in zero)
