@@ -634,6 +634,23 @@ def main() -> int:
         )
     )
 
+    drift_plan = fmt(E.queries()["cur_drift"](spark, sf))
+    n_hash_ex = len(re.findall(
+        r"^\s*\(\d+\)\s+Exchange hashpartitioning", drift_plan, re.M))
+    assert n_hash_ex <= 2, \
+        f"drift must shuffle only the two <=16-row bucket aggregates, saw {n_hash_ex}"
+    sections.append(
+        (
+            "Snapshot PSI drift (two scans, constant-size state)",
+            drift_plan,
+            "What to check (asserted ≤2 hash exchanges): each snapshot side\n"
+            "is one narrow token-count map into a ≤16-row bucket aggregate —\n"
+            "the only hash shuffles in the plan; the spine and totals joins\n"
+            "are broadcasts over constant-size frames.  The whole drift\n"
+            "report costs two corpus scans regardless of corpus size.",
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plan audit (explain formatted)\n\n"
