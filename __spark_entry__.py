@@ -1642,6 +1642,27 @@ def _q_cur_hll_batches(spark, sf_dir):
     return C.hll_merge_stats(sk)
 
 
+def _q_ann_health(spark, sf_dir):
+    """Embedding-table QA report (similarity.embedding_health): the gate an
+    ANN pipeline runs before indexing — NULL / NaN / zero-norm / magnitude
+    outlier / ragged-dimension counts, all-integer output.  Five hostile
+    rows are unioned onto the real table (NULL vector, NaN element, zero
+    vector, |x|>100 outlier, 1-dim ragged) so every counter is exercised
+    at every SF; the clean real table contributes only n_vecs/dims."""
+    bad = spark.createDataFrame(
+        [
+            (9000001, None),
+            (9000002, [float("nan"), 1.0]),
+            (9000003, [0.0, 0.0]),
+            (9000004, [500.0, 1.0]),
+            (9000005, [1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    base = _emb(spark, sf_dir).select("vec_id", "embedding").unionByName(bad)
+    return S.embedding_health(base)
+
+
 def _q_dedup_containment(spark, sf_dir):
     """Near-superset pairs by exact shingle containment
     (dedup.containment_pairs; Broder 1997) — the asymmetric rung Jaccard
@@ -1740,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_dedup_containment,
         "cur_hll_batches": _q_cur_hll_batches,
         "cur_drift": _q_cur_drift,
+        "ann_health": _q_ann_health,
         "corpus_funnel": _q_corpus_funnel,
         "stream_extract": _q_stream_extract,
         "sessionize": _q_sessionize,
@@ -3578,6 +3600,47 @@ GROUP BY 1"""
             FROM scored
             WHERE vec_id <> 0 AND n_v > 0 AND n_q > 0
             ORDER BY cos_q DESC, vec_id ASC LIMIT 10""",
+        "ann_health": """
+            WITH base AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT * FROM (VALUES
+                (9000001::BIGINT, CAST(NULL AS FLOAT[])),
+                (9000002, ['nan'::FLOAT, 1.0::FLOAT]),
+                (9000003, [0.0::FLOAT, 0.0::FLOAT]),
+                (9000004, [500.0::FLOAT, 1.0::FLOAT]),
+                (9000005, [1.0::FLOAT])
+              ) t(vec_id, embedding)),
+            per AS (
+              SELECT
+                CAST(embedding IS NULL AS BIGINT) AS is_null,
+                CASE WHEN embedding IS NULL THEN 0
+                     ELSE CAST(len(list_filter(embedding,
+                            x -> isnan(CAST(x AS DOUBLE)))) > 0 AS BIGINT)
+                END AS has_nan,
+                CASE WHEN embedding IS NULL
+                       OR len(list_filter(embedding,
+                            x -> isnan(CAST(x AS DOUBLE)))) > 0 THEN 0
+                     ELSE CAST(list_aggregate(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE))), 'max') = 0 AS BIGINT)
+                END AS zero_norm,
+                CASE WHEN embedding IS NULL
+                       OR len(list_filter(embedding,
+                            x -> isnan(CAST(x AS DOUBLE)))) > 0 THEN 0
+                     ELSE CAST(list_aggregate(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE))), 'max') > 100.0 AS BIGINT)
+                END AS outlier,
+                CASE WHEN embedding IS NULL THEN NULL
+                     ELSE len(embedding) END AS dims
+              FROM base)
+            SELECT count(*) AS n_vecs,
+                   CAST(sum(is_null) AS BIGINT) AS n_null,
+                   CAST(sum(has_nan) AS BIGINT) AS n_nan,
+                   CAST(sum(zero_norm) AS BIGINT) AS n_zero_norm,
+                   CAST(sum(outlier) AS BIGINT) AS n_outlier,
+                   min(dims) AS dims_min,
+                   max(dims) AS dims_max
+            FROM per""",
         "cur_drift": """
             WITH spine AS (
               SELECT CAST(range AS BIGINT) AS bucket FROM range(16)),

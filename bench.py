@@ -165,6 +165,8 @@ def main() -> int:
         "cur_hll_batches",
         # token-length PSI drift between snapshots
         "cur_drift",
+        # embedding-table QA gate (NULL/NaN/zero-norm/outlier/ragged)
+        "ann_health",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

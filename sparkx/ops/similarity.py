@@ -551,3 +551,38 @@ def int8_topk(
         .orderBy(F.desc("cos_q"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def embedding_health(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One-row embedding-table QA report — the gate an ANN pipeline runs
+    BEFORE building an index over 100 TB of vectors, where a single NaN
+    poisons every dot product it touches and silently corrupts top-k
+    order: counts of NULL vectors, vectors containing NaN, zero-norm
+    vectors (cosine undefined), magnitude outliers (|x| > 100 — an
+    unnormalized-model or wrong-scale symptom), and the min/max dimension
+    (a ragged table breaks every zip_with).  All-integer output (exact on
+    any engine); one narrow map + a single 1-row aggregate, no shuffle of
+    vector data."""
+    c = F.col(vec_col)
+    has_nan = F.exists(c, lambda x: F.isnan(x.cast("double")))
+    maxabs = F.aggregate(
+        c, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    per = emb.select(
+        c.isNull().cast("long").alias("is_null"),
+        F.when(c.isNull(), F.lit(0)).otherwise(has_nan.cast("long")).alias("has_nan"),
+        F.when(c.isNull() | has_nan, F.lit(0))
+        .otherwise((maxabs == 0.0).cast("long")).alias("zero_norm"),
+        F.when(c.isNull() | has_nan, F.lit(0))
+        .otherwise((maxabs > 100.0).cast("long")).alias("outlier"),
+        F.when(c.isNull(), F.lit(None)).otherwise(F.size(c)).alias("dims"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("is_null").alias("n_null"),
+        F.sum("has_nan").alias("n_nan"),
+        F.sum("zero_norm").alias("n_zero_norm"),
+        F.sum("outlier").alias("n_outlier"),
+        F.min("dims").alias("dims_min"),
+        F.max("dims").alias("dims_max"),
+    )

@@ -329,3 +329,41 @@ def test_snapshot_drift_mirror(spark):
     # identical snapshots → zero PSI everywhere
     zero = snapshot_drift(old, old).collect()
     assert all(r["psi_e6"] == 0 for r in zero)
+
+
+# ───────────────────── embedding health report ──────────────────────────────
+
+
+def test_embedding_health_counts(spark):
+    from sparkx.ops.similarity import embedding_health
+
+    vecs = [
+        (1, [1.0, 2.0, 3.0]),
+        (2, None),
+        (3, [float("nan"), 1.0, 2.0]),
+        (4, [0.0, 0.0, 0.0]),
+        (5, [250.0, 1.0, 1.0]),
+        (6, [1.0]),                      # ragged
+        (7, [-101.0, 0.5, 0.5]),         # negative outlier
+        (8, [float("nan")]),             # nan AND ragged: counted as nan
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    r = embedding_health(df).collect()[0]
+    assert r["n_vecs"] == 8
+    assert r["n_null"] == 1
+    assert r["n_nan"] == 2
+    assert r["n_zero_norm"] == 1
+    assert r["n_outlier"] == 2
+    assert r["dims_min"] == 1 and r["dims_max"] == 3
+
+
+def test_embedding_health_clean_table(spark):
+    from sparkx.ops.similarity import embedding_health
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 50)],
+        "vec_id long, embedding array<float>",
+    )
+    r = embedding_health(df).collect()[0]
+    assert (r["n_null"], r["n_nan"], r["n_zero_norm"], r["n_outlier"]) == (0, 0, 0, 0)
+    assert r["n_vecs"] == 49 and r["dims_min"] == r["dims_max"] == 2
