@@ -797,6 +797,13 @@ def shard_assign(
     sentinel so they are assigned, not dropped; the window tiebreak pins
     NULLS LAST explicitly because Spark's ``asc`` default (NULLS FIRST)
     and DuckDB/ANSI (NULLS LAST) disagree.
+
+    ``key_col`` MUST be unique (it is the document identity): duplicate
+    keys — including a second NULL — share one md5, tie on BOTH window
+    order keys, and row_number then breaks the tie by partition arrival
+    order, which is NOT reproducible across runs/engines.  Dedup (or
+    uniquify) upstream; the determinism guarantee holds only for keyed
+    rows.
     """
     from pyspark.sql import Window
 
@@ -937,9 +944,10 @@ def snapshot_drift(
     state."""
 
     def counts(df: DataFrame, out: str) -> DataFrame:
-        toks = F.size(
-            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-        )
+        # the ONE canonical tokenizer (textstats.token_count) on the
+        # NULL-coalesced column — an inline re-spelling could silently
+        # diverge from every other token-count stat in the suite
+        toks = token_count(F.coalesce(F.col(text_col), F.lit("")))
         # floor(int/width) is integer-valued, so the long cast is identical
         # under Spark's truncate and DuckDB's round — no cast ambiguity
         bucket = F.least(

@@ -568,13 +568,23 @@ def embedding_health(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     maxabs = F.aggregate(
         c, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
     )
-    per = emb.select(
+    # bind BOTH interpreted array passes once per row through the
+    # explode(array(struct(...))) Generate barrier — lambda-bearing
+    # expressions are excluded from subexpression elimination, so naming
+    # them in three flag columns would re-run the O(d) scans 3x/2x per
+    # row (the quantize_int8 lesson, flag-column form)
+    probed = emb.withColumn(
+        "_hp", F.explode(F.array(F.struct(has_nan.alias("hn"), maxabs.alias("ma"))))
+    )
+    hn = F.col("_hp.hn")
+    ma = F.col("_hp.ma")
+    per = probed.select(
         c.isNull().cast("long").alias("is_null"),
-        F.when(c.isNull(), F.lit(0)).otherwise(has_nan.cast("long")).alias("has_nan"),
-        F.when(c.isNull() | has_nan, F.lit(0))
-        .otherwise((maxabs == 0.0).cast("long")).alias("zero_norm"),
-        F.when(c.isNull() | has_nan, F.lit(0))
-        .otherwise((maxabs > 100.0).cast("long")).alias("outlier"),
+        F.when(c.isNull(), F.lit(0)).otherwise(hn.cast("long")).alias("has_nan"),
+        F.when(c.isNull() | hn, F.lit(0))
+        .otherwise((ma == 0.0).cast("long")).alias("zero_norm"),
+        F.when(c.isNull() | hn, F.lit(0))
+        .otherwise((ma > 100.0).cast("long")).alias("outlier"),
         F.when(c.isNull(), F.lit(None)).otherwise(F.size(c)).alias("dims"),
     )
     return per.agg(

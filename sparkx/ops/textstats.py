@@ -25,11 +25,12 @@ LANG_ORDER = ["en", "de", "fr", "es"]  # tie-break precedence (fixed)
 PUNCT_CLASS = "[^.,;:!?]"
 
 
-def tokens(col: str = "text") -> Column:
-    return F.split(F.trim(F.col(col)), r"\s+")
+def tokens(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
 
 
-def token_count(col: str = "text") -> Column:
+def token_count(col: str | Column = "text") -> Column:
     """Whitespace token count (word-count analog of base.py:307-317)."""
     return F.size(tokens(col))
 

@@ -304,7 +304,9 @@ def test_snapshot_drift_mirror(spark):
     }
 
     def bucket(text):
-        toks = _re.split(r"\s+", (text or "").strip())
+        # the pinned tokenizer-mirror class: Python \s is Unicode-aware and
+        # str.strip() eats \t/\n edges where Spark's trim strips ' ' only
+        toks = _re.split("[ \t\n\x0b\f\r]+", (text or "").strip(" "))
         return min(len(toks) // 32, 15)
 
     import math
