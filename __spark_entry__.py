@@ -1642,6 +1642,18 @@ def _q_cur_hll_batches(spark, sf_dir):
     return C.hll_merge_stats(sk)
 
 
+def _q_dedup_quality_canonical(spark, sf_dir):
+    """Quality-aware cluster canonical pick (dedup.cluster_canonical):
+    MinHash-LSH pairs (same construction as dedup_clusters) → connected
+    components → per cluster keep the HIGHEST-quality member (min-id
+    tiebreak), singletons their own canonical — the production keep rule,
+    vs the funnel's determinism-demo min-id.  Pick is a skew-safe
+    max(struct(q, −id)) groupBy, never a per-cluster window."""
+    d = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(d, n=3, threshold=0.05)
+    return D.cluster_canonical(d, pairs)
+
+
 def _q_ann_health(spark, sf_dir):
     """Embedding-table QA report (similarity.embedding_health): the gate an
     ANN pipeline runs before indexing — NULL / NaN / zero-norm / magnitude
@@ -1762,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_hll_batches": _q_cur_hll_batches,
         "cur_drift": _q_cur_drift,
         "ann_health": _q_ann_health,
+        "dedup_quality_canonical": _q_dedup_quality_canonical,
         "corpus_funnel": _q_corpus_funnel,
         "stream_extract": _q_stream_extract,
         "sessionize": _q_sessionize,
@@ -3600,6 +3613,24 @@ GROUP BY 1"""
             FROM scored
             WHERE vec_id <> 0 AND n_v > 0 AND n_q > 0
             ORDER BY cos_q DESC, vec_id ASC LIMIT 10""",
+        "dedup_quality_canonical": (
+            "WITH RECURSIVE " + _minhash_pairs_ctes(0.05) + ",\n" + _CC_CTES
+            + f""",
+            labeled AS (
+              SELECT d.doc_id,
+                     coalesce(cc.cc_cluster, d.doc_id) AS cluster_id,
+                     coalesce({_TA_QUALITY}, -1.0) AS q
+              FROM documents d LEFT JOIN cc ON cc.cc_id = d.doc_id),
+            best AS (
+              SELECT cluster_id, doc_id AS keep_doc_id FROM (
+                SELECT cluster_id, doc_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY q DESC, doc_id ASC) AS rn
+                FROM labeled) WHERE rn = 1)
+            SELECT l.doc_id, l.cluster_id, b.keep_doc_id,
+                   l.doc_id = b.keep_doc_id AS is_canonical, l.q
+            FROM labeled l JOIN best b ON b.cluster_id = l.cluster_id"""
+        ),
         "ann_health": """
             WITH base AS (
               SELECT vec_id, embedding FROM embeddings

@@ -167,6 +167,8 @@ def main() -> int:
         "cur_drift",
         # embedding-table QA gate (NULL/NaN/zero-norm/outlier/ragged)
         "ann_health",
+        # quality-aware near-dup cluster canonical (LSH pairs -> CC -> argmax)
+        "dedup_quality_canonical",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

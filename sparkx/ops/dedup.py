@@ -1125,3 +1125,68 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("a_id", "b_id", "n_inter", "n_a", "n_b", "containment")
     )
+
+
+def cluster_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Quality-aware near-dup cluster resolution: per connected-component
+    cluster keep the HIGHEST-quality member (ties → min id), singletons
+    are their own canonical — what production dedup actually ships, vs the
+    min-id pick the funnel uses for determinism demos: near-dup clusters
+    mix a clean original with truncated/boilerplate-wrapped copies, and
+    min-id keeps whichever crawled first.  ``pairs`` is any (a_id, b_id)
+    near-dup frame (MinHash-LSH at scale).
+
+    Quality = :func:`textstats.quality_score` on ``text_col`` (NULL text
+    scores −1 so it never beats a scored member; an all-NULL cluster falls
+    back to min id via the tiebreak).  The pick is a map-side-combinable
+    ``max(struct(q, −id))`` groupBy + one join back — the skew-safe shape
+    (a viral cluster ships one struct per map task, never its rows,
+    through the pick exchange; contrast a row_number window, which
+    single-tasks the hottest cluster).  Returns
+    ``(doc_id, cluster_id, keep_doc_id, is_canonical, q)``.
+
+    The argmax-then-join shape evaluates the labeled frame twice (once
+    under the pick aggregate, once as the probe).  The quality expression
+    rides that double evaluation, so at corpus scale pass
+    ``quality_col`` — a column PRECOMPUTED into the docs table (the
+    curation pass already scores every doc) — and the doubled subtree is
+    a bare two-column scan; computing the score inline is the
+    demo/verification convenience.
+    """
+    from sparkx.ops.textstats import quality_score
+
+    q_expr = (
+        F.col(quality_col) if quality_col is not None
+        else quality_score(text_col)
+    )
+    cc = connected_components(pairs).withColumnRenamed("node_id", id_col)
+    labeled = (
+        docs.select(
+            F.col(id_col),
+            F.coalesce(q_expr, F.lit(-1.0)).alias("q"),
+        )
+        .join(cc, id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    best = (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("q"), (-F.col(id_col)).alias("_nid"))
+            ).alias("b")
+        )
+        .select("cluster_id", (-F.col("b._nid")).alias("keep_doc_id"))
+    )
+    return labeled.join(best, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "keep_doc_id",
+        (F.col(id_col) == F.col("keep_doc_id")).alias("is_canonical"),
+        "q",
+    )

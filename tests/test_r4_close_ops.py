@@ -369,3 +369,49 @@ def test_embedding_health_clean_table(spark):
     r = embedding_health(df).collect()[0]
     assert (r["n_null"], r["n_nan"], r["n_zero_norm"], r["n_outlier"]) == (0, 0, 0, 0)
     assert r["n_vecs"] == 49 and r["dims_min"] == r["dims_max"] == 2
+
+
+# ─────────────────── quality-aware cluster canonical ────────────────────────
+
+
+def test_cluster_canonical_picks_best_quality(spark):
+    from sparkx.ops.dedup import cluster_canonical
+
+    # cluster {1,2,3}: doc 3 is the long clean original (highest quality),
+    # doc 1 (min id) is a truncated copy — min-id would keep the WRONG one
+    long_text = ("the quick brown fox jumps over a lazy dog and keeps "
+                 "running through the long meadow of tall grass ") * 3
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the quick brown fox jumps over a lazy dog!!!!!"),
+            (3, long_text),
+            (7, None),        # NULL text, singleton: own canonical, q = -1
+            (9, "a lone unduplicated document of decent length here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "a_id long, b_id long"
+    )
+    rows = {r["doc_id"]: r for r in cluster_canonical(docs, pairs).collect()}
+    assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == rows[3]["cluster_id"] == 1
+    assert all(rows[i]["keep_doc_id"] == 3 for i in (1, 2, 3))  # NOT min-id
+    assert rows[3]["is_canonical"] and not rows[1]["is_canonical"]
+    assert rows[7]["cluster_id"] == 7 and rows[7]["is_canonical"]
+    assert rows[7]["q"] == -1.0
+    assert rows[9]["is_canonical"] and rows[9]["keep_doc_id"] == 9
+
+
+def test_cluster_canonical_tiebreak_min_id(spark):
+    from sparkx.ops.dedup import cluster_canonical
+
+    # identical text → identical quality → tiebreak keeps min id
+    docs = spark.createDataFrame(
+        [(5, "same words here exactly"), (4, "same words here exactly")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(4, 5)], "a_id long, b_id long")
+    rows = {r["doc_id"]: r for r in cluster_canonical(docs, pairs).collect()}
+    assert rows[4]["is_canonical"] and not rows[5]["is_canonical"]
+    assert rows[5]["keep_doc_id"] == 4
