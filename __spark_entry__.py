@@ -1642,6 +1642,16 @@ def _q_cur_hll_batches(spark, sf_dir):
     return C.hll_merge_stats(sk)
 
 
+def _q_ann_int8_recall(spark, sf_dir):
+    """INT8-vs-fp32 recall@10 per query (similarity.int8_recall_report):
+    the quantization fidelity claim made data — overlap between the
+    int8-code ranking and the fp32 brute-force ranking for 8 query
+    vectors.  Both rankings WindowGroupLimit-bounded; exact-int cosine on
+    the int8 side, round-4 fp32 cosine (the ann_topk form) on the
+    baseline side."""
+    return S.int8_recall_report(_emb(spark, sf_dir), n_queries=8, k=10)
+
+
 def _q_dedup_quality_canonical(spark, sf_dir):
     """Quality-aware cluster canonical pick (dedup.cluster_canonical):
     MinHash-LSH pairs (same construction as dedup_clusters) → connected
@@ -1775,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_drift": _q_cur_drift,
         "ann_health": _q_ann_health,
         "dedup_quality_canonical": _q_dedup_quality_canonical,
+        "ann_int8_recall": _q_ann_int8_recall,
         "corpus_funnel": _q_corpus_funnel,
         "stream_extract": _q_stream_extract,
         "sessionize": _q_sessionize,
@@ -3613,6 +3624,62 @@ GROUP BY 1"""
             FROM scored
             WHERE vec_id <> 0 AND n_v > 0 AND n_q > 0
             ORDER BY cos_q DESC, vec_id ASC LIMIT 10""",
+        "ann_int8_recall": """
+            WITH m AS (
+              SELECT vec_id, embedding,
+                list_aggregate(
+                  list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                  'max') AS maxabs
+              FROM embeddings WHERE embedding IS NOT NULL),
+            c AS (
+              SELECT vec_id,
+                CASE WHEN maxabs = 0
+                     THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                     ELSE list_transform(embedding, x ->
+                       CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5)
+                            AS INT) AS DOUBLE)) END AS dcodes
+              FROM m),
+            q32 AS (SELECT vec_id AS q_id, embedding AS q_embedding
+                    FROM m WHERE vec_id < 8),
+            fp AS (
+              SELECT q.q_id, a.vec_id,
+                round(list_dot_product(a.embedding::DOUBLE[], q.q_embedding::DOUBLE[]) /
+                  sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+                       list_dot_product(q.q_embedding::DOUBLE[], q.q_embedding::DOUBLE[])), 4) AS _c
+              FROM m a, q32 q WHERE a.vec_id <> q.q_id),
+            fp_top AS (
+              SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY _c DESC, vec_id ASC) AS rn
+                FROM fp) WHERE rn <= 10),
+            qc AS (
+              SELECT vec_id AS q_id, dcodes AS q_codes,
+                     CAST(list_dot_product(dcodes, dcodes) AS BIGINT) AS n_q
+              FROM c WHERE vec_id < 8),
+            i8 AS (
+              SELECT q.q_id, a.vec_id,
+                CAST(CAST(list_dot_product(a.dcodes, q.q_codes) AS BIGINT) AS DOUBLE)
+                  / (sqrt(CAST(q.n_q AS DOUBLE))
+                     * sqrt(CAST(CAST(list_dot_product(a.dcodes, a.dcodes) AS BIGINT) AS DOUBLE)))
+                  AS _c
+              FROM c a, qc q
+              WHERE a.vec_id <> q.q_id
+                AND CAST(list_dot_product(a.dcodes, a.dcodes) AS BIGINT) > 0
+                AND q.n_q > 0),
+            i8_top AS (
+              SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY _c DESC, vec_id ASC) AS rn
+                FROM i8) WHERE rn <= 10),
+            ov AS (
+              SELECT f.q_id, count(*) AS n_overlap
+              FROM fp_top f JOIN i8_top i
+                ON i.q_id = f.q_id AND i.vec_id = f.vec_id
+              GROUP BY f.q_id)
+            SELECT q.q_id, CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap
+            FROM q32 q LEFT JOIN ov o ON o.q_id = q.q_id""",
         "dedup_quality_canonical": (
             "WITH RECURSIVE " + _minhash_pairs_ctes(0.05) + ",\n" + _CC_CTES
             + f""",

@@ -169,6 +169,8 @@ def main() -> int:
         "ann_health",
         # quality-aware near-dup cluster canonical (LSH pairs -> CC -> argmax)
         "dedup_quality_canonical",
+        # int8-vs-fp32 recall@10 fidelity report
+        "ann_int8_recall",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

@@ -596,3 +596,79 @@ def embedding_health(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.min("dims").alias("dims_min"),
         F.max("dims").alias("dims_max"),
     )
+
+
+def int8_recall_report(
+    emb: DataFrame, n_queries: int = 8, k: int = 10
+) -> DataFrame:
+    """The quantization fidelity math, made data (the dedup_recall_report
+    pattern): per query vector, overlap@k between the INT8-code ranking
+    and the fp32 brute-force ranking — the number a deployment reads
+    before committing to 4× compression.  Returns ``(q_id, n_overlap)``
+    with ``n_overlap ∈ [0, k]``.
+
+    Both rankings are WindowGroupLimit-bounded per-query top-k over a
+    broadcast query frame; the overlap is one equi-join on
+    (q_id, vec_id) + a per-query count.  Assumes no zero-norm fp32
+    vectors (cosine undefined; run :func:`embedding_health` first — the
+    int8 side filters them, the fp32 side is the verification baseline
+    and mirrors :func:`topk_bruteforce` exactly)."""
+    from pyspark.sql import Window
+
+    base = emb.filter(F.col("embedding").isNotNull())
+    q32 = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    fp = (
+        base.crossJoin(F.broadcast(q32))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id",
+            F.round(_cosine("embedding", "q_embedding"), 4).alias("_c"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("_c"), F.asc("vec_id"))
+    fp_top = (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", "vec_id")
+    )
+    codes = quantize_int8(base).select("vec_id", "codes")
+    qc = codes.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("codes").alias("q_codes"),
+        _int_dot("codes", "codes").alias("n_q"),
+    )
+    i8 = (
+        codes.crossJoin(F.broadcast(qc))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("dot_q", _int_dot("codes", "q_codes"))
+        .withColumn("n_v", _int_dot("codes", "codes"))
+        .filter((F.col("n_v") > 0) & (F.col("n_q") > 0))
+        .select(
+            "q_id", "vec_id",
+            (
+                F.col("dot_q").cast("double")
+                / (
+                    F.sqrt(F.col("n_q").cast("double"))
+                    * F.sqrt(F.col("n_v").cast("double"))
+                )
+            ).alias("_c"),
+        )
+    )
+    i8_top = (
+        i8.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", "vec_id")
+    )
+    overlap = fp_top.join(i8_top, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        q32.select("q_id")
+        .join(overlap, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+        )
+    )

@@ -415,3 +415,46 @@ def test_cluster_canonical_tiebreak_min_id(spark):
     rows = {r["doc_id"]: r for r in cluster_canonical(docs, pairs).collect()}
     assert rows[4]["is_canonical"] and not rows[5]["is_canonical"]
     assert rows[5]["keep_doc_id"] == 4
+
+
+def test_int8_recall_report_vs_numpy(spark):
+    from sparkx.ops.similarity import int8_recall_report
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(25, 12).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(25)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["q_id"]: r["n_overlap"]
+           for r in int8_recall_report(df, n_queries=4, k=5).collect()}
+
+    def rank_fp(q):
+        scored = []
+        for i in range(25):
+            if i == q:
+                continue
+            c = round(float(np.dot(mat[i].astype(np.float64), mat[q].astype(np.float64))
+                            / math.sqrt(np.dot(mat[i].astype(np.float64), mat[i].astype(np.float64))
+                                        * np.dot(mat[q].astype(np.float64), mat[q].astype(np.float64)))), 4)
+            scored.append((-c, i))
+        return {i for _, i in sorted(scored)[:5]}
+
+    def rank_i8(q):
+        codes = {i: _codes_mirror([float(x) for x in mat[i]]) for i in range(25)}
+        nq = sum(a * a for a in codes[q])
+        scored = []
+        for i in range(25):
+            if i == q:
+                continue
+            nv = sum(a * a for a in codes[i])
+            if nv == 0 or nq == 0:
+                continue
+            dot = sum(a * b for a, b in zip(codes[i], codes[q]))
+            scored.append((-(dot / (math.sqrt(nq) * math.sqrt(nv))), i))
+        return {i for _, i in sorted(scored)[:5]}
+
+    for q in range(4):
+        assert got[q] == len(rank_fp(q) & rank_i8(q)), f"query {q}"
+    # int8 at 12 dims should preserve most of the neighbourhood
+    assert sum(got.values()) >= 4 * 3
