@@ -1,5 +1,7 @@
 """Loop-mirror tests for the r4-close operators: shard_assign,
-snapshot_diff, quantize_int8/int8_topk.  Each Spark result is compared
+snapshot_diff, quantize_int8/int8_topk/int8_recall_report,
+containment_pairs, HLL batch sketches, snapshot PSI drift,
+embedding_health, and cluster_canonical.  Each Spark result is compared
 against a boring pure-Python recomputation (the oracle style of
 sparkx/oracle.py) including the NULL/zero edge paths the driver's clean
 testdata never exercises."""
