@@ -1,11 +1,18 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
-line::
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+COMPACT JSON line as the FINAL stdout line::
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {...}, "sf": ..., "turns_per_sec": ..., ...}
+     "queries": {<headline subset>}, "sf": ..., "turns_per_sec": ...,
+     "n_queries": ..., "load_avg_start": ..., "full_timings": "BENCH/..."}
+
+The full per-query timing map (110+ entries) goes to
+``BENCH/last_run_sf<sf>.json`` — NOT into the stdout line: r4's line carried
+all 117 entries, overflowed the driver's tail-capture window, and the round
+recorded ``parsed: null`` (VERDICT r4 #2).  The compact line keeps the
+driver contract keys plus a fixed ~dozen-query headline subset.
 
 The headline is extraction throughput (turns/sec) — measured on a
 deterministic synthetic transcript table large enough to dominate fixed
@@ -13,6 +20,11 @@ overheads — plus the per-operator timings of the dedup / similarity /
 text-analysis suite over the sf-dir tables.  Scaling-efficiency evidence
 (local[8] vs local[32]) is produced by ``bench/scaling.py`` →
 ``BENCH/BASELINE.md``; this file stays single-config for the driver.
+
+Machine-noise discipline (CLAUDE.md): 1-min load average is sampled at
+start and end and recorded; a loud start (> LOAD_WARN, default 2.0) prints
+a warning line to STDERR so a contaminated run is never mistaken for a
+regression again.
 """
 
 from __future__ import annotations
@@ -27,6 +39,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
 VOLUME_TURNS = int(os.environ.get("SPARKX_BENCH_TURNS", 1_600_000))
+LOAD_WARN = float(os.environ.get("SPARKX_BENCH_LOAD_WARN", 2.0))
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# the fixed compact-line subset: the extraction headline + one representative
+# per operator family (dedup / cluster / ANN / lexical / curation / graph /
+# text-analysis / funnel) — small enough that the driver's tail-capture
+# window can never truncate the JSON line again
+HEADLINE_QUERIES = [
+    "ext_fastpath_volume", "ext_agentic_volume",
+    "dedup_minhash_lsh", "dedup_clusters",
+    "ann_topk", "ann_ivf", "ann_ivf_probe", "ann_bm25",
+    "cur_dsir", "corpus_funnel_gopher",
+    "html_pagerank", "ta_gopher_rules", "ta_top_tokens",
+]
 
 
 def _count(df) -> int:
@@ -41,6 +67,14 @@ def main() -> int:
     from sparkx.session import build_session
     from sparkx.synth import synth_spark
 
+    load_start = round(os.getloadavg()[0], 2)
+    if load_start > LOAD_WARN:
+        print(
+            f"WARNING: 1-min load average {load_start} > {LOAD_WARN} at bench "
+            f"start — co-tenant noise will inflate walls (CLAUDE.md: never "
+            f"bench while another Spark job or pytest is alive)",
+            file=sys.stderr,
+        )
     spark = build_session("sparkx-bench", master=f"local[{CPUS}]",
                           shuffle_partitions=2 * CPUS)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
@@ -110,10 +144,14 @@ def main() -> int:
         "dedup_clusters", "ann_knn_join", "a5_query_stats",
         "ta_token_counts", "fp_winnow", "fp_winnow_overlap",
         "dedup_embedding_clusters",
-        # r4 additions: lexical retrieval, contamination audit, IVF ANN,
-        # incremental-batch kNN (dedup_recall_report stays untimed — it
-        # embeds the uncapped exact ngram_jaccard_pairs ground truth,
-        # quadratic verification path, same rationale as dedup_ngram_jaccard)
+        # r4 additions: lexical retrieval, contamination audit, IVF ANN
+        # (r5: the ann_ivf query is now the FROZEN-quantizer path — inline
+        # assignment map + probe + exact scoring; the one-time k-means fit is
+        # timed separately as ann_ivf_build below, and the pruned prebuilt-
+        # index probe as ann_ivf_probe — VERDICT r4 #6), incremental-batch
+        # kNN (dedup_recall_report stays untimed — it embeds the uncapped
+        # exact ngram_jaccard_pairs ground truth, quadratic verification
+        # path, same rationale as dedup_ngram_jaccard)
         "ann_bm25", "fp_contamination", "ann_ivf", "ann_knn_batch",
         "cur_mixture", "corpus_cube", "cur_chunks",
         "dedup_incremental", "cur_split",
@@ -220,17 +258,73 @@ def main() -> int:
         ),
     )
 
+    # ── IVF index-build / probe split (VERDICT r4 #6): the k-means fit is a
+    # one-time INDEX BUILD — time it apart from the query path; then write
+    # the frozen-quantizer assignment partitionBy(ivf_cell) (the production
+    # layout) and time the probe alone on the prebuilt index, where the
+    # broadcast probe-cell semi-join prunes the scan to nprobe/n_cells ─────
+    from sparkx.ops.similarity import (
+        ivf_assign,
+        ivf_assign_frozen,
+        ivf_topk_frozen,
+        load_frozen_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timed(
+        "ann_ivf_build",
+        lambda: ivf_assign(emb, n_centroids=8, seed=7)[0].count(),
+    )
+    cents = load_frozen_centroids()
+    ivf_path = f"{base}/sparkx_bench_ivf_index_sf{sf}"
+    ivf_assign_frozen(emb, cents).write.mode("overwrite").partitionBy(
+        "ivf_cell"
+    ).parquet(ivf_path)
+    prebuilt = spark.read.parquet(ivf_path)
+    timed(
+        "ann_ivf_probe",
+        lambda: _count(
+            ivf_topk_frozen(
+                emb, cents, query_vec_id=0, k=10, nprobe=2, assigned=prebuilt
+            )
+        ),
+    )
+
     total = round(sum(timings.values()), 3)
+    load_end = round(os.getloadavg()[0], 2)
+    full = {
+        "metric": "extraction+ops suite wall time (headline: turns/sec extraction throughput)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **extras,
+        "cpus": CPUS,
+        "load_avg_start": load_start,
+        "load_avg_end": load_end,
+    }
+    full_path = os.path.join("BENCH", f"last_run_sf{sf}.json")
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, full_path), "w") as f:
+        json.dump(full, f, indent=1)
+    # the COMPACT driver line — final stdout line, fixed small size
     print(
         json.dumps(
             {
-                "metric": "extraction+ops suite wall time (headline: turns/sec extraction throughput)",
+                "metric": full["metric"],
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                **extras,
+                "queries": {
+                    k: timings[k] for k in HEADLINE_QUERIES if k in timings
+                },
+                "sf": full["sf"],
+                "turns_per_sec": extras["turns_per_sec"],
+                "volume_turns": VOLUME_TURNS,
                 "cpus": CPUS,
+                "n_queries": len(timings),
+                "load_avg_start": load_start,
+                "load_avg_end": load_end,
+                "full_timings": full_path,
             }
         )
     )

@@ -106,11 +106,16 @@ def query_stats(results: DataFrame, id_col: str = "query_id") -> DataFrame:
     * ``answer_length``   = len(raw answer)           (:569, _generate)
     * ``is_grounded``     = validation verdict        (:605, _validate)
     * ``hallucination_count`` = len(hallucinations)   (:606, _validate)
-    * ``was_revised``     — set True ONLY in the revise node (:295), which is
-      reached iff ``needs_revision = not is_grounded and revised_answer is
-      not None`` (:604); otherwise the ``stats.get('was_revised', False)``
-      default applies (:351,723).  Hence the column form:
-      ``(NOT is_grounded) AND revised_answer IS NOT NULL``.
+    * ``was_revised``     — the revise node (:295) is reached iff
+      ``needs_revision = not is_grounded and revised_answer is not None``
+      (:604), but the node sets ``was_revised=True`` only on *truthiness*
+      of the revised text (:292-300) — a reachable-but-empty
+      ``revised_answer == ''`` leaves the ``stats.get('was_revised',
+      False)`` default (:351,723).  Hence the column form:
+      ``(NOT is_grounded) AND revised_answer IS NOT NULL AND
+      length(revised_answer) > 0``.  (Inputs composed through
+      :func:`checkpoint_b` never carry '' — it normalizes ''/'null' to
+      NULL — but query_stats must match the reference for raw inputs too.)
 
     Input columns: ``id_col``, retrieved_count int, answer string,
     is_grounded boolean, hallucinations array<string>, revised_answer string
@@ -126,9 +131,11 @@ def query_stats(results: DataFrame, id_col: str = "query_id") -> DataFrame:
         F.coalesce(F.size("hallucinations"), F.lit(0)).cast("long").alias(
             "hallucination_count"
         ),
-        (~F.col("is_grounded") & F.col("revised_answer").isNotNull()).alias(
-            "was_revised"
-        ),
+        (
+            ~F.col("is_grounded")
+            & F.col("revised_answer").isNotNull()
+            & (F.length("revised_answer") > 0)
+        ).alias("was_revised"),
     )
 
 

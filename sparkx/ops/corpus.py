@@ -779,6 +779,7 @@ def shard_assign(
     n_shards: int = 8,
     key_col: str = "doc_id",
     salt: str = "shard0",
+    strict: bool = False,
 ) -> DataFrame:
     """Deterministic balanced shard-writer assignment: every doc gets a
     ``shard`` in [0, n_shards) and a ``pos`` (0-based) giving its position
@@ -803,9 +804,28 @@ def shard_assign(
     order keys, and row_number then breaks the tie by partition arrival
     order, which is NOT reproducible across runs/engines.  Dedup (or
     uniquify) upstream; the determinism guarantee holds only for keyed
-    rows.
+    rows.  ``strict=True`` enforces the precondition eagerly (one extra
+    count-distinct job — two cheap aggregates, no wide payload) and raises
+    on any duplicate or second-NULL key: the whole point of the op is
+    reproducibility, so a pipeline that cannot guarantee uniqueness
+    upstream should pay the check rather than ship a silently
+    arrival-ordered shard layout.
     """
     from pyspark.sql import Window
+
+    if strict:
+        r = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(key_col)).alias("d"),
+            F.sum(F.col(key_col).isNull().cast("long")).alias("nulls"),
+        ).collect()[0]
+        if r.d + min(r.nulls or 0, 1) != r.n:
+            raise ValueError(
+                f"shard_assign(strict=True): key_col {key_col!r} is not "
+                f"unique ({r.n} rows, {r.d} distinct non-NULL, "
+                f"{r.nulls or 0} NULL) — pos would be partition-arrival-"
+                f"ordered and non-reproducible. Dedup upstream."
+            )
 
     hh = F.md5(
         F.concat(
@@ -975,6 +995,11 @@ def snapshot_drift(
     p_n = (F.col("n_new") + 1).cast("double") / (
         F.col("t_new") + n_buckets
     ).cast("double")
+    # round() on a raw double is normally the engine-parity trap (CLAUDE.md:
+    # truncate grid-valued expressions instead), but it is safe here for the
+    # same reason as ta_bigram_logprob's ln: the value is transcendental
+    # (ln of a rational), so an exact .5 tie on the 1e-6 grid is
+    # measure-zero — never round() a GRID-valued expression this way.
     psi_e6 = F.round((p_n - p_o) * F.log(p_n / p_o) * 1e6).cast("long")
     return j.crossJoin(F.broadcast(tot)).select(
         F.col("bucket").cast("int").alias("bucket"),

@@ -1158,8 +1158,23 @@ def cluster_canonical(
     curation pass already scores every doc) — and the doubled subtree is
     a bare two-column scan; computing the score inline is the
     demo/verification convenience.
+
+    ``id_col`` MUST be numeric: the min-id tiebreak rides ``−id`` inside
+    the pick struct (checked eagerly below — a string id would fail
+    analysis or, worse, misorder silently).  Hash string ids to a long
+    (xxhash64) upstream if needed — same precondition style as
+    shard_assign's key uniqueness.
     """
     from sparkx.ops.textstats import quality_score
+
+    _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    id_type = dict(docs.dtypes).get(id_col)
+    if id_type not in _NUMERIC and not str(id_type).startswith("decimal"):
+        raise ValueError(
+            f"cluster_canonical requires a numeric id_col for the -id "
+            f"tiebreak; got {id_col}: {id_type}. Hash string ids to a long "
+            f"(e.g. xxhash64) first."
+        )
 
     q_expr = (
         F.col(quality_col) if quality_col is not None

@@ -180,6 +180,134 @@ def ivf_topk(
     ).limit(k)
 
 
+def load_frozen_centroids() -> list[list[float]]:
+    """The checked-in frozen coarse-quantizer artifact (fitted once by
+    tools/fit_ivf_centroids.py; see sparkx/data/ivf_centroids.json for
+    provenance).  Loaded as plain Python floats so both the Spark plan and
+    the DuckDB oracle inline the identical double literals."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "ivf_centroids.json",
+    )
+    with open(path) as f:
+        return json.load(f)["centroids"]
+
+
+def _frozen_affinity(vec_col, centroid: list[float]):
+    """Integer-grid affinity of ``vec_col`` to one frozen centroid:
+    ``floor(dot(c, v) / ||c|| * 1e6)`` as a long.  ||v|| is omitted — it is
+    constant across centroids, so the argmax/ordering is the cosine argmax —
+    which keeps the expression free of a per-row shared subexpression (the
+    CollapseProject trap, CLAUDE.md) and exactly mirrorable in SQL.  The
+    floor-grid (never round) is the engine-parity idiom: both engines
+    compute the identical left-to-right double sum, truncation has no
+    half-tie."""
+    cnorm = sum(x * x for x in centroid) ** 0.5
+    lit = ", ".join(repr(float(x)) + "D" for x in centroid)
+    return F.floor(
+        _dot_expr(vec_col, f"array({lit})") / F.lit(cnorm) * F.lit(1_000_000.0)
+    ).cast("long")
+
+
+def _dot_expr(a_col: str, b_sql: str):
+    """dot(a, b) with the same left-to-right fold as dedup._dot (bit-identical
+    doubles vs DuckDB's list_dot_product)."""
+    return F.expr(
+        f"aggregate(zip_with({a_col}, {b_sql}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def ivf_assign_frozen(
+    emb: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign every vector to its nearest FROZEN centroid — the production
+    IVF ingest shape: the coarse quantizer is a one-time fitted artifact
+    (:func:`ivf_assign` / reference `store.py` index build), and every
+    subsequent ingest or probe uses it as inlined literals.  One narrow
+    map-only pass: no shuffle, no iteration — hence, unlike the k-means fit,
+    fully SQL-expressible and DuckDB-oracle-gated (the fix for r4's only
+    ``no_oracle`` driver row).
+
+    Nearest = max integer-grid affinity (:func:`_frozen_affinity`), ties to
+    the LOWEST cell id via ``array_max`` over ``struct(aff, -cell)`` — the
+    struct-max argmax idiom (no Window, no second evaluation of the
+    affinities)."""
+    structs = F.array(
+        *[
+            F.struct(
+                _frozen_affinity(vec_col, c).alias("aff"),
+                F.lit(-i).alias("negcell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_max(structs)
+    return emb.withColumn("ivf_cell", -best.getField("negcell"))
+
+
+def ivf_topk_frozen(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-Flat probe against a FROZEN coarse quantizer (the production
+    query path — :func:`ivf_topk` with the fit replaced by literals).  Probe
+    cells = the ``nprobe`` centroids with the highest integer-grid affinity
+    to the query (ties to lowest cell id, same grid as assignment); exact
+    cosine scoring inside, same output contract as :func:`topk_bruteforce`.
+
+    Plan shape: assignment is a map over the scan; the probe-cell set is a
+    driver-free ≤nprobe-row frame (the query row's affinity array, sorted
+    desc-aff/asc-cell, sliced, exploded) broadcast into a semi-join, so on
+    an ``ivf_cell``-partitioned table the scan prunes to ~nprobe/n_cells of
+    the corpus (PLANS.md; bench.py times that pruned shape as
+    ``ann_ivf_probe``).  Probe-cell selection reuses the assignment's
+    affinity expression verbatim — one idiom, one oracle mirror.
+
+    ``assigned``: a prebuilt ``ivf_cell``-carrying frame (e.g. read back
+    from a ``partitionBy("ivf_cell")`` parquet layout — the production
+    index) — skips the inline assignment map so the probe pays only the
+    pruned scan."""
+    if assigned is None:
+        assigned = ivf_assign_frozen(emb, centroids)
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    affs = F.array(
+        *[
+            F.struct(
+                _frozen_affinity("q_embedding", c).alias("aff"),
+                F.lit(-i).alias("negcell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    # array_sort asc on (aff, negcell) then reverse == (aff desc, cell asc)
+    probe_cells = q.select(
+        F.explode(F.slice(F.reverse(F.array_sort(affs)), 1, nprobe)).alias("s")
+    ).select((-F.col("s.negcell")).alias("ivf_cell"))
+    scored = (
+        assigned.join(F.broadcast(probe_cells), "ivf_cell")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine("embedding", "q_embedding"), 4).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("vec_id") != query_vec_id).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    ).limit(k)
+
+
 def bm25_topk(
     docs: DataFrame,
     query: str,
@@ -468,7 +596,11 @@ def quantize_int8(
     ``explode(array(...))`` Generate barrier so CollapseProject cannot
     inline the O(d) reduction into the per-element transform loop and make
     it O(d²) (the with_shingles lesson).  Zero vectors quantize to all-zero
-    codes; NULL vectors pass through as NULL codes.
+    codes; NULL vectors pass through as NULL codes; a vector containing a
+    NaN element maps to NULL codes EXPLICITLY (below) — without the guard,
+    maxabs=NaN would give Spark an array-of-NULL-ints while a SQL mirror's
+    CAST(floor(NaN) AS INT) errors, so the engines could never agree.  Run
+    :func:`embedding_health` first to quarantine such vectors upstream.
     """
     maxabs = F.aggregate(
         F.col(vec_col),
@@ -477,6 +609,8 @@ def quantize_int8(
     )
     out = emb.withColumn("_maxabs", F.explode(F.array(maxabs)))
     codes = F.when(
+        F.isnan(F.col("_maxabs")), F.lit(None).cast("array<int>")
+    ).when(
         F.col("_maxabs") == 0.0,
         F.transform(F.col(vec_col), lambda x: F.lit(0)),
     ).otherwise(

@@ -166,7 +166,9 @@ def test_prompt_build_matches_reference(spark):
 def test_query_stats_reference_semantics(spark):
     """A5 (langgraph_pipeline.py:545,569,605-606,295,723): answer_length =
     len(answer), hallucination_count = len(list), was_revised fires ONLY via
-    the revise node — (NOT is_grounded) AND revised_answer IS NOT NULL —
+    the revise node — (NOT is_grounded) AND revised_answer IS NOT NULL — and
+    the node itself flags only TRUTHY revised text (:292-300), so a
+    reachable-but-empty '' revision still reads was_revised=False;
     else the stats.get('was_revised', False) default."""
     from sparkx.ops.answers import query_stats
 
@@ -177,6 +179,11 @@ def test_query_stats_reference_semantics(spark):
         (2, 2, None, False, None, "rev"),
         # ungrounded, no revision → warning-prefix path, was_revised False
         (3, 0, "answer text", False, ["a", "b"], None),
+        # ADVERSARIAL: ungrounded + EMPTY-STRING revision — the revise node
+        # runs (is not None) but `if revised_answer:` is falsy, so the
+        # reference leaves the default False.  Raw inputs bypassing
+        # checkpoint_b (which normalizes '' to NULL) must match.
+        (4, 1, "kept answer", False, [], ""),
     ]
     df = spark.createDataFrame(
         rows,
@@ -193,3 +200,4 @@ def test_query_stats_reference_semantics(spark):
     assert got[1] == (4, 5, True, 1, False)
     assert got[2] == (2, 0, False, 0, True)
     assert got[3] == (0, 11, False, 2, False)
+    assert got[4] == (1, 11, False, 0, False)

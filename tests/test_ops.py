@@ -688,6 +688,49 @@ def test_ivf_topk_prebuilt_index_matches_inline(spark):
     assert pre == inline
 
 
+def test_ivf_frozen_assignment_matches_python_argmax(spark):
+    """ivf_assign_frozen (the production frozen-quantizer path, inlined
+    centroid literals, map-only) assigns every vector to the pure-Python
+    argmax of the SAME integer-grid affinity floor(dot(c,v)/||c||·1e6),
+    ties to lowest cell — the loop-based oracle for the SQL-expressible
+    assignment that gives ann_ivf its DuckDB gate."""
+    import math
+
+    from sparkx.ops.similarity import ivf_assign, ivf_topk_frozen, ivf_assign_frozen, topk_bruteforce
+
+    emb, pdf = _clustered_embeddings(spark)
+    _, cent_df = ivf_assign(emb, n_centroids=6, seed=7)
+    cents = [list(r.centroid) for r in
+             sorted(cent_df.collect(), key=lambda r: r.ivf_cell)]
+    norms = [math.sqrt(sum(x * x for x in c)) for c in cents]
+
+    def py_assign(v):
+        best = None
+        for i, (c, n) in enumerate(zip(cents, norms)):
+            dot = 0.0
+            for x, y in zip(c, v):
+                dot += x * y
+            aff = math.floor(dot / n * 1_000_000.0)
+            if best is None or (aff, -i) > best[:2]:
+                best = (aff, -i, i)
+        return best[2]
+
+    want = {int(r.vec_id): py_assign(r.embedding) for _, r in pdf.iterrows()}
+    got = {r.vec_id: r.ivf_cell
+           for r in ivf_assign_frozen(emb, cents).collect()}
+    assert got == want
+
+    # nprobe = n_cells degenerates to exact brute force (same contract as
+    # the fitted path's test); nprobe=1 with cells ≈ clusters stays in-cluster
+    full = [(r.vec_id, r.cosine) for r in
+            ivf_topk_frozen(emb, cents, query_vec_id=0, k=5, nprobe=6).collect()]
+    brute = [(r.vec_id, r.cosine) for r in
+             topk_bruteforce(emb, query_vec_id=0, k=5).collect()]
+    assert full == brute
+    one = ivf_topk_frozen(emb, cents, query_vec_id=0, k=5, nprobe=1).collect()
+    assert len(one) == 5 and {r.label for r in one} == {"c0"}
+
+
 def test_incremental_dedup_anti_join_semantics(spark):
     """New-batch docs drop when their normalized fingerprint exists in the
     corpus OR earlier (min doc_id) within the batch; batch_dups counts the

@@ -56,6 +56,35 @@ def test_shard_assign_mirror(spark):
     assert min(sizes) >= 1
 
 
+def test_shard_assign_strict_uniqueness_guard(spark):
+    """strict=True fails fast on duplicate keys (incl. a second NULL) —
+    the silent degradation ADVICE r4 flagged; unique keys pass through
+    with identical output to the default path."""
+    import pytest
+
+    from sparkx.ops.corpus import shard_assign
+
+    ok = spark.createDataFrame(
+        [(i, "t") for i in range(10)] + [(None, "t")],
+        "doc_id long, text string",
+    )
+    key = lambda r: (r[0] is None, r[0], r[1:])
+    assert (
+        sorted(map(tuple, shard_assign(ok, n_shards=4, strict=True).collect()), key=key)
+        == sorted(map(tuple, shard_assign(ok, n_shards=4).collect()), key=key)
+    )
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="not\\s+unique|not unique"):
+        shard_assign(dup, n_shards=4, strict=True)
+    two_nulls = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (2, "c")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError):
+        shard_assign(two_nulls, n_shards=4, strict=True)
+
+
 def test_shard_assign_deterministic(spark):
     from sparkx.ops.corpus import shard_assign
 
@@ -114,12 +143,18 @@ def test_quantize_int8_mirror(spark):
         [1e-9, -1e-9, 1e-9, -1e-9],    # tiny but nonzero → ±127 at extremes
         None,                          # NULL vector → NULL codes
         [-3.5, 3.5, 1.75, -1.75],      # exact .5 rounding edges
+        [1.0, float("nan"), 2.0, 0.5],  # NaN element → NULL codes (explicit
+        # guard: without it Spark yields [NULL,...] ints while a SQL
+        # mirror's CAST(floor(NaN) AS INT) errors — ADVICE r4)
     ]
     df = spark.createDataFrame(
         [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
     )
     got = {r["vec_id"]: r["codes"] for r in quantize_int8(df).collect()}
     for i, v in enumerate(vecs):
+        if v is not None and any(x != x for x in v):
+            assert got[i] is None, f"NaN vec {i} must map to NULL codes"
+            continue
         assert got[i] == _codes_mirror(v), f"vec {i}"
     # range invariant
     for cs in got.values():
