@@ -1,7 +1,10 @@
-"""Conventional-layout namespace for the engine.
+"""NAMING-COMPAT FACADE — pure re-export shim, zero implementation.
 
-The implementation lives in ``sparkx`` (see SURVEY.md §7.1 for the module
-blueprint); this package exposes it under the conventional
+Every module in this package is a re-export of ``sparkx`` (the real
+engine; see SURVEY.md §7.1 for the module blueprint), kept only so the
+conventional ``<reference>_spark`` package name resolves for users
+arriving from the reference repo.  Do not add code here; add it to
+``sparkx`` and re-export.  The package exposes the conventional
 ``operators / sources / functions / plans / streaming`` layout:
 
 * ``.operators``  — extraction kernels + dedup/similarity/multimodal operators

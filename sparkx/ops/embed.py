@@ -83,3 +83,80 @@ def embed_vectors(df: DataFrame, dim: int = DIM) -> DataFrame:
         functools.partial(_embed_kernel, dim),
         schema="chunk_id string, embedding array<float>",
     )
+
+
+def _hash_forward(texts, dim: int) -> np.ndarray:
+    """The deterministic 'forward pass' of the feature-hash stand-in model:
+    texts (any str iterable) → L2-normalized float32 (n, dim).  Same math as
+    :func:`_embed_kernel`, factored so the predict_batch_udf seam and the
+    mapInPandas path can never diverge."""
+    vecs = np.zeros((len(texts), dim), dtype=np.float64)
+    for row_i, text in enumerate(texts):
+        if text is None:
+            continue
+        for tok in str(text).lower().strip().split():
+            d = hashlib.md5(tok.encode()).hexdigest()
+            j = int(d[:8], 16) % dim
+            vecs[row_i, j] += 1 if int(d[8], 16) % 2 == 0 else -1
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return (vecs / norms).astype(np.float32)
+
+
+def make_embedder_udf(make_predict_fn=None, dim: int = DIM, batch_size: int = 32):
+    """The MODEL SEAM (reference ``store.py:32-55``): a
+    ``pyspark.ml.functions.predict_batch_udf`` with exactly the signature a
+    real sentence-transformers checkpoint uses for batch inference —
+    ``make_predict_fn() -> predict(texts: np.ndarray) -> np.ndarray`` of
+    float32 ``(n, dim)``.  Spark's standard model-serving shape: the model
+    loads ONCE per python worker (inside make_predict_fn, not per row),
+    input rows arrive in ``batch_size`` chunks (32 = the reference's
+    embedder batch, ``config.py:39``), output is an ``array<float>`` column.
+
+    The default ``make_predict_fn`` is the deterministic feature-hash
+    stand-in (:func:`_hash_forward` — this sandbox has no torch/
+    sentence-transformers); swapping in multilingual-e5-small is exactly::
+
+        def make_predict_fn():
+            from sentence_transformers import SentenceTransformer
+            m = SentenceTransformer("intfloat/multilingual-e5-small")
+            return lambda texts: m.encode(
+                list(texts), normalize_embeddings=True   # store.py:55
+            ).astype("float32")
+
+    — no plan change: the physical plan carries the same single
+    ArrowEvalPython node either way (pinned by tests/test_embed_seam.py).
+    """
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql.types import ArrayType, FloatType
+
+    if make_predict_fn is None:
+        import functools
+
+        def make_predict_fn(_fwd=functools.partial(_hash_forward, dim=dim)):
+            return lambda texts: _fwd(texts)
+
+    return predict_batch_udf(
+        make_predict_fn,
+        return_type=ArrayType(FloatType()),
+        batch_size=batch_size,
+    )
+
+
+def embed_vectors_model(
+    df: DataFrame,
+    make_predict_fn=None,
+    dim: int = DIM,
+    batch_size: int = 32,
+) -> DataFrame:
+    """(chunk_id, embedding array<float>) via the :func:`make_embedder_udf`
+    seam — the production embed stage: S5's vector-store input built by a
+    batched model UDF instead of the mapInPandas demo kernel.  With the
+    default (no model) it is value-identical to :func:`embed_vectors`."""
+    udf = make_embedder_udf(make_predict_fn, dim=dim, batch_size=batch_size)
+    return (
+        embed_input(df)
+        .select("chunk_id", "embed_text")
+        .withColumn("embedding", udf(F.col("embed_text")))
+        .drop("embed_text")
+    )
