@@ -1398,6 +1398,22 @@ def _q_cur_decontaminate(spark, sf_dir):
     )
 
 
+def _q_cur_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (Bloom CACM 1970; the 100-TB shape of
+    cur_decontaminate): the eval side folds to a FIXED 8 KB bitset embedded
+    as a literal word array, so the corpus scan is pure map — k=4
+    salted-md5 bit probes per shingle, no join, no corpus shuffle except
+    the final per-doc count.  Deterministic false positives (never false
+    negatives); the oracle recomputes the identical salted-md5 membership,
+    so the gate is exact INCLUDING any false positives."""
+    d = _docs(spark, sf_dir)
+    return T.bloom_decontaminate(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        n=3, m_bits=1 << 16, k=4,
+    )
+
+
 def _q_ta_entropy(spark, sf_dir):
     """Per-doc character-level Shannon entropy (nats) — the cheap
     mojibake/binary-junk detector beside the Gopher rules.  Per-char terms
@@ -1742,6 +1758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_health": _q_ann_health,
         "dedup_quality_canonical": _q_dedup_quality_canonical,
         "ann_int8_recall": _q_ann_int8_recall,
+        # NEW this round (r5) — never driver-verified yet
+        "cur_bloom_decontaminate": _q_cur_bloom_decontaminate,
         # changed semantics this round (was_revised truthiness fix) —
         # re-verify with a fresh driver row
         "a5_query_stats": _q_a5_query_stats,
@@ -2407,6 +2425,45 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY doc_id)
             SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
                    h.n_hits IS NOT NULL AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 20 != 0) d
+            LEFT JOIN hits h USING (doc_id)""",
+        # Bloom-filter decontamination: membership = ALL 4 salted-md5 bit
+        # positions present in the test-side set-bit relation — exactly the
+        # bitset-literal probe the Spark plan runs, false positives included
+        "cur_bloom_decontaminate": """
+            WITH sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(arr) < 3 THEN [] ELSE
+                list_distinct(list_transform(range(1, len(arr) - 1),
+                  i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) END) AS sh
+              FROM (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)),
+                        '[ \\t\\n\\x0b\\f\\r]+') AS arr
+                    FROM documents)),
+            te AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+            bits AS (
+              SELECT DISTINCT
+                ('0x' || substr(md5(sh || '|' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                  % 65536 AS pos
+              FROM te, unnest([0, 1, 2, 3]) AS t(j)),
+            probe AS (
+              SELECT doc_id, sh,
+                ('0x' || substr(md5(sh || '|' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                  % 65536 AS pos
+              FROM sh, unnest([0, 1, 2, 3]) AS t(j)
+              WHERE doc_id % 20 != 0),
+            inb AS (
+              SELECT doc_id, sh,
+                count(*) FILTER (WHERE pos IN (SELECT pos FROM bits)) = 4 AS hit
+              FROM probe GROUP BY doc_id, sh),
+            hits AS (
+              SELECT doc_id, count(*) AS n_fps,
+                CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_bloom_hits
+              FROM inb GROUP BY doc_id)
+            SELECT d.doc_id,
+              coalesce(h.n_fps, 0) AS n_fps,
+              coalesce(h.n_bloom_hits, 0) AS n_bloom_hits,
+              coalesce(h.n_bloom_hits, 0) > 0 AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id % 20 != 0) d
             LEFT JOIN hits h USING (doc_id)""",
         # char-level Shannon entropy in nats; per-char-class term quantized

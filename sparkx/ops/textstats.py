@@ -709,6 +709,136 @@ def decontaminate(
     )
 
 
+def _bloom_pos(sh_col, j: int, m_bits: int):
+    """Bit position j of a shingle: salted-md5 prefix mod m — the k
+    independent hash functions of the filter, engine-portable (md5 + conv
+    exist verbatim in Spark and DuckDB; the value is non-negative so % is
+    safe in both)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(sh_col, F.lit(f"|{j}"))), 1, 8), 16, 10
+        ).cast("long")
+        % m_bits
+    ).cast("int")
+
+
+def bloom_bits(
+    test: DataFrame, n: int = 3, m_bits: int = 1 << 16, k: int = 4,
+    col: str = "text",
+) -> DataFrame:
+    """The test-set Bloom filter as a relation: the DISTINCT set-bit
+    positions (≤ min(m_bits, k·|test shingles|) rows).  Kept relational so
+    the filter build itself is a plain bounded aggregation; callers that
+    want the physical bitset fold these into words (see
+    :func:`bloom_decontaminate`)."""
+    sh = with_shingles(test, col=col, n=n, out="shingles").select(
+        F.explode("shingles").alias("sh")
+    )
+    poss = [sh.select(_bloom_pos(F.col("sh"), j, m_bits).alias("pos"))
+            for j in range(k)]
+    out = poss[0]
+    for p in poss[1:]:
+        out = out.unionAll(p)
+    return out.distinct()
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 3,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Bloom-filter decontamination (Bloom CACM 1970 + the GPT-3 App. C
+    removal pass): flag every TRAIN doc whose token ``n``-gram set hits the
+    TEST set's Bloom filter — the 100-TB shape of :func:`decontaminate`.
+
+    Where the exact op broadcast-joins the eval fingerprint SET (size ∝
+    |eval shingles|), this one reduces the eval side to a FIXED-SIZE bitset
+    (``m_bits`` bits = m/8 bytes — 8 KB at the default — regardless of eval
+    size) embedded as a literal word array in the plan: the corpus scan is
+    then PURE MAP — per shingle, k salted-md5 bit probes against the
+    in-plan words, no join, no corpus shuffle except the final bounded
+    per-doc count.  That is the production trade: a deterministic
+    false-positive rate ≈ (1−e^{−k·n_fps/m})^k (never false negatives — a
+    clean doc can be flagged, a contaminated one never missed) for a
+    membership structure whose size is independent of the eval corpus, so
+    a 1000-executor job ships 8 KB per task instead of re-broadcasting a
+    growing fingerprint table per batch.
+
+    The bitset build collects the set-bit positions once — bounded by
+    ``m_bits`` (a constant, default 65 536 ints), the same
+    provably-small-frame rule as the connected-components driver path.
+    Both the positions and the probes use the identical salted-md5
+    expression, so a DuckDB oracle reproduces membership — including the
+    false positives — bit-for-bit.
+
+    Returns one row per train doc: ``(id_col, n_fps, n_bloom_hits,
+    contaminated)`` where ``n_fps`` counts the doc's distinct shingles and
+    ``n_bloom_hits`` those passing all k bit probes.
+    """
+    assert m_bits % 64 == 0, "m_bits must fill whole 64-bit words"
+    set_bits = [r.pos for r in bloom_bits(
+        test, n=n, m_bits=m_bits, k=k, col=col
+    ).collect()]
+    words = [0] * (m_bits // 64)
+    for pos in set_bits:
+        words[pos // 64] |= 1 << (pos % 64)
+    # two's-complement into signed longs (bit 63 must survive F.lit)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    wlit = F.lit(words)
+
+    tr = with_shingles(train, col=col, n=n, out="shingles").select(
+        id_col, F.explode("shingles").alias("sh")
+    )
+    # bind the k md5 positions through an explode(array(...)) Generate
+    # barrier so each salted md5 is computed ONCE per shingle (the
+    # CollapseProject rule would otherwise inline the hash into both the
+    # word-index and the shift of every probe — the with_shingles lesson)
+    pos_arr = F.array(*[_bloom_pos(F.col("sh"), j, m_bits) for j in range(k)])
+    probed = tr.select(id_col, F.explode(F.array(pos_arr)).alias("_ps"))
+
+    def _bit(j: int):
+        # pyspark's F.shiftleft only takes a python-int shift; the SQL
+        # function accepts a column, so the mask goes through F.expr
+        p = F.element_at(F.col("_ps"), j + 1)
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), element_at(_ps, {j + 1}) % 64)"
+        )
+        return (
+            F.element_at(wlit, (p / 64).cast("int") + 1).bitwiseAND(mask)
+            != 0
+        )
+
+    all_hit = _bit(0)
+    for j in range(1, k):
+        all_hit = all_hit & _bit(j)
+    hits = (
+        probed.select(id_col, all_hit.alias("_inb"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum(F.col("_inb").cast("long")).alias("n_bloom_hits"),
+        )
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_fps", F.lit(0).cast("long")).alias("n_fps"),
+            F.coalesce("n_bloom_hits", F.lit(0).cast("long")).alias(
+                "n_bloom_hits"
+            ),
+            (F.coalesce("n_bloom_hits", F.lit(0).cast("long")) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def char_entropy(docs: DataFrame, id_col: str = "doc_id",
                  col: str = "text") -> DataFrame:
     """Per-document character-level Shannon entropy (nats) — the cheap

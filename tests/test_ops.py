@@ -1124,7 +1124,60 @@ def test_decontaminate_flags_exact_ngram_overlap(spark):
     assert not rows[3]["contaminated"]
 
 
-def test_char_entropy_known_values(spark):
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """The Bloom pass can NEVER miss a contaminated doc (no false
+    negatives): every doc the exact op flags, bloom flags too, and on a
+    tiny corpus with the default 2^16-bit filter the flag sets are
+    identical (FP probability ~1e-13 per shingle here).  NULL/short docs
+    mirror the exact op's zero-row handling."""
+    from sparkx.ops.textstats import bloom_decontaminate, decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over it"),
+            (2, "completely different words entirely here now"),
+            (3, None),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "a quick brown fox appears")], "doc_id long, text string"
+    )
+    exact = {r["doc_id"]: r for r in decontaminate(train, test, n=3).collect()}
+    bloom = {r["doc_id"]: r
+             for r in bloom_decontaminate(train, test, n=3).collect()}
+    assert set(exact) == set(bloom)
+    for i in exact:
+        if exact[i]["contaminated"]:
+            assert bloom[i]["contaminated"], f"false negative on doc {i}"
+    assert {i for i in bloom if bloom[i]["contaminated"]} == {1}
+    assert bloom[1]["n_bloom_hits"] >= exact[1]["n_hits"]
+    assert bloom[3]["n_fps"] == 0 and bloom[4]["n_fps"] == 0
+
+
+def test_bloom_decontaminate_forced_false_positive(spark):
+    """At a pathologically small filter (m=64 bits, k=2) a clean doc's
+    probes collide with the saturated bitset — the deterministic
+    false-positive regime: flags become a superset, never change the
+    no-false-negative guarantee."""
+    from sparkx.ops.textstats import bloom_decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    # enough distinct eval shingles to saturate 64 bits (k=2 → ~2 bits/shingle)
+    test = spark.createDataFrame(
+        [(100, " ".join(f"tok{i}" for i in range(80)))],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r
+           for r in bloom_decontaminate(train, test, n=3, m_bits=64, k=2).collect()}
+    # with 78 eval shingles × 2 hashes into 64 bits the filter is ~saturated;
+    # both clean docs almost surely read as contaminated — assert at least
+    # one FP fired so the FP path is actually exercised
+    assert any(got[i]["contaminated"] for i in (1, 2)), got
     import math
 
     from sparkx.ops.textstats import char_entropy
