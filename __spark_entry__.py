@@ -331,6 +331,31 @@ def _q_html_freq_boiler(spark, sf_dir):
     return H.freq_boilerplate(H.render_pages(_docs(spark, sf_dir)))
 
 
+def _q_html_redirects(spark, sf_dir):
+    """Redirect/canonical-chain resolution by pointer doubling
+    (graph.resolve_chains): a deterministic functional redirect graph over
+    doc_ids (every id % 4 != 0 redirects to (3·id + 7) mod (max_id + 1);
+    multiples of 4 are terminals) resolved to (terminal, exact hops,
+    resolved) under the 64-hop budget — the URL-canonicalization pass a
+    crawl corpus runs before dedup.  ceil(log2(64)) = 6 self-joins at any
+    scale; edge sets ≤ 1M take the bit-identical driver walk (pinned in
+    tests/test_graph.py).  Oracle: recursive-CTE chain walk with the same
+    hop budget."""
+    from sparkx.ops import graph as G
+
+    d = _docs(spark, sf_dir)
+    m = d.agg((F.max("doc_id") + 1).alias("m"))
+    e = (
+        d.filter(F.col("doc_id") % 4 != 0)
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 3 + 7) % F.col("m")).alias("dst"),
+        )
+    )
+    return G.resolve_chains(e, max_hops=64)
+
+
 def _q_html_links(spark, sf_dir):
     """Hyperlink-graph extraction from rendered pages: pages carry two
     deterministic cross-document links (a (3d+1) mod n bijection keeping the
@@ -1760,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8_recall": _q_ann_int8_recall,
         # NEW this round (r5) — never driver-verified yet
         "cur_bloom_decontaminate": _q_cur_bloom_decontaminate,
+        "html_redirects": _q_html_redirects,
         # changed semantics this round (was_revised truthiness fix) —
         # re-verify with a fresh driver row
         "a5_query_stats": _q_a5_query_stats,
@@ -2780,6 +2806,27 @@ def oracle_sql() -> dict[str, str]:
               FROM edges WHERE dst = src % (SELECT m FROM nn2)),
             """ + _CC_CTES + """
             SELECT cc_id AS node_id, cc_cluster AS cluster_id FROM cc""",
+        # redirect-chain resolution: recursive walk with the same 64-hop
+        # budget as resolve_chains' bounded-resolution contract; terminal =
+        # first cur with no outgoing edge (unique per src: functional graph)
+        "html_redirects": """
+            WITH RECURSIVE e AS (
+              SELECT doc_id AS src,
+                (doc_id * 3 + 7) % (SELECT max(doc_id) + 1 FROM documents) AS dst
+              FROM documents WHERE doc_id % 4 != 0),
+            walk(src, cur, hops) AS (
+              SELECT src, dst, 1 FROM e
+              UNION ALL
+              SELECT w.src, e2.dst, w.hops + 1
+              FROM walk w JOIN e e2 ON w.cur = e2.src
+              WHERE w.hops < 64),
+            resolved AS (
+              SELECT src, cur AS terminal, hops FROM walk
+              WHERE cur NOT IN (SELECT src FROM e))
+            SELECT s.src, r.terminal, CAST(r.hops AS BIGINT) AS hops,
+                   r.terminal IS NOT NULL AS resolved
+            FROM (SELECT DISTINCT src FROM e) s
+            LEFT JOIN resolved r ON s.src = r.src""",
         "html_links": _HTML_LINKS_SQL,
         "html_pagerank": _HTML_PAGERANK_SQL,
         "html_hits": _HTML_HITS_SQL,

@@ -221,3 +221,68 @@ def test_empty_edge_set_yields_empty_results(spark):
         assert ht.count() == 0
         assert [f.name for f in ht.schema.fields] == [
             "doc_id", "hub", "authority"]
+
+
+def _chains_dict(df):
+    return {r.src: (r.terminal, r.hops, r.resolved) for r in df.collect()}
+
+
+def test_resolve_chains_topologies(spark):
+    """Chain / cycle / over-cap semantics of the bounded-resolution
+    contract: exact hop counts for resolved chains, NULL terminal for
+    cycles AND for chains longer than max_hops (indistinguishable by
+    design)."""
+    # 1→2→3→99 (terminal), 10→11→10 (2-cycle), 20→20? no self — 20→21→22→23→24→98
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 99), (10, 11), (11, 10),
+         (20, 21), (21, 22), (22, 23), (23, 24), (24, 98)],
+        "src long, dst long",
+    )
+    got = _chains_dict(G.resolve_chains(edges, max_hops=64))
+    assert got[1] == (99, 3, True)
+    assert got[2] == (99, 2, True)
+    assert got[3] == (99, 1, True)
+    assert got[10] == (None, None, False)   # cycle
+    assert got[11] == (None, None, False)
+    assert got[20] == (98, 5, True)
+    # cap below the 5-hop chain: 20 becomes unresolved, 22 (3 hops) resolves
+    capped = _chains_dict(G.resolve_chains(edges, max_hops=3))
+    assert capped[20] == (None, None, False)
+    assert capped[21] == (None, None, False)  # 4 hops > cap 3
+    assert capped[22] == (98, 3, True)
+    assert capped[1] == (99, 3, True)
+
+
+def test_resolve_chains_distributed_equals_driver(spark):
+    """The pointer-doubling loop (driver_edges_threshold=0) is bit-identical
+    to the driver walk on a mixed graph: long chain + cycle + short chains,
+    including an exactly-at-cap chain."""
+    rows = [(i, i + 1) for i in range(40)]          # 0→1→…→40 (terminal 40)
+    rows += [(100, 101), (101, 102), (102, 100)]    # 3-cycle
+    rows += [(200, 201)]                            # 1-hop
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    drv = _chains_dict(G.resolve_chains(edges, max_hops=40))
+    dist = _chains_dict(
+        G.resolve_chains(edges, max_hops=40, driver_edges_threshold=0)
+    )
+    assert drv == dist
+    assert drv[0] == (40, 40, True)     # exactly at cap → resolved
+    assert drv[100] == (None, None, False)
+    assert drv[200] == (201, 1, True)
+    # one hop over cap
+    drv39 = _chains_dict(G.resolve_chains(edges, max_hops=39))
+    dist39 = _chains_dict(
+        G.resolve_chains(edges, max_hops=39, driver_edges_threshold=0)
+    )
+    assert drv39 == dist39
+    assert drv39[0] == (None, None, False)
+    assert drv39[1] == (40, 39, True)
+
+
+def test_resolve_chains_empty(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    for thresh in (1_000_000, 0):
+        out = G.resolve_chains(empty, driver_edges_threshold=thresh)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "src", "terminal", "hops", "resolved"]
