@@ -1423,6 +1423,21 @@ def _q_cur_decontaminate(spark, sf_dir):
     )
 
 
+def _q_cur_dialogue_windows(spark, sf_dir):
+    """Training-example window assembly over the derived transcripts
+    (corpus.dialogue_windows): one example per assistant turn, context =
+    the longest recent-turn suffix fitting the 120-token budget, target
+    always included (fits=false when a lone turn is over budget — the
+    fam-2 prose_long turns exercise that branch).  Integer token math on
+    the pinned whitespace class; per-conv arrays stay KB-sized at any
+    corpus width.  Oracle: window cumsum + bounded within-conv self-join."""
+    from sparkx.ops import corpus as C
+
+    return C.dialogue_windows(
+        transcripts_from_documents(spark, sf_dir), budget=120
+    )
+
+
 def _q_cur_bloom_decontaminate(spark, sf_dir):
     """Bloom-filter decontamination (Bloom CACM 1970; the 100-TB shape of
     cur_decontaminate): the eval side folds to a FIXED 8 KB bitset embedded
@@ -1786,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW this round (r5) — never driver-verified yet
         "cur_bloom_decontaminate": _q_cur_bloom_decontaminate,
         "html_redirects": _q_html_redirects,
+        "cur_dialogue_windows": _q_cur_dialogue_windows,
         # changed semantics this round (was_revised truthiness fix) —
         # re-verify with a fresh driver row
         "a5_query_stats": _q_a5_query_stats,
@@ -2453,6 +2469,39 @@ def oracle_sql() -> dict[str, str]:
                    h.n_hits IS NOT NULL AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id % 20 != 0) d
             LEFT JOIN hits h USING (doc_id)""",
+        # dialogue training-window assembly: window cumsum for per-turn
+        # prefix tokens, window start via the bounded within-conv join
+        # (b.pre >= a.cum - budget), target always included
+        "cur_dialogue_windows": TRANSCRIPTS_SQL_CTE + """
+            , tk AS (
+              SELECT conv_id, turn_idx, role,
+                CAST(len(regexp_split_to_array(trim(text),
+                  '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS tok
+              FROM transcripts),
+            c AS (
+              SELECT conv_id, turn_idx, role, tok,
+                CAST(sum(tok) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS cum
+              FROM tk),
+            p AS (SELECT *, cum - tok AS pre FROM c),
+            tg AS (SELECT * FROM p WHERE role = 'assistant'),
+            firsts AS (
+              SELECT a.conv_id, a.turn_idx, a.cum,
+                coalesce(min(b.turn_idx), a.turn_idx) AS first_turn_idx
+              FROM tg a LEFT JOIN p b
+                ON a.conv_id = b.conv_id AND b.turn_idx <= a.turn_idx
+                   AND b.pre >= a.cum - 120
+              GROUP BY a.conv_id, a.turn_idx, a.cum)
+            SELECT f.conv_id, f.turn_idx, f.first_turn_idx,
+              (SELECT CAST(count(*) AS BIGINT) FROM p b
+               WHERE b.conv_id = f.conv_id
+                 AND b.turn_idx BETWEEN f.first_turn_idx AND f.turn_idx)
+                AS n_context_turns,
+              f.cum - fb.pre AS context_tokens,
+              (f.cum - fb.pre) <= 120 AS fits
+            FROM firsts f
+            JOIN p fb ON fb.conv_id = f.conv_id
+                     AND fb.turn_idx = f.first_turn_idx""",
         # Bloom-filter decontamination: membership = ALL 4 salted-md5 bit
         # positions present in the test-side set-bit relation — exactly the
         # bitset-literal probe the Spark plan runs, false positives included

@@ -1007,3 +1007,79 @@ def snapshot_drift(
         "n_new",
         psi_e6.alias("psi_e6"),
     )
+
+
+def dialogue_windows(
+    turns: DataFrame,
+    budget: int = 120,
+    target_role: str = "assistant",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-example window assembly over conversation transcripts: for
+    every ``target_role`` turn, the LONGEST contiguous suffix of preceding
+    turns (plus the target) whose whitespace-token total fits ``budget`` —
+    how chat corpora become supervised examples (one example per assistant
+    turn, context = as much recent history as the sequence length allows).
+
+    Pure integer math on the engine-pinned token count, so the driver gate
+    hash-verifies it.  Per conversation: one window cumsum, one bounded
+    groupBy collecting (turn_idx, prefix_tokens) structs — conversations
+    are short (≤ thousands of turns) while corpora are wide (billions of
+    conversations), so the per-conv array stays KB-sized no matter the
+    corpus; all three wide ops hash on ``conv_col`` and AQE coalesces them
+    onto one exchange.  The window start is found per target by filtering
+    the conv's prefix-sum array (``prefix ≥ cum_target − budget``) — an
+    O(turns) in-row scan, bound through an explode(array()) Generate
+    barrier so CollapseProject cannot re-evaluate it per output column.
+
+    Contract: the target turn is ALWAYS included; a single turn already
+    over budget yields a one-turn example with ``fits = false`` (callers
+    drop or truncate).  Returns ``(conv_col, idx_col, first_turn_idx,
+    n_context_turns, context_tokens, fits)``.
+    """
+    from pyspark.sql import Window
+
+    t = turns.select(
+        F.col(conv_col),
+        F.col(idx_col),
+        F.col(role_col),
+        token_count(text_col).cast("long").alias("_tok"),
+    )
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    t = t.withColumn("_cum", F.sum("_tok").over(w)).withColumn(
+        "_pre", F.col("_cum") - F.col("_tok")
+    )
+    arr = t.groupBy(conv_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(idx_col).alias("i"), F.col("_pre").alias("p")))
+        ).alias("_arr")
+    )
+    tg = t.filter(F.col(role_col) == target_role).join(arr, conv_col)
+    first_expr = F.coalesce(
+        F.array_min(
+            F.expr(
+                f"transform(filter(_arr, x -> x.i <= {idx_col} "
+                f"AND x.p >= _cum - {budget}), x -> x.i)"
+            )
+        ),
+        F.col(idx_col),
+    )
+    tg = tg.select("*", F.explode(F.array(first_expr)).alias("first_turn_idx"))
+    ctx_tokens = F.col("_cum") - F.array_min(
+        F.expr("transform(filter(_arr, x -> x.i = first_turn_idx), x -> x.p)")
+    )
+    return tg.select(
+        conv_col,
+        idx_col,
+        "first_turn_idx",
+        F.size(
+            F.expr(
+                f"filter(_arr, x -> x.i >= first_turn_idx AND x.i <= {idx_col})"
+            )
+        ).cast("long").alias("n_context_turns"),
+        ctx_tokens.alias("context_tokens"),
+        (ctx_tokens <= budget).alias("fits"),
+    )

@@ -404,3 +404,60 @@ def test_temperature_mixture_upsamples_low_resource(spark):
     # exceeds the high-resource one's even though its share of tokens is
     # 50x smaller (proportional sampling would give equal rates)
     assert rate["hi"] > rate["en"]
+
+
+def test_dialogue_windows_hand_computed(spark):
+    """Window assembly against hand-computed token math: budget boundary
+    inclusive, over-budget lone target (fits=false, target still emitted),
+    per-conversation isolation, and non-contiguous turn indexes."""
+    from sparkx.ops.corpus import dialogue_windows
+
+    rows = [
+        # conv A: toks 4, 3, 5, 2 at idx 0..3 (assistant at 1 and 3)
+        ("A", 0, "user", "t1 t2 t3 t4"),
+        ("A", 1, "assistant", "a b c"),
+        ("A", 2, "user", "u1 u2 u3 u4 u5"),
+        ("A", 3, "assistant", "x y"),
+        # conv B: a single over-budget assistant turn (12 tokens, budget 10)
+        ("B", 0, "assistant", " ".join(f"w{i}" for i in range(12))),
+        # conv C: non-contiguous idx (10, 20, 30), assistant at 30
+        ("C", 10, "user", "one two three"),          # 3
+        ("C", 20, "tool", "four five"),              # 2
+        ("C", 30, "assistant", "six seven eight"),   # 3
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {
+        (r.conv_id, r.turn_idx): (
+            r.first_turn_idx, r.n_context_turns, r.context_tokens, r.fits
+        )
+        for r in dialogue_windows(df, budget=10).collect()
+    }
+    # A@1: turns 0+1 = 7 ≤ 10 → window [0,1]
+    assert got[("A", 1)] == (0, 2, 7, True)
+    # A@3: suffix sums: [3]=2, [2,3]=7, [1,2,3]=10 (boundary, fits),
+    # [0..3]=14 > 10 → window [1,3]
+    assert got[("A", 3)] == (1, 3, 10, True)
+    # B@0: lone 12-token target over budget → emitted, fits=false
+    assert got[("B", 0)] == (0, 1, 12, False)
+    # C@30: 3+2+3 = 8 ≤ 10 → all three turns despite index gaps
+    assert got[("C", 30)] == (10, 3, 8, True)
+    assert len(got) == 4  # only assistant turns become examples
+
+
+def test_dialogue_windows_budget_zero_and_exact_fit(spark):
+    """budget smaller than every turn → every example is the lone target
+    with fits=false; exact-fit suffix is included (≤, not <)."""
+    from sparkx.ops.corpus import dialogue_windows
+
+    df = spark.createDataFrame(
+        [("X", 0, "user", "p q"), ("X", 1, "assistant", "r s t")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    tight = {r.turn_idx: (r.first_turn_idx, r.context_tokens, r.fits)
+             for r in dialogue_windows(df, budget=1).collect()}
+    assert tight[1] == (1, 3, False)
+    exact = {r.turn_idx: (r.first_turn_idx, r.context_tokens, r.fits)
+             for r in dialogue_windows(df, budget=5).collect()}
+    assert exact[1] == (0, 5, True)
