@@ -283,6 +283,17 @@ def _q_ann_bm25(spark, sf_dir):
     return S.bm25_topk(_docs(spark, sf_dir), "hash join vector scan", k=10)
 
 
+def _q_ann_bm25_indexed(spark, sf_dir):
+    """BM25 served from a PREBUILT inverted index (similarity.
+    build_text_index + bm25_from_index — the production split: tokenize +
+    postings/df/doclen/stats once, query many times against a
+    term-partitioned postings table).  Value-identical to ann_bm25 by
+    construction (same idf/tf math, same 1e-6-grid partials); the oracle is
+    the same SQL, so the gate proves the split changes nothing."""
+    idx = S.build_text_index(_docs(spark, sf_dir))
+    return S.bm25_from_index(idx, "hash join vector scan", k=10)
+
+
 def _q_ann_rrf(spark, sf_dir):
     """Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR 2009)
     of the BM25 lexical ranking (ann_bm25's query) and the feature-hash
@@ -1802,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_bloom_decontaminate": _q_cur_bloom_decontaminate,
         "html_redirects": _q_html_redirects,
         "cur_dialogue_windows": _q_cur_dialogue_windows,
+        "ann_bm25_indexed": _q_ann_bm25_indexed,
         # changed semantics this round (was_revised truthiness fix) —
         # re-verify with a fresh driver row
         "a5_query_stats": _q_a5_query_stats,
@@ -2218,6 +2230,34 @@ _COS = (
     "sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) * "
     "list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])), 4)"
 )
+
+# Okapi BM25 over documents for the fixed 4-term query — shared verbatim by
+# ann_bm25 (inline build) and ann_bm25_indexed (prebuilt-index path): the
+# math is identical by construction, so one oracle gates both.
+_BM25_ORACLE_SQL = """
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS term
+              FROM documents),
+            toks2 AS (SELECT * FROM toks WHERE term != ''),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks2
+              WHERE term IN ('hash', 'join', 'vector', 'scan')
+              GROUP BY doc_id, term),
+            dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            part AS (
+              SELECT tf.doc_id,
+                CAST(round(
+                  ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                  * 1000000) AS BIGINT) AS p
+              FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), stats s)
+            SELECT doc_id, round(CAST(sum(p) AS DOUBLE) / 1000000, 4) AS bm25
+            FROM part GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 10"""
 
 
 def _knn_join_oracle_sql(query_where: str = "") -> str:
@@ -3061,30 +3101,11 @@ GROUP BY 1"""
         "ann_knn_join": _knn_join_oracle_sql(),
         "ann_knn_batch": _knn_join_oracle_sql(query_where="WHERE vec_id < 8"),
         "ann_ivf": _ivf_oracle_sql(k=10, nprobe=2),
-        "ann_bm25": """
-            WITH toks AS (
-              SELECT doc_id,
-                unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS term
-              FROM documents),
-            toks2 AS (SELECT * FROM toks WHERE term != ''),
-            dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
-            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-            tf AS (
-              SELECT doc_id, term, count(*) AS tf FROM toks2
-              WHERE term IN ('hash', 'join', 'vector', 'scan')
-              GROUP BY doc_id, term),
-            dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-            part AS (
-              SELECT tf.doc_id,
-                CAST(round(
-                  ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
-                  * (tf.tf * 2.2)
-                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
-                  * 1000000) AS BIGINT) AS p
-              FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), stats s)
-            SELECT doc_id, round(CAST(sum(p) AS DOUBLE) / 1000000, 4) AS bm25
-            FROM part GROUP BY doc_id
-            ORDER BY bm25 DESC, doc_id ASC LIMIT 10""",
+        "ann_bm25": _BM25_ORACLE_SQL,
+        # BM25 from the prebuilt inverted index is value-identical to the
+        # inline build (a query term's df over the full postings table IS
+        # the restricted df) — the SAME oracle proves the split is free
+        "ann_bm25_indexed": _BM25_ORACLE_SQL,
         # RRF fusion: the bm25 chain (top-20) + the text-cosine chain
         # (top-20), ranks via row_number over each deterministic total
         # order, fused 1/(60+rank) terms in fixed written order, 6 dp

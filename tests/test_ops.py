@@ -630,6 +630,29 @@ def test_bm25_matches_python_reference(spark, docs, docs_pdf):
     assert got == want
 
 
+def test_bm25_from_index_equals_inline(spark, docs):
+    """The prebuilt-index path is value-identical to the inline build —
+    including after the postings round-trip a term-partitioned parquet
+    layout (the production index on disk)."""
+    import os
+    import tempfile
+
+    from sparkx.ops.similarity import bm25_from_index, bm25_topk, build_text_index
+
+    q = "hash join vector scan"
+    inline = [(r.doc_id, r.bm25) for r in bm25_topk(docs, q, k=10).collect()]
+    idx = build_text_index(docs)
+    served = [(r.doc_id, r.bm25) for r in bm25_from_index(idx, q, k=10).collect()]
+    assert served == inline
+    with tempfile.TemporaryDirectory() as tmp:
+        p = os.path.join(tmp, "postings")
+        idx[0].write.partitionBy("term").parquet(p)
+        postings = docs.sparkSession.read.parquet(p)
+        rt = [(r.doc_id, r.bm25)
+              for r in bm25_from_index((postings, *idx[1:]), q, k=10).collect()]
+        assert rt == inline
+
+
 def test_contamination_report_detects_seeded_leak(spark):
     """A test doc that verbatim-copies a train passage is flagged with
     contamination > 0 and the right train-doc count; an unrelated doc
