@@ -1449,6 +1449,37 @@ def _q_cur_dialogue_windows(spark, sf_dir):
     )
 
 
+def _q_diag_key_skew(spark, sf_dir):
+    """Join-key skew diagnosis (diag.skew_report) over events.user_id: the
+    top-10 heaviest keys with integer-grid row share and the ceil-div salt
+    factor that would level them (target 1000 rows/task here so small SFs
+    exercise salt > 1).  One map-side-combined count + a 1-row broadcast
+    total + TakeOrdered — the report IS the shuffle being diagnosed."""
+    from sparkx.ops import diag as DG
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return DG.skew_report(ev, "user_id", top=10, target_rows_per_task=1000)
+
+
+def _q_diag_compaction_plan(spark, sf_dir):
+    """Small-files compaction planning (diag.compaction_plan) over a file
+    listing derived from documents (path = 'part-' ‖ lpad(doc_id), bytes =
+    n_chars; target 4000 bytes): deterministic cumulative grouping in path
+    order, oversize files as singleton groups numbered after the packed
+    ones.  Listings are metadata-scale, so the single ordered window is
+    bounded by construction."""
+    from sparkx.ops import diag as DG
+
+    d = _docs(spark, sf_dir)
+    files = d.select(
+        F.concat(
+            F.lit("part-"), F.lpad(F.col("doc_id").cast("string"), 8, "0")
+        ).alias("path"),
+        F.col("n_chars").alias("bytes"),
+    )
+    return DG.compaction_plan(files, target_bytes=4000)
+
+
 def _q_cur_bloom_decontaminate(spark, sf_dir):
     """Bloom-filter decontamination (Bloom CACM 1970; the 100-TB shape of
     cur_decontaminate): the eval side folds to a FIXED 8 KB bitset embedded
@@ -1814,6 +1845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_redirects": _q_html_redirects,
         "cur_dialogue_windows": _q_cur_dialogue_windows,
         "ann_bm25_indexed": _q_ann_bm25_indexed,
+        "diag_key_skew": _q_diag_key_skew,
+        "diag_compaction_plan": _q_diag_compaction_plan,
         # changed semantics this round (was_revised truthiness fix) —
         # re-verify with a fresh driver row
         "a5_query_stats": _q_a5_query_stats,
@@ -2509,6 +2542,47 @@ def oracle_sql() -> dict[str, str]:
                    h.n_hits IS NOT NULL AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id % 20 != 0) d
             LEFT JOIN hits h USING (doc_id)""",
+        # join-key skew report: per-key counts, integer-grid share, ceil-div
+        # salt factor; top-10 by count desc then key asc
+        "diag_key_skew": """
+            WITH c AS (
+              SELECT coalesce(CAST(user_id AS VARCHAR), '∅') AS key,
+                     count(*) AS n_rows
+              FROM events GROUP BY 1),
+            t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+                         count(*) AS n_keys FROM c)
+            SELECT c.key, c.n_rows,
+              (c.n_rows * 1000000) // t.total AS share_e6,
+              t.n_keys,
+              CAST((c.n_rows + 999) // 1000 AS INT) AS suggested_salt
+            FROM c, t
+            ORDER BY c.n_rows DESC, c.key ASC LIMIT 10""",
+        # compaction planner: cumulative path-ordered grouping of sub-target
+        # files; oversize files become singleton groups numbered after
+        "diag_compaction_plan": """
+            WITH files AS (
+              SELECT 'part-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS path,
+                     CAST(n_chars AS BIGINT) AS bytes
+              FROM documents),
+            small AS (
+              SELECT path, bytes,
+                coalesce(CAST(sum(bytes) OVER (ORDER BY path
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS pre
+              FROM files WHERE bytes < 4000),
+            packed AS (
+              SELECT path, bytes, pre // 4000 AS grp, FALSE AS oversize
+              FROM small),
+            ngrp AS (SELECT coalesce(max(grp) + 1, 0) AS n FROM packed),
+            solo AS (
+              SELECT path, bytes,
+                (row_number() OVER (ORDER BY path) - 1)
+                  + (SELECT n FROM ngrp) AS grp,
+                TRUE AS oversize
+              FROM files WHERE bytes >= 4000)
+            SELECT path, bytes, CAST(grp AS BIGINT) AS grp, oversize FROM packed
+            UNION ALL
+            SELECT path, bytes, CAST(grp AS BIGINT) AS grp, oversize FROM solo""",
         # dialogue training-window assembly: window cumsum for per-turn
         # prefix tokens, window start via the bounded within-conv join
         # (b.pre >= a.cum - budget), target always included

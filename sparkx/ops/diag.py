@@ -1,0 +1,128 @@
+"""Scale diagnostics: the reports an engineer runs BEFORE tuning a 100 TB
+job — join-key skew analysis (does this groupBy/join need salting?) and
+small-files compaction planning (does this table need rewriting before the
+next thousand-task scan?).  Both are plain bounded aggregations whose
+outputs are integer-grid deterministic, so the driver value-hash gate
+verifies them like any operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top: int = 10,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Join/groupBy-key skew diagnosis: the ``top`` heaviest keys with their
+    row share and the salt factor that would level them — the report that
+    decides between a plain shuffle, AQE skew handling, and explicit
+    salting (CLAUDE.md scale rule: skewed keys hurt; this op puts a number
+    on "skewed").
+
+    Per key: ``n_rows``, ``share_e6`` (rows·10⁶ div total — integer grid,
+    order-free), ``suggested_salt`` = ceil(n_rows / target_rows_per_task)
+    as integer ceil-div (the number of salt buckets that caps any single
+    task at the target).  NULL keys are a skew class of their own and are
+    reported under the sentinel key ``'∅'`` (they hash to one partition
+    like any hot key).
+
+    Execution: one map-side-combinable count per key, a 1-row broadcast
+    total, and a global top-``top`` (TakeOrderedAndProject — k-row heap,
+    no full sort).  The per-key count frame is the op's only shuffle and
+    is exactly the shuffle being diagnosed — run it once, read the report,
+    salt accordingly.
+    """
+    counts = (
+        df.select(
+            F.coalesce(F.col(key_col).cast("string"), F.lit("∅")).alias("key")
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    total = counts.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_rows",
+            F.expr("(n_rows * 1000000) div _total").alias("share_e6"),
+            "n_keys",
+            F.expr(
+                f"(n_rows + {target_rows_per_task} - 1) div {target_rows_per_task}"
+            ).cast("int").alias("suggested_salt"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top)
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int = 128 * 1024 * 1024,
+    path_col: str = "path",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Small-files compaction planner: assign every file to a compaction
+    group so each group's total is ~``target_bytes`` — the maintenance op
+    behind every "millions of tiny parquet files" table (a 100 TB scan at
+    128 MB splits wants ~800k tasks; the same data in 4 KB files wants 25
+    billion).  Files already ≥ target stay singleton groups (``oversize``
+    flag — rewriting them buys nothing).
+
+    Grouping is the deterministic cumulative rule: files ordered by
+    ``path`` (stable, engine-independent), group = floor(preceding-bytes /
+    target) among the sub-target files — every group except possibly the
+    last lands in [target, target + max_small_file) bytes once the group
+    boundary is crossed.  One window cumsum over the file listing (a
+    listing is ~rows = files, KB-scale payload — never corpus-scale) and
+    pure integer math.
+
+    Returns ``(path, bytes, grp, oversize)`` — the driver for a
+    ``coalesce``/rewrite job per ``grp``.
+    """
+    from pyspark.sql import Window
+
+    small = files.filter(F.col(bytes_col) < target_bytes)
+    big = files.filter(F.col(bytes_col) >= target_bytes)
+    planned = small.select(
+        F.col(path_col).alias("path"),
+        F.col(bytes_col).cast("long").alias("bytes"),
+        F.expr(
+            f"(sum({bytes_col}) OVER (ORDER BY {path_col} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))"
+        ).alias("_pre"),
+    ).select(
+        "path",
+        "bytes",
+        F.expr(f"coalesce(_pre, 0L) div {target_bytes}").cast("long").alias("grp"),
+        F.lit(False).alias("oversize"),
+    )
+    # oversize files: singleton groups numbered after the packed ones, in
+    # path order (group ids stay deterministic)
+    n_grps = planned.agg(
+        F.coalesce(F.max("grp") + 1, F.lit(0).cast("long")).alias("_n")
+    )
+    solo = (
+        big.select(
+            F.col(path_col).alias("path"),
+            F.col(bytes_col).cast("long").alias("bytes"),
+            (F.row_number().over(Window.orderBy(path_col)) - 1)
+            .cast("long")
+            .alias("_r"),
+        )
+        .crossJoin(F.broadcast(n_grps))
+        .select(
+            "path",
+            "bytes",
+            (F.col("_r") + F.col("_n")).alias("grp"),
+            F.lit(True).alias("oversize"),
+        )
+    )
+    return planned.unionByName(solo)
