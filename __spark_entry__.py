@@ -490,6 +490,23 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. TPAMI 2011): encode every
+    corpus vector as m=4 4-bit codes against the FROZEN codebook artifact
+    (sparkx/data/pq_codebooks.json, fitted once by
+    tools/fit_pq_codebooks.py), then asymmetric-distance top-k — the query
+    stays exact, scores are sums of m broadcast-LUT lookups.  This is the
+    64×-compression serve path that makes a 100 TB embedding corpus
+    ANN-servable from ~1.5 TB of resident codes.  Frozen literals on both
+    engines make encode + ADC probe fully SQL-expressible (same contract as
+    ann_ivf); quantization fidelity is pinned by
+    tests/test_ops.py::test_pq_adc_exact_on_codeword_concatenations."""
+    return S.pq_topk(
+        _emb(spark, sf_dir), S.load_frozen_pq_codebooks(), query_vec_id=0,
+        k=10,
+    )
+
+
 def _q_ann_knn_batch(spark, sf_dir):
     """Incremental-batch kNN: a small query batch (vec_id < 8 — 'the new
     docs') probed against the full corpus via knn_join(queries=...).  Same
@@ -1847,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bm25_indexed": _q_ann_bm25_indexed,
         "diag_key_skew": _q_diag_key_skew,
         "diag_compaction_plan": _q_diag_compaction_plan,
+        "ann_pq": _q_ann_pq,
         # changed semantics this round (was_revised truthiness fix) —
         # re-verify with a fresh driver row
         "a5_query_stats": _q_a5_query_stats,
@@ -1884,6 +1902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_text_topk": _q_ann_text_topk,
         "ann_knn_join": _q_ann_knn_join,
+        # ── positions ≥50: rotated out; every entry below has a green
+        # {rows,schema,hash} row in CORRECTNESS_r01–r04 and stays covered
+        # by tools/check_contract.py (mirror gate) every round ──
         "w2_topk_per_group": _q_w2_topk_per_group,
         "j2_dedup_merge": _q_j2_dedup_merge,
         "j3_crosslink_attach": _q_j3_crosslink_attach,
@@ -1891,9 +1912,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_safe_json": _q_p6_safe_json,
         "p7_think_split": _q_p7_think_split,
         "p8_visual_keywords": _q_p8_visual_keywords,
-        # ── positions ≥50: rotated out; every entry below has a green
-        # {rows,schema,hash} row in CORRECTNESS_r03/r04 and stays covered
-        # by tools/check_contract.py (mirror gate) every round ──
         "dedup_lines": _q_dedup_lines,
         "cur_cluster_split": _q_cur_cluster_split,
         "host_scorecard": _q_host_scorecard,
@@ -2367,6 +2385,64 @@ def _ivf_oracle_sql(k: int = 10, nprobe: int = 2) -> str:
             FROM assigned a JOIN probe p ON a.cell = p.cell, q
             WHERE a.vec_id != 0
             ORDER BY cosine DESC, a.vec_id ASC LIMIT {k}"""
+
+
+def _pq_oracle_sql(k: int = 10) -> str:
+    """Product-quantization ADC oracle — the SQL mirror of
+    similarity.pq_topk, built from the SAME checked-in artifact
+    (sparkx/data/pq_codebooks.json) so the literal sets can never diverge.
+    Encode: per (vector, subvector) the nearest codeword by the integer-grid
+    affinity floor((dot(v_sub, c) − ||c||²/2)·1e6) (the −||c||²/2 term makes
+    the argmax the Euclidean argmin; ties to the LOWEST code id).  Probe:
+    LUT[m][code] = floor(dot(q_sub, c)·1e6), score = exact BIGINT sum of m
+    lookups.  All doubles are the same Python-computed repr() literals in
+    both engines; floor-grid → no half-tie (parity memo)."""
+    from sparkx.ops.similarity import load_frozen_pq_codebooks
+
+    books = load_frozen_pq_codebooks()
+    d_sub = books["d_sub"]
+    ms, cs, arrs, halves = [], [], [], []
+    for m in range(books["m"]):
+        for j, cw in enumerate(books["codebooks"][m]):
+            ms.append(str(m))
+            cs.append(str(j))
+            arrs.append(
+                "[" + ", ".join(repr(float(x)) for x in cw) + "]::DOUBLE[]"
+            )
+            halves.append(repr(sum(x * x for x in cw) / 2.0))
+    return f"""
+            WITH cent AS (
+              SELECT unnest([{", ".join(ms)}]) AS m,
+                     unnest([{", ".join(cs)}]) AS code,
+                     unnest([{", ".join(arrs)}]) AS centroid,
+                     unnest([{", ".join(halves)}]::DOUBLE[]) AS half),
+            base AS (
+              SELECT vec_id, label, embedding FROM embeddings
+              WHERE embedding IS NOT NULL),
+            aff AS (
+              SELECT b.vec_id, b.label, c.m, c.code,
+                CAST(floor((list_dot_product(
+                       list_slice(b.embedding::DOUBLE[], c.m*{d_sub}+1, (c.m+1)*{d_sub}),
+                       c.centroid) - c.half) * 1000000.0) AS BIGINT) AS aff
+              FROM base b CROSS JOIN cent c),
+            codes AS (
+              SELECT vec_id, label, m, code FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id, m ORDER BY aff DESC, code ASC) AS rn
+                FROM aff)
+              WHERE rn = 1),
+            lut AS (
+              SELECT c.m, c.code,
+                CAST(floor(list_dot_product(
+                       list_slice(q.embedding::DOUBLE[], c.m*{d_sub}+1, (c.m+1)*{d_sub}),
+                       c.centroid) * 1000000.0) AS BIGINT) AS ip_e6
+              FROM cent c, (SELECT embedding::DOUBLE[] AS embedding
+                            FROM embeddings WHERE vec_id = 0) q)
+            SELECT cd.vec_id, cd.label, CAST(sum(l.ip_e6) AS BIGINT) AS adc_e6
+            FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.code
+            WHERE cd.vec_id != 0
+            GROUP BY cd.vec_id, cd.label
+            ORDER BY adc_e6 DESC, cd.vec_id ASC LIMIT {k}"""
 
 
 # Shared HTML-extraction oracle fragments (sparkx/ops/html_extract.py):
@@ -3175,6 +3251,7 @@ GROUP BY 1"""
         "ann_knn_join": _knn_join_oracle_sql(),
         "ann_knn_batch": _knn_join_oracle_sql(query_where="WHERE vec_id < 8"),
         "ann_ivf": _ivf_oracle_sql(k=10, nprobe=2),
+        "ann_pq": _pq_oracle_sql(k=10),
         "ann_bm25": _BM25_ORACLE_SQL,
         # BM25 from the prebuilt inverted index is value-identical to the
         # inline build (a query term's df over the full postings table IS

@@ -754,6 +754,114 @@ def test_ivf_frozen_assignment_matches_python_argmax(spark):
     assert len(one) == 5 and {r.label for r in one} == {"c0"}
 
 
+def test_pq_encode_matches_python_argmin(spark):
+    """pq_encode assigns every subvector to the pure-Python argmax of the
+    SAME integer-grid affinity floor((dot(v_sub,c) − ||c||²/2)·1e6) — which
+    is the Euclidean argmin, since ‖v−c‖² = ‖v‖² − 2⟨v,c⟩ + ‖c‖² and ‖v‖²
+    is codeword-invariant — ties to the lowest code id.  This loop mirror is
+    the semantics oracle for ann_pq's DuckDB gate.  NULL vectors pass
+    through as NULL codes (pq_topk filters them before encode)."""
+    import math
+
+    from sparkx.ops.similarity import load_frozen_pq_codebooks, pq_encode
+
+    books = load_frozen_pq_codebooks()
+    m_sub, d_sub = books["m"], books["d_sub"]
+    emb, pdf = _clustered_embeddings(spark)
+
+    def py_codes(v):
+        out = []
+        for m in range(m_sub):
+            sub = v[m * d_sub:(m + 1) * d_sub]
+            best = None
+            for j, cw in enumerate(books["codebooks"][m]):
+                half = sum(x * x for x in cw) / 2.0
+                dot = 0.0
+                for x, y in zip(sub, cw):
+                    dot += x * y
+                aff = math.floor((dot - half) * 1_000_000.0)
+                if best is None or (aff, -j) > best[:2]:
+                    best = (aff, -j, j)
+            out.append(best[2])
+        return out
+
+    want = {int(r.vec_id): py_codes(list(r.embedding))
+            for _, r in pdf.iterrows()}
+    got = {r.vec_id: list(r.pq_codes)
+           for r in pq_encode(emb, books).collect()}
+    assert got == want
+
+    with_null = emb.unionByName(
+        spark.createDataFrame(
+            [(999, "cN", None)],
+            "vec_id long, label string, embedding array<double>"))
+    null_row = [r for r in pq_encode(with_null, books).collect()
+                if r.vec_id == 999]
+    assert null_row[0].pq_codes is None
+
+
+def test_pq_adc_exact_on_codeword_concatenations(spark):
+    """When every corpus vector IS a concatenation of codewords, PQ is
+    lossless: the ADC score equals the sum of the per-subvector grid inner
+    products against the query, so pq_topk's ordering coincides with the
+    exact grid-IP brute force.  Pins the LUT-join + sum probe end to end
+    (including the prebuilt-codes serve path, which must be value-identical
+    to the inline encode — the production shape reads codes from parquet).
+
+    Recall on *incompressible* data is documented, not asserted: m=4/ks=16
+    on the random sf0.001 embeddings measures ~0.1 recall@10 vs exact IP —
+    the expected PQ behavior on isotropic Gaussians (Jégou et al. §V fig.8:
+    PQ fidelity tracks intrinsic dimensionality); production raises m/ks."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sparkx.ops.similarity import (
+        load_frozen_pq_codebooks, pq_encode, pq_topk)
+
+    books = load_frozen_pq_codebooks()
+    m_sub, d_sub = books["m"], books["d_sub"]
+    # corpus = deterministic codeword concatenations (+ query vec 0)
+    rows = []
+    for i in range(40):
+        codes = [(i * (m + 3) + 7 * m) % books["ks"] for m in range(m_sub)]
+        v = []
+        for m, j in enumerate(codes):
+            v += [float(x) for x in books["codebooks"][m][j]]
+        rows.append((i, f"g{i % 4}", v))
+    import pandas as pd
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "label", "embedding"]),
+        "vec_id long, label string, embedding array<double>")
+
+    q = rows[0][2]
+
+    def grid_ip(v):
+        s = 0
+        for m in range(m_sub):
+            dot = 0.0
+            for x, y in zip(q[m * d_sub:(m + 1) * d_sub],
+                            v[m * d_sub:(m + 1) * d_sub]):
+                dot += x * y
+            s += math.floor(dot * 1_000_000.0)
+        return s
+
+    want = sorted(((grid_ip(v), -i) for i, _, v in rows[1:]),
+                  reverse=True)[:10]
+    want = [(-ni, ip) for ip, ni in want]
+
+    got = [(r.vec_id, r.adc_e6)
+           for r in pq_topk(emb, books, query_vec_id=0, k=10).collect()]
+    assert got == want
+
+    # prebuilt-codes serve path (production: codes read back from parquet)
+    pre = pq_encode(emb.filter(F.col("embedding").isNotNull()), books)
+    got_pre = [(r.vec_id, r.adc_e6)
+               for r in pq_topk(emb, books, query_vec_id=0, k=10,
+                                encoded=pre).collect()]
+    assert got_pre == got
+
+
 def test_incremental_dedup_anti_join_semantics(spark):
     """New-batch docs drop when their normalized fingerprint exists in the
     corpus OR earlier (min doc_id) within the batch; batch_dups counts the
