@@ -49,7 +49,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 HEADLINE_QUERIES = [
     "ext_fastpath_volume", "ext_agentic_volume",
     "dedup_minhash_lsh", "dedup_clusters",
-    "ann_topk", "ann_ivf", "ann_ivf_probe", "ann_bm25",
+    "ann_topk", "ann_ivf", "ann_ivf_probe", "ann_pq_probe",
+    "ann_ivfpq_probe", "ann_bm25",
     "cur_dsir", "corpus_funnel_gopher",
     "html_pagerank", "ta_gopher_rules", "ta_top_tokens",
 ]
@@ -209,6 +210,11 @@ def main() -> int:
         "dedup_quality_canonical",
         # int8-vs-fp32 recall@10 fidelity report
         "ann_int8_recall",
+        # r5: product-quantization ADC top-k (inline encode + probe; the
+        # prebuilt-codes serve path is timed as ann_pq_probe below) and the
+        # IVF-PQ composite (cell-pruned probe over compressed codes; the
+        # partitioned prebuilt layout is timed as ann_ivfpq_probe below)
+        "ann_pq", "ann_ivfpq",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))
@@ -287,6 +293,49 @@ def main() -> int:
             ivf_topk_frozen(
                 emb, cents, query_vec_id=0, k=10, nprobe=2, assigned=prebuilt
             )
+        ),
+    )
+
+    # ── PQ encode / probe split (same rationale as IVF build/probe): the
+    # code table is written ONCE (the production resident-code layout);
+    # the serve path pays only the code scan + broadcast LUT join ─────────
+    from sparkx.ops.similarity import (
+        load_frozen_pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    books = load_frozen_pq_codebooks()
+    pq_path = f"{base}/sparkx_bench_pq_codes_sf{sf}"
+    timed(
+        "ann_pq_encode",
+        lambda: pq_encode(emb.filter(F.col("embedding").isNotNull()), books)
+        .select("vec_id", "label", "pq_codes")
+        .write.mode("overwrite").parquet(pq_path),
+    )
+    pq_codes = spark.read.parquet(pq_path)
+    timed(
+        "ann_pq_probe",
+        lambda: _count(
+            pq_topk(emb, books, query_vec_id=0, k=10, encoded=pq_codes)
+        ),
+    )
+    # IVF-PQ production layout: cell-partitioned code table; the probe
+    # reads ~nprobe/n_cells of the files AND scores only m-int codes
+    from sparkx.ops.similarity import ivfpq_topk
+
+    ivfpq_path = f"{base}/sparkx_bench_ivfpq_codes_sf{sf}"
+    pq_encode(ivf_assign_frozen(emb, cents), books).filter(
+        F.col("pq_codes").isNotNull()
+    ).select("vec_id", "label", "ivf_cell", "pq_codes").write.mode(
+        "overwrite"
+    ).partitionBy("ivf_cell").parquet(ivfpq_path)
+    ivfpq_codes = spark.read.parquet(ivfpq_path)
+    timed(
+        "ann_ivfpq_probe",
+        lambda: _count(
+            ivfpq_topk(emb, cents, books, query_vec_id=0, k=10, nprobe=2,
+                       assigned_codes=ivfpq_codes)
         ),
     )
 

@@ -236,7 +236,14 @@ def ivf_assign_frozen(
     Nearest = max integer-grid affinity (:func:`_frozen_affinity`), ties to
     the LOWEST cell id via ``array_max`` over ``struct(aff, -cell)`` — the
     struct-max argmax idiom (no Window, no second evaluation of the
-    affinities)."""
+    affinities).
+
+    Vectors whose dimension does not match the frozen quantizer's (incl.
+    NULL vectors) get a NULL cell — a 64-dim index must never silently
+    score an 8-dim vector (Spark's zip_with would NULL-pad, a SQL mirror's
+    fixed-length dot errors; surfaced by the adversarial ragged-dim
+    fixture).  Upstream QA is :func:`embedding_health`."""
+    dim = len(centroids[0])
     structs = F.array(
         *[
             F.struct(
@@ -247,7 +254,10 @@ def ivf_assign_frozen(
         ]
     )
     best = F.array_max(structs)
-    return emb.withColumn("ivf_cell", -best.getField("negcell"))
+    return emb.withColumn(
+        "ivf_cell",
+        F.when(F.size(F.col(vec_col)) == dim, -best.getField("negcell")),
+    )
 
 
 def ivf_topk_frozen(
@@ -278,9 +288,13 @@ def ivf_topk_frozen(
     pruned scan."""
     if assigned is None:
         assigned = ivf_assign_frozen(emb, centroids)
-    q = emb.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q_embedding")
-    )
+    # dim-mismatched corpus vectors carry a NULL ivf_cell (ivf_assign_frozen)
+    # and never equi-join a probe cell; a dim-mismatched QUERY vector yields
+    # an empty probe set (and an empty result) rather than a NULL-padded dot
+    q = emb.filter(
+        (F.col("vec_id") == query_vec_id)
+        & (F.size("embedding") == len(centroids[0]))
+    ).select(F.col("embedding").alias("q_embedding"))
     affs = F.array(
         *[
             F.struct(
@@ -923,9 +937,11 @@ def pq_encode(
     ``-j``), so the whole encode is SQL-expressible and DuckDB-gated —
     codebooks are inlined literals on both engines, same contract as
     :func:`ivf_assign_frozen`.  Adds ``pq_codes`` (array<int>, length m).
-    NULL vectors pass through as NULL codes; NaN-bearing vectors are
-    undefined (gate with :func:`embedding_health` upstream, as for
-    :func:`quantize_int8`)."""
+    NULL vectors and vectors whose dimension ≠ m·d_sub pass through as
+    NULL codes (a frozen codebook must never silently encode a
+    foreign-dimension vector — the ivf_assign_frozen contract);
+    NaN-bearing vectors are undefined (gate with :func:`embedding_health`
+    upstream, as for :func:`quantize_int8`)."""
     m_sub, d_sub = books["m"], books["d_sub"]
     codes = []
     for m in range(m_sub):
@@ -941,7 +957,7 @@ def pq_encode(
         codes.append((-F.array_max(structs).getField("negcode")).cast("int"))
     return emb.withColumn(
         "pq_codes",
-        F.when(F.col(vec_col).isNotNull(), F.array(*codes)),
+        F.when(F.size(F.col(vec_col)) == m_sub * d_sub, F.array(*codes)),
     )
 
 
@@ -974,11 +990,16 @@ def pq_topk(
     and hash-gate stable on any engine."""
     m_sub, d_sub = books["m"], books["d_sub"]
     if encoded is None:
-        encoded = pq_encode(emb.filter(F.col("embedding").isNotNull()), books)
+        encoded = pq_encode(
+            emb.filter(F.size("embedding") == m_sub * d_sub), books
+        )
+    # NULL pq_codes (dim-mismatched / NULL vectors) vanish at posexplode;
+    # a dim-mismatched QUERY yields an empty LUT and an empty result
     codes = encoded.select("vec_id", "label", "pq_codes")
-    q = emb.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q_embedding")
-    )
+    q = emb.filter(
+        (F.col("vec_id") == query_vec_id)
+        & (F.size("embedding") == m_sub * d_sub)
+    ).select(F.col("embedding").alias("q_embedding"))
     lut_structs = F.array(
         *[
             F.struct(
@@ -1013,3 +1034,54 @@ def pq_topk(
         .orderBy(F.desc("adc_e6"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    books: dict,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+    assigned_codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the composed production ANN serve layout (Jégou et al. TPAMI
+    2011 §V "IVFADC"; the non-residual variant — FAISS ``IVFPQ`` with
+    ``by_residual=false``): the coarse quantizer prunes the SEARCH (only
+    ``nprobe`` cells are scanned), product quantization compresses the
+    SCORING (each scanned vector costs m integer LUT adds instead of a
+    d-dim dot).  At 100 TB this is the whole architecture: a
+    cell-partitioned parquet code table where the probe reads
+    ~nprobe/n_cells of the files (directory pruning) and holds 64×-smaller
+    rows while doing it.
+
+    Pure composition of the two frozen-artifact operators — probe-cell
+    selection is :func:`ivf_topk_frozen`'s idiom verbatim, scoring is
+    :func:`pq_topk` over the cell-pruned code frame — so the whole chain
+    stays SQL-expressible and DuckDB-gated.  ``assigned_codes``: a prebuilt
+    (vec_id, label, ivf_cell, pq_codes) frame (the production index, read
+    back from a ``partitionBy("ivf_cell")`` layout); built inline when
+    absent.  Same output contract as :func:`pq_topk` (adc_e6 desc, vec_id
+    asc); dim-mismatched vectors are excluded by both underlying guards."""
+    if assigned_codes is None:
+        assigned_codes = pq_encode(ivf_assign_frozen(emb, centroids), books)
+    q = emb.filter(
+        (F.col("vec_id") == query_vec_id)
+        & (F.size("embedding") == len(centroids[0]))
+    ).select(F.col("embedding").alias("q_embedding"))
+    affs = F.array(
+        *[
+            F.struct(
+                _frozen_affinity("q_embedding", c).alias("aff"),
+                F.lit(-i).alias("negcell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probe_cells = q.select(
+        F.explode(F.slice(F.reverse(F.array_sort(affs)), 1, nprobe)).alias("s")
+    ).select((-F.col("s.negcell")).alias("ivf_cell"))
+    pruned = assigned_codes.filter(F.col("pq_codes").isNotNull()).join(
+        F.broadcast(probe_cells), "ivf_cell"
+    )
+    return pq_topk(emb, books, query_vec_id=query_vec_id, k=k, encoded=pruned)

@@ -26,8 +26,9 @@ def duck():
 
 # non-SQL-expressible ops (iterative algorithms) that deliberately omit a
 # DuckDB oracle and take the driver's weaker rows-only check; each must say
-# so in its query docstring
-ORACLE_EXEMPT = {"ann_ivf"}  # k-means coarse quantizer
+# so in its query docstring.  Empty since r5: ann_ivf's k-means fit is
+# frozen as a checked-in artifact, making the whole probe SQL-expressible
+ORACLE_EXEMPT: set[str] = set()
 
 
 def test_every_query_has_oracle_or_is_documented():

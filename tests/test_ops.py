@@ -791,13 +791,15 @@ def test_pq_encode_matches_python_argmin(spark):
            for r in pq_encode(emb, books).collect()}
     assert got == want
 
-    with_null = emb.unionByName(
+    # NULL vectors and foreign-dimension vectors both yield NULL codes —
+    # a frozen 64-dim codebook must never silently encode an 8-dim vector
+    with_bad = emb.unionByName(
         spark.createDataFrame(
-            [(999, "cN", None)],
+            [(999, "cN", None), (998, "cD", [1.0] * 8)],
             "vec_id long, label string, embedding array<double>"))
-    null_row = [r for r in pq_encode(with_null, books).collect()
-                if r.vec_id == 999]
-    assert null_row[0].pq_codes is None
+    bad = {r.vec_id: r.pq_codes for r in pq_encode(with_bad, books).collect()
+           if r.vec_id in (998, 999)}
+    assert bad[999] is None and bad[998] is None
 
 
 def test_pq_adc_exact_on_codeword_concatenations(spark):
@@ -860,6 +862,45 @@ def test_pq_adc_exact_on_codeword_concatenations(spark):
                for r in pq_topk(emb, books, query_vec_id=0, k=10,
                                 encoded=pre).collect()]
     assert got_pre == got
+
+
+def test_ivfpq_composes_probe_pruning_with_adc(spark):
+    """ivfpq_topk is exactly pq_topk restricted to the probe cells: with
+    nprobe = n_cells it degenerates to pq_topk (probe prunes nothing), and
+    with nprobe=1 every returned vector is assigned to the query's top
+    cell under ivf_assign_frozen and carries the SAME adc_e6 score the
+    unpruned ADC gives it — the composition adds pruning, never changes
+    scoring."""
+    from sparkx.ops.similarity import (
+        ivf_assign_frozen,
+        ivfpq_topk,
+        load_frozen_centroids,
+        load_frozen_pq_codebooks,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = load_frozen_centroids()
+    books = load_frozen_pq_codebooks()
+
+    full = [(r.vec_id, r.adc_e6) for r in
+            ivfpq_topk(emb, cents, books, query_vec_id=0, k=10,
+                       nprobe=len(cents)).collect()]
+    plain = [(r.vec_id, r.adc_e6) for r in
+             pq_topk(emb, books, query_vec_id=0, k=10).collect()]
+    assert full == plain
+
+    one = ivfpq_topk(emb, cents, books, query_vec_id=0, k=10,
+                     nprobe=1).collect()
+    assert 0 < len(one) <= 10
+    cells = {r.vec_id: r.ivf_cell
+             for r in ivf_assign_frozen(emb, cents).collect()}
+    q_cell = cells[0]
+    assert all(cells[r.vec_id] == q_cell for r in one)
+    adc = dict(plain)  # top-10 unpruned scores for overlap check
+    for r in one:
+        if r.vec_id in adc:
+            assert adc[r.vec_id] == r.adc_e6
 
 
 def test_incremental_dedup_anti_join_semantics(spark):

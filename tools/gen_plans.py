@@ -651,6 +651,45 @@ def main() -> int:
         )
     )
 
+    pq_plan = fmt(E.queries()["ann_pq"](spark, sf))
+    assert "BroadcastExchange" in pq_plan, "PQ LUT side must broadcast"
+    assert "SortMergeJoin" not in pq_plan, "PQ LUT join must never sort-merge"
+    assert "TakeOrderedAndProject" in pq_plan
+    assert "partial_sum" in pq_plan, "ADC sum has no map-side combine"
+    assert "Window" not in pq_plan
+    sections.append(
+        (
+            "Product-quantization ADC top-k (broadcast LUT join)",
+            pq_plan,
+            "What to check (asserted): the m·ks-row query lookup table is a\n"
+            "BroadcastExchange into the equi-join against posexploded codes\n"
+            "(never SortMergeJoin — the corpus side must not shuffle); the\n"
+            "per-doc ADC score is a partial_sum (map-side combined) long\n"
+            "aggregate; the final top-k is TakeOrderedAndProject.  Per corpus\n"
+            "row the scored work is O(m) integer adds — the serve-path cost\n"
+            "that makes PQ viable at 100 TB.",
+        )
+    )
+
+    ivfpq_plan = fmt(E.queries()["ann_ivfpq"](spark, sf))
+    assert "SortMergeJoin" not in ivfpq_plan
+    assert ivfpq_plan.count("BroadcastExchange") >= 2, \
+        "probe-cell set and ADC LUT must both broadcast"
+    assert "TakeOrderedAndProject" in ivfpq_plan
+    sections.append(
+        (
+            "IVF-PQ composite (broadcast probe-cell semi-join + broadcast LUT)",
+            ivfpq_plan,
+            "What to check (asserted): BOTH small sides broadcast — the\n"
+            "≤nprobe-row probe-cell set into the cell semi-join (on a\n"
+            "cell-partitioned code table this is the same DPP-prunable\n"
+            "shape as ann_ivf_probe) and the m·ks-row LUT into the code\n"
+            "join; no SortMergeJoin anywhere, so the corpus never\n"
+            "shuffles; final top-k is TakeOrderedAndProject.  Scan prune ×\n"
+            "64× row compression = the production ANN serve plan.",
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plan audit (explain formatted)\n\n"
