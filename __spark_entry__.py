@@ -521,6 +521,17 @@ def _q_ann_ivfpq(spark, sf_dir):
     )
 
 
+def _q_ann_pq_recall(spark, sf_dir):
+    """PQ-vs-exact recall@10 fidelity report (the ann_int8_recall pattern):
+    per query vector, overlap@10 between the ADC ranking over frozen PQ
+    codes and the exact inner-product brute force — what a deployment reads
+    before committing to 64× compression.  Both rankings integer-grid
+    deterministic, so fully DuckDB-gated."""
+    return S.pq_recall_report(
+        _emb(spark, sf_dir), S.load_frozen_pq_codebooks(), n_queries=8, k=10,
+    )
+
+
 def _q_ann_knn_batch(spark, sf_dir):
     """Incremental-batch kNN: a small query batch (vec_id < 8 — 'the new
     docs') probed against the full corpus via knn_join(queries=...).  Same
@@ -1480,6 +1491,22 @@ def _q_cur_dialogue_windows(spark, sf_dir):
     )
 
 
+def _q_cur_turn_boiler(spark, sf_dir):
+    """Transcript-native frequency boilerplate strip
+    (corpus.turn_boilerplate_strip): lines present in ≥60% of conversations
+    (template preambles, tool wrappers — here the derived table's TSV
+    header, 'ok' turns, and the shared inline-figure line) are stripped
+    from every turn; per-turn (clean_text, n_lines, n_dropped).  The CCNet
+    freq-boiler rule on the turn axis — what line_dedup's keep-first rule
+    can't express.  Oracle: same df-share gate + ordered string_agg
+    reassembly in DuckDB."""
+    from sparkx.ops import corpus as C
+
+    return C.turn_boilerplate_strip(
+        transcripts_from_documents(spark, sf_dir), min_share=0.6
+    )
+
+
 def _q_diag_key_skew(spark, sf_dir):
     """Join-key skew diagnosis (diag.skew_report) over events.user_id: the
     top-10 heaviest keys with integer-grid row share and the ceil-div salt
@@ -1880,6 +1907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_compaction_plan": _q_diag_compaction_plan,
         "ann_pq": _q_ann_pq,
         "ann_ivfpq": _q_ann_ivfpq,
+        "ann_pq_recall": _q_ann_pq_recall,
+        "cur_turn_boiler": _q_cur_turn_boiler,
         # changed semantics this round (was_revised truthiness fix) —
         # re-verify with a fresh driver row
         "a5_query_stats": _q_a5_query_stats,
@@ -1914,11 +1943,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "ann_topk": _q_ann_topk,
-        "ann_topk_lsh": _q_ann_topk_lsh,
-        "ann_text_topk": _q_ann_text_topk,
         # ── positions ≥50: rotated out; every entry below has a green
         # {rows,schema,hash} row in CORRECTNESS_r01–r04 and stays covered
         # by tools/check_contract.py (mirror gate) every round ──
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_text_topk": _q_ann_text_topk,
         "ann_knn_join": _q_ann_knn_join,
         "w2_topk_per_group": _q_w2_topk_per_group,
         "j2_dedup_merge": _q_j2_dedup_merge,
@@ -2468,6 +2497,82 @@ def _pq_oracle_sql(k: int = 10) -> str:
             ORDER BY adc_e6 DESC, cd.vec_id ASC LIMIT {k}"""
 
 
+def _pq_recall_oracle_sql(n_queries: int = 8, k: int = 10) -> str:
+    """SQL mirror of similarity.pq_recall_report: exact grid-IP top-k vs
+    ADC top-k per query, overlap counted, zero-overlap queries kept via a
+    left join.  Same frozen-codebook literals as _pq_oracle_sql."""
+    from sparkx.ops.similarity import load_frozen_pq_codebooks
+
+    books = load_frozen_pq_codebooks()
+    d_sub = books["d_sub"]
+    dim = books["m"] * d_sub
+    ms, cs, arrs, halves = [], [], [], []
+    for m in range(books["m"]):
+        for j, cw in enumerate(books["codebooks"][m]):
+            ms.append(str(m))
+            cs.append(str(j))
+            arrs.append(
+                "[" + ", ".join(repr(float(x)) for x in cw) + "]::DOUBLE[]"
+            )
+            halves.append(repr(sum(x * x for x in cw) / 2.0))
+    return f"""
+            WITH cent AS (
+              SELECT unnest([{", ".join(ms)}]) AS m,
+                     unnest([{", ".join(cs)}]) AS code,
+                     unnest([{", ".join(arrs)}]) AS centroid,
+                     unnest([{", ".join(halves)}]::DOUBLE[]) AS half),
+            base AS (
+              SELECT vec_id, embedding FROM embeddings
+              WHERE len(embedding) = {dim}),
+            q AS (
+              SELECT vec_id AS q_id, embedding AS q_emb FROM base
+              WHERE vec_id < {n_queries}),
+            fp AS (
+              SELECT q.q_id, b.vec_id,
+                CAST(floor(list_dot_product(b.embedding::DOUBLE[],
+                     q.q_emb::DOUBLE[]) * 1000000.0) AS BIGINT) AS ip
+              FROM base b CROSS JOIN q WHERE b.vec_id != q.q_id),
+            fp_top AS (
+              SELECT q_id, vec_id FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY q_id ORDER BY ip DESC, vec_id ASC) AS rn
+                FROM fp) WHERE rn <= {k}),
+            paff AS (
+              SELECT b.vec_id, c.m, c.code,
+                CAST(floor((list_dot_product(
+                       list_slice(b.embedding::DOUBLE[], c.m*{d_sub}+1, (c.m+1)*{d_sub}),
+                       c.centroid) - c.half) * 1000000.0) AS BIGINT) AS aff
+              FROM base b CROSS JOIN cent c),
+            codes AS (
+              SELECT vec_id, m, code FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id, m ORDER BY aff DESC, code ASC) AS rn
+                FROM paff) WHERE rn = 1),
+            lut AS (
+              SELECT q.q_id, c.m, c.code,
+                CAST(floor(list_dot_product(
+                       list_slice(q.q_emb::DOUBLE[], c.m*{d_sub}+1, (c.m+1)*{d_sub}),
+                       c.centroid) * 1000000.0) AS BIGINT) AS ip_e6
+              FROM cent c CROSS JOIN q),
+            adc AS (
+              SELECT l.q_id, cd.vec_id, CAST(sum(l.ip_e6) AS BIGINT) AS score
+              FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.code
+              WHERE cd.vec_id != l.q_id
+              GROUP BY l.q_id, cd.vec_id),
+            adc_top AS (
+              SELECT q_id, vec_id FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rn
+                FROM adc) WHERE rn <= {k}),
+            ov AS (
+              SELECT f.q_id, count(*) AS n_overlap
+              FROM fp_top f JOIN adc_top a
+                ON f.q_id = a.q_id AND f.vec_id = a.vec_id
+              GROUP BY f.q_id)
+            SELECT q.q_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+            FROM q LEFT JOIN ov ON q.q_id = ov.q_id"""
+
+
 def _ivfpq_oracle_sql(k: int = 10, nprobe: int = 2) -> str:
     """IVF-PQ composite oracle — the IVF assignment/probe CTEs
     (_ivf_oracle_sql) feeding the PQ encode/LUT CTEs (_pq_oracle_sql),
@@ -2769,6 +2874,44 @@ def oracle_sql() -> dict[str, str]:
         # dialogue training-window assembly: window cumsum for per-turn
         # prefix tokens, window start via the bounded within-conv join
         # (b.pre >= a.cum - budget), target always included
+        # transcript freq-boilerplate strip: per-conversation line df →
+        # ≥60% share gate (integer comparison) → anti-filter → ordered
+        # reassembly; short (<2 char) lines exempt, NULL text behaves as ''
+        "cur_turn_boiler": TRANSCRIPTS_SQL_CTE + """,
+            lines AS (
+              SELECT conv_id, turn_idx, role,
+                CAST(generate_subscripts(string_split(coalesce(text, ''), chr(10)), 1) - 1 AS INT) AS pos,
+                unnest(string_split(coalesce(text, ''), chr(10))) AS line
+              FROM transcripts),
+            elig AS (SELECT * FROM lines WHERE length(line) >= 2),
+            dfc AS (
+              SELECT line, count(DISTINCT conv_id) AS n_convs
+              FROM elig GROUP BY line),
+            tot AS (
+              SELECT count(DISTINCT conv_id) AS total_convs FROM transcripts),
+            boiler AS (
+              SELECT line FROM dfc, tot
+              WHERE n_convs * 10000 >= 6000 * total_convs),
+            kept AS (
+              SELECT * FROM elig
+              WHERE line NOT IN (SELECT line FROM boiler)
+              UNION ALL
+              SELECT * FROM lines WHERE length(line) < 2),
+            rebuilt AS (
+              SELECT conv_id, turn_idx, role,
+                string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                count(*) AS kept_n
+              FROM kept GROUP BY conv_id, turn_idx, role),
+            totals AS (
+              SELECT conv_id, turn_idx, role, count(*) AS n_lines
+              FROM lines GROUP BY conv_id, turn_idx, role)
+            SELECT t.conv_id, t.turn_idx, t.role,
+              coalesce(r.clean_text, '') AS clean_text,
+              CAST(t.n_lines AS BIGINT) AS n_lines,
+              CAST(t.n_lines - coalesce(r.kept_n, 0) AS BIGINT) AS n_dropped
+            FROM totals t LEFT JOIN rebuilt r
+              ON t.conv_id = r.conv_id AND t.turn_idx = r.turn_idx
+              AND t.role = r.role""",
         "cur_dialogue_windows": TRANSCRIPTS_SQL_CTE + """
             , tk AS (
               SELECT conv_id, turn_idx, role,
@@ -3360,6 +3503,7 @@ GROUP BY 1"""
         "ann_ivf": _ivf_oracle_sql(k=10, nprobe=2),
         "ann_pq": _pq_oracle_sql(k=10),
         "ann_ivfpq": _ivfpq_oracle_sql(k=10, nprobe=2),
+        "ann_pq_recall": _pq_recall_oracle_sql(n_queries=8, k=10),
         "ann_bm25": _BM25_ORACLE_SQL,
         # BM25 from the prebuilt inverted index is value-identical to the
         # inline build (a query term's df over the full postings table IS

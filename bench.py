@@ -214,7 +214,9 @@ def main() -> int:
         # prebuilt-codes serve path is timed as ann_pq_probe below) and the
         # IVF-PQ composite (cell-pruned probe over compressed codes; the
         # partitioned prebuilt layout is timed as ann_ivfpq_probe below)
-        "ann_pq", "ann_ivfpq",
+        "ann_pq", "ann_ivfpq", "ann_pq_recall",
+        # r5: transcript freq-boilerplate strip (CCNet rule, turn axis)
+        "cur_turn_boiler",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

@@ -1083,3 +1083,91 @@ def dialogue_windows(
         ctx_tokens.alias("context_tokens"),
         (ctx_tokens <= budget).alias("fits"),
     )
+
+
+def turn_boilerplate_strip(
+    transcripts: DataFrame,
+    min_share: float = 0.6,
+    min_chars: int = 2,
+) -> DataFrame:
+    """Frequency-based boilerplate strip for TRANSCRIPTS — the CCNet/web
+    freq-boiler rule (Wenzek et al. LREC 2020; html_extract.freq_boiler's
+    idiom) applied to the turn table: a line that appears in ≥ ``min_share``
+    of all conversations is template boilerplate (canned assistant openers,
+    tool-output wrappers, system preambles), not content, and is stripped
+    from EVERY turn.  This is the transcript-native extraction rung
+    document-level dedup can't reach: at 10^12 turns the same preamble line
+    sits in millions of conversations, poisoning n-gram stats and wasting
+    tokens, while each containing turn is globally unique.
+
+    Differs from :func:`sparkx.ops.dedup.line_dedup` (keep FIRST occurrence)
+    in that ubiquity is measured per-CONVERSATION (df over conv_id, robust
+    to one chatty conversation repeating a line) and frequent lines are
+    dropped EVERYWHERE.
+
+    Execution: posexplode lines → two-level map-side-combinable df
+    aggregate ((lkey, conv) → lkey, never countDistinct in one hop) → the
+    boilerplate set (tiny by construction: only lines above the share
+    gate) broadcast into a LEFT ANTI join → ordered per-turn reassembly
+    (array_sort(collect_list(struct)), the line_dedup idiom).  Shuffles
+    carry (hash, conv_id, pos) triples, never line text twice.  The share
+    gate crosses engines as an integer comparison (n_convs·10⁴ ≥
+    share_e4·total_convs) — never a float ratio.
+
+    Lines shorter than ``min_chars`` are exempt (kept verbatim, never
+    counted): blank separators are formatting, not boilerplate.  NULL text
+    behaves as '' (line_dedup's convention).  Returns one row per turn:
+    ``(conv_id, turn_idx, role, clean_text, n_lines, n_dropped)``.
+    """
+    share_e4 = int(round(min_share * 10_000))
+    lines = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.posexplode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    )
+    elig = lines.filter(F.length("line") >= min_chars).withColumn(
+        "lkey", F.md5(F.col("line"))
+    )
+    per_conv = elig.select("lkey", "conv_id").distinct()
+    df_counts = per_conv.groupBy("lkey").agg(
+        F.count(F.lit(1)).alias("n_convs")
+    )
+    total = transcripts.select(
+        F.countDistinct("conv_id").alias("total_convs")
+    )
+    boiler = (
+        df_counts.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_convs") * F.lit(10_000)
+            >= F.lit(share_e4) * F.col("total_convs")
+        )
+        .select("lkey")
+    )
+    kept = (
+        elig.join(F.broadcast(boiler), "lkey", "left_anti")
+        .select("conv_id", "turn_idx", "role", "pos", "line")
+        .unionByName(lines.filter(F.length("line") < min_chars))
+    )
+    rebuilt = kept.groupBy("conv_id", "turn_idx", "role").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("_arr"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    totals = lines.groupBy("conv_id", "turn_idx", "role").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    return totals.join(rebuilt, ["conv_id", "turn_idx", "role"], "left").select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.coalesce(
+            F.array_join(F.transform("_arr", lambda s: s["line"]), "\n"),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        (
+            F.col("n_lines") - F.coalesce(F.col("_kept"), F.lit(0))
+        ).cast("long").alias("n_dropped"),
+    )

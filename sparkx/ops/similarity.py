@@ -1085,3 +1085,96 @@ def ivfpq_topk(
         F.broadcast(probe_cells), "ivf_cell"
     )
     return pq_topk(emb, books, query_vec_id=query_vec_id, k=k, encoded=pruned)
+
+
+def pq_recall_report(
+    emb: DataFrame, books: dict, n_queries: int = 8, k: int = 10
+) -> DataFrame:
+    """PQ fidelity made data (the int8_recall_report pattern): per query
+    vector, overlap@k between the ADC ranking over PQ codes and the exact
+    inner-product brute-force ranking — the number a deployment reads
+    before committing to 64× compression.  Returns ``(q_id, n_overlap)``,
+    ``n_overlap ∈ [0, k]``.
+
+    Both rankings are integer-grid deterministic (exact baseline =
+    floor(dot·1e6) longs, ADC = exact long sums of LUT entries; ties to
+    vec_id asc), so the whole report is SQL-expressible and value-hash
+    gateable.  The ADC side is the multi-query generalization of
+    :func:`pq_topk`: the LUT carries q_id (n_queries·m·ks rows, still
+    broadcast-size), codes are encoded ONCE and joined once.
+    Dim-mismatched / NULL vectors are excluded by the encode guard on
+    both sides."""
+    from pyspark.sql import Window
+
+    m_sub, d_sub = books["m"], books["d_sub"]
+    base = emb.filter(F.size("embedding") == m_sub * d_sub)
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    fp = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.floor(
+                _dot_expr("embedding", "q_embedding") * F.lit(1_000_000.0)
+            ).cast("long").alias("_ip"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("_ip"), F.asc("vec_id"))
+    fp_top = (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", "vec_id")
+    )
+    codes = pq_encode(base, books).select("vec_id", "pq_codes")
+    lut_structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.lit(j).alias("code"),
+                F.floor(
+                    _dot_expr(
+                        f"slice(q_embedding, {m * d_sub + 1}, {d_sub})",
+                        "array("
+                        + ", ".join(repr(float(x)) + "D" for x in cw)
+                        + ")",
+                    )
+                    * F.lit(1_000_000.0)
+                ).cast("long").alias("ip_e6"),
+            )
+            for m in range(m_sub)
+            for j, cw in enumerate(books["codebooks"][m])
+        ]
+    )
+    lut = q.select("q_id", F.explode(lut_structs).alias("s")).select(
+        "q_id", F.col("s.m").alias("m"), F.col("s.code").alias("code"),
+        F.col("s.ip_e6").alias("ip_e6"),
+    )
+    adc = (
+        codes.select("vec_id", F.posexplode("pq_codes").alias("m", "code"))
+        .join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("ip_e6").alias("_adc"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("_adc"), F.asc("vec_id"))
+    adc_top = (
+        adc.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", "vec_id")
+    )
+    overlap = (
+        fp_top.join(adc_top, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        q.select("q_id")
+        .join(overlap, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+        )
+    )

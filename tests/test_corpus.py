@@ -461,3 +461,43 @@ def test_dialogue_windows_budget_zero_and_exact_fit(spark):
     exact = {r.turn_idx: (r.first_turn_idx, r.context_tokens, r.fits)
              for r in dialogue_windows(df, budget=5).collect()}
     assert exact[1] == (0, 5, True)
+
+
+def test_turn_boilerplate_strip_per_conversation_df(spark):
+    """The share gate counts CONVERSATIONS, not occurrences: a line pasted
+    20× inside one conversation is content (kept); a line present once in
+    3 of 4 conversations crosses the 0.6 share gate (stripped everywhere).
+    Short lines are exempt; a turn whose every line is boilerplate
+    survives with clean_text ''; NULL text behaves as ''."""
+    from sparkx.ops.corpus import turn_boilerplate_strip
+
+    preamble = "I am a helpful agent."
+    spam = "local repetition line"
+    rows = [
+        ("A", 0, "assistant", preamble + "\nalpha content here"),
+        ("A", 1, "user", "\n".join([spam] * 20)),
+        ("B", 0, "assistant", preamble + "\nbeta content here"),
+        ("C", 0, "assistant", preamble),
+        ("C", 1, "user", "x\ngamma content here"),
+        ("D", 0, "assistant", "delta content here"),
+        ("D", 1, "tool", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    got = {(r.conv_id, r.turn_idx): r
+           for r in turn_boilerplate_strip(df, min_share=0.6).collect()}
+    assert len(got) == len(rows)
+    # preamble in 3/4 convs (share 0.75 ≥ 0.6) → stripped everywhere
+    assert got[("A", 0)].clean_text == "alpha content here"
+    assert got[("A", 0)].n_dropped == 1 and got[("A", 0)].n_lines == 2
+    assert got[("B", 0)].clean_text == "beta content here"
+    # all-boilerplate turn survives empty
+    assert got[("C", 0)].clean_text == "" and got[("C", 0)].n_dropped == 1
+    # 20× within ONE conv: conv-df = 1/4 < 0.6 → kept verbatim
+    assert got[("A", 1)].clean_text == "\n".join([spam] * 20)
+    assert got[("A", 1)].n_dropped == 0
+    # short line 'x' exempt even though unique; content intact
+    assert got[("C", 1)].clean_text == "x\ngamma content here"
+    # untouched conv + NULL text conventions
+    assert got[("D", 0)].clean_text == "delta content here"
+    assert got[("D", 1)].clean_text == "" and got[("D", 1)].n_lines == 1
