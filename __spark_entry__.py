@@ -1507,6 +1507,28 @@ def _q_cur_turn_boiler(spark, sf_dir):
     )
 
 
+def _q_cur_tool_chains(spark, sf_dir):
+    """Tool-call chain mining (corpus.tool_chain_stats): the (from → to)
+    transition table over consecutive tool turns per conversation, START
+    pseudo-state for entry points.  The derived table's single 'search'
+    tool is diversified deterministically by turn_idx so the chain logic
+    is actually exercised; both engines derive identically.  Output ≤
+    (n_tools+1)² rows at any corpus size."""
+    from sparkx.ops import corpus as C
+
+    t = transcripts_from_documents(spark, sf_dir).withColumn(
+        "tool",
+        F.when(
+            F.col("role") == "tool",
+            F.element_at(
+                F.array(F.lit("search"), F.lit("browse"), F.lit("exec")),
+                (F.col("turn_idx") % 3 + 1).cast("int"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return C.tool_chain_stats(t)
+
+
 def _q_diag_key_skew(spark, sf_dir):
     """Join-key skew diagnosis (diag.skew_report) over events.user_id: the
     top-10 heaviest keys with integer-grid row share and the ceil-div salt
@@ -1909,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": _q_ann_ivfpq,
         "ann_pq_recall": _q_ann_pq_recall,
         "cur_turn_boiler": _q_cur_turn_boiler,
+        "cur_tool_chains": _q_cur_tool_chains,
         # changed semantics this round (was_revised truthiness fix) —
         # re-verify with a fresh driver row
         "a5_query_stats": _q_a5_query_stats,
@@ -1942,10 +1965,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "dedup_clusters": _q_dedup_clusters,
-        "ann_topk": _q_ann_topk,
         # ── positions ≥50: rotated out; every entry below has a green
         # {rows,schema,hash} row in CORRECTNESS_r01–r04 and stays covered
         # by tools/check_contract.py (mirror gate) every round ──
+        "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_text_topk": _q_ann_text_topk,
         "ann_knn_join": _q_ann_knn_join,
@@ -2912,6 +2935,25 @@ def oracle_sql() -> dict[str, str]:
             FROM totals t LEFT JOIN rebuilt r
               ON t.conv_id = r.conv_id AND t.turn_idx = r.turn_idx
               AND t.role = r.role""",
+        # tool-chain transitions: lag window over tool turns per conv,
+        # START pseudo-state; tool names diversified by turn_idx % 3
+        "cur_tool_chains": TRANSCRIPTS_SQL_CTE + """,
+            toolturns AS (
+              SELECT conv_id, turn_idx,
+                CASE CAST(turn_idx % 3 AS INT)
+                  WHEN 0 THEN 'search' WHEN 1 THEN 'browse' ELSE 'exec'
+                END AS tool2
+              FROM transcripts WHERE role = 'tool'),
+            seq AS (
+              SELECT conv_id,
+                coalesce(lag(tool2) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx), 'START') AS tool_from,
+                tool2 AS tool_to
+              FROM toolturns)
+            SELECT tool_from, tool_to,
+              CAST(count(*) AS BIGINT) AS n_transitions,
+              CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM seq GROUP BY tool_from, tool_to""",
         "cur_dialogue_windows": TRANSCRIPTS_SQL_CTE + """
             , tk AS (
               SELECT conv_id, turn_idx, role,

@@ -216,7 +216,8 @@ def main() -> int:
         # partitioned prebuilt layout is timed as ann_ivfpq_probe below)
         "ann_pq", "ann_ivfpq", "ann_pq_recall",
         # r5: transcript freq-boilerplate strip (CCNet rule, turn axis)
-        "cur_turn_boiler",
+        # and tool-chain transition mining
+        "cur_turn_boiler", "cur_tool_chains",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

@@ -1171,3 +1171,47 @@ def turn_boilerplate_strip(
             F.col("n_lines") - F.coalesce(F.col("_kept"), F.lit(0))
         ).cast("long").alias("n_dropped"),
     )
+
+
+def tool_chain_stats(
+    transcripts: DataFrame,
+    state_col: str = "tool",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Tool-invocation chain mining over agent transcripts: for consecutive
+    tool turns within a conversation (ordered by ``order_col``), count every
+    (tool_from → tool_to) transition corpus-wide, plus the number of
+    distinct conversations exhibiting it — the Markov transition table an
+    agent-pipeline owner reads to understand real workflows (and the
+    curation signal for sampling conversations by workflow shape).  A
+    conversation's FIRST tool call transitions from the pseudo-state
+    ``START``, so entry-point frequencies ride the same table.
+
+    Rows with NULL/empty ``state_col`` are not tool turns and are skipped
+    (the chain links ACROSS them: user/assistant turns between two tool
+    calls don't break the sequence).  ``order_col`` must be unique per
+    conversation (the stable-turn-ordering invariant).
+
+    Execution: one lag window per conversation — bounded by conversation
+    length, the inherently sequential unit — then a map-side-combinable
+    count plus a distinct-conv count over the (from, to) pairs.  Output is
+    ≤ (n_tools+1)² rows regardless of corpus size.  Returns
+    ``(tool_from, tool_to, n_transitions, n_convs)``.
+    """
+    from pyspark.sql import Window
+
+    t = transcripts.filter(
+        F.col(state_col).isNotNull() & (F.col(state_col) != "")
+    )
+    w = Window.partitionBy("conv_id").orderBy(order_col)
+    pairs = t.select(
+        "conv_id",
+        F.coalesce(F.lag(state_col).over(w), F.lit("START")).alias(
+            "tool_from"
+        ),
+        F.col(state_col).alias("tool_to"),
+    )
+    return pairs.groupBy("tool_from", "tool_to").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )

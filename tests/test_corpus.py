@@ -501,3 +501,28 @@ def test_turn_boilerplate_strip_per_conversation_df(spark):
     # untouched conv + NULL text conventions
     assert got[("D", 0)].clean_text == "delta content here"
     assert got[("D", 1)].clean_text == "" and got[("D", 1)].n_lines == 1
+
+
+def test_tool_chain_stats_links_across_non_tool_turns(spark):
+    """Transitions pair CONSECUTIVE tool turns: intervening user/assistant
+    turns don't break the chain; a conversation's first tool call
+    transitions from START; n_convs counts distinct conversations per
+    transition, not occurrences."""
+    from sparkx.ops.corpus import tool_chain_stats
+
+    rows = [
+        ("A", 0, "user", ""), ("A", 1, "tool", "search"),
+        ("A", 2, "assistant", ""), ("A", 3, "tool", "exec"),
+        ("A", 4, "tool", "exec"),
+        ("B", 0, "tool", "search"), ("B", 1, "tool", "exec"),
+        ("C", 0, "tool", "browse"), ("C", 1, "tool", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string")
+    got = {(r.tool_from, r.tool_to): (r.n_transitions, r.n_convs)
+           for r in tool_chain_stats(df).collect()}
+    assert got[("START", "search")] == (2, 2)   # convs A and B
+    assert got[("search", "exec")] == (2, 2)    # across A's assistant turn
+    assert got[("exec", "exec")] == (1, 1)
+    assert got[("START", "browse")] == (1, 1)   # C's NULL tool row skipped
+    assert len(got) == 4
