@@ -532,6 +532,21 @@ def _q_ann_pq_recall(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_recall(spark, sf_dir):
+    """IVF-vs-exact recall@10 fidelity report (the int8/pq recall pattern):
+    per query vector, overlap@10 between the frozen-quantizer nprobe=2
+    probe ranking and the exact cosine brute force — the scan-fraction ↔
+    recall tradeoff a deployment reads before committing to IVF.  Upgrades
+    the IVF recall claim from pytest-only (VERDICT r4) to a driver
+    value-hash row: both rankings sit on the floor-1e6 integer cosine
+    grid, so assignment, probe, both top-ks and the overlap are all
+    DuckDB-mirrored."""
+    return S.ivf_recall_report(
+        _emb(spark, sf_dir), S.load_frozen_centroids(), n_queries=8, k=10,
+        nprobe=2,
+    )
+
+
 def _q_ann_knn_batch(spark, sf_dir):
     """Incremental-batch kNN: a small query batch (vec_id < 8 — 'the new
     docs') probed against the full corpus via knn_join(queries=...).  Same
@@ -1529,6 +1544,90 @@ def _q_cur_tool_chains(spark, sf_dir):
     return C.tool_chain_stats(t)
 
 
+def _q_cur_conv_loops(spark, sf_dir):
+    """Stuck-loop detection over the derived transcripts
+    (corpus.conv_loop_stats): per conversation, repeated-turn count and the
+    longest run of verbatim-identical consecutive turns — the agent
+    retry-loop signature a transcript corpus build gates on.  The fam-3
+    ('ok') and fam-6 (lang\\tsource) conversations genuinely loop (every
+    turn of a conversation shares doc_id % 10), so the islands logic is
+    exercised, not vacuous.  Gaps-and-islands on one (conv, turn) ordering;
+    null-safe equality so NULL-text runs extend (adversarial fixture).
+    Oracle: IS NOT DISTINCT FROM + the same two-level run fold."""
+    from sparkx.ops import corpus as C
+
+    return C.conv_loop_stats(
+        transcripts_from_documents(spark, sf_dir), min_run=3
+    )
+
+
+def _q_dedup_editdist(spark, sf_dir):
+    """Typo-level near-dup pairs (dedup.editdist_pairs, FastSS deletion
+    blocking): SymSpell dictionary shape — keys are each document's first
+    whitespace token (ASCII-sanitized so Spark's code-point and DuckDB's
+    byte levenshtein agree, ≤24 chars), deduped to a (key → min doc_id)
+    dictionary first (identical keys are exact-dedup's job), then the
+    deletion-signature join finds all representative pairs within edit
+    distance 1 — exact recall by the FastSS collision lemma, verified by
+    levenshtein.  Never all-pairs: candidates exist only on signature
+    collisions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.substring(
+        F.coalesce(
+            F.get(
+                F.filter(
+                    F.split(
+                        F.lower(
+                            F.regexp_replace(
+                                F.coalesce(F.col("text"), F.lit("")),
+                                "[^\\x20-\\x7e]",
+                                "?",
+                            )
+                        ),
+                        "[ \\t\\n\\x0b\\f\\r]+",
+                    ),
+                    lambda x: x != "",
+                ),
+                F.lit(0),
+            ),
+            F.lit(""),
+        ),
+        1,
+        24,
+    )
+    # deterministic typo noise (the dedup_recall_report pattern): the clean
+    # synthetic vocabulary has no natural distance-1 neighbors, so a third
+    # of docs delete their key's 2nd char and a third substitute it with
+    # 'x' — planting deletion, insertion and substitution pairs the
+    # signature join must then recover
+    mod = F.col("doc_id") % 3
+    noisy = (
+        F.when(
+            mod == 1,
+            F.concat(F.substring(key, 1, 1), F.substring(key, 3, 1 << 20)),
+        )
+        .when(
+            mod == 2,
+            F.concat(
+                F.substring(key, 1, 1),
+                F.lit("x"),
+                F.substring(key, 3, 1 << 20),
+            ),
+        )
+        .otherwise(key)
+    )
+    kd = (
+        docs.select(noisy.alias("k"))
+        .filter(F.length("k") > 0)
+        .distinct()
+    )
+    return D.editdist_pairs(kd, key_col="k", id_col="k").select(
+        F.col("a_id").alias("a_key"),
+        F.col("b_id").alias("b_key"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
 def _q_diag_key_skew(spark, sf_dir):
     """Join-key skew diagnosis (diag.skew_report) over events.user_id: the
     top-10 heaviest keys with integer-grid row share and the ceil-div salt
@@ -1932,6 +2031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_recall": _q_ann_pq_recall,
         "cur_turn_boiler": _q_cur_turn_boiler,
         "cur_tool_chains": _q_cur_tool_chains,
+        "ann_ivf_recall": _q_ann_ivf_recall,
+        "cur_conv_loops": _q_cur_conv_loops,
+        "dedup_editdist": _q_dedup_editdist,
         # changed semantics this round (was_revised truthiness fix) —
         # re-verify with a fresh driver row
         "a5_query_stats": _q_a5_query_stats,
@@ -2596,6 +2698,81 @@ def _pq_recall_oracle_sql(n_queries: int = 8, k: int = 10) -> str:
             FROM q LEFT JOIN ov ON q.q_id = ov.q_id"""
 
 
+def _ivf_recall_oracle_sql(
+    n_queries: int = 8, k: int = 10, nprobe: int = 2
+) -> str:
+    """SQL mirror of similarity.ivf_recall_report: exact floor-1e6 cosine
+    top-k vs frozen-quantizer IVF probe top-k per query, overlap counted,
+    zero-overlap queries kept via a left join.  Same centroid literals as
+    _ivf_oracle_sql (one artifact, two engines)."""
+    from sparkx.ops.similarity import load_frozen_centroids
+
+    cents = load_frozen_centroids()
+    dim = len(cents[0])
+    cells = ", ".join(str(i) for i in range(len(cents)))
+    arrays = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
+        for c in cents
+    )
+    norms = ", ".join(repr(sum(x * x for x in c) ** 0.5) for c in cents)
+    return f"""
+            WITH cent AS (
+              SELECT unnest([{cells}]) AS cell,
+                     unnest([{arrays}]) AS centroid,
+                     unnest([{norms}]::DOUBLE[]) AS cnorm),
+            base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS emb,
+                     list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[]) AS n2
+              FROM embeddings WHERE len(embedding) = {dim}),
+            q AS (
+              SELECT vec_id AS q_id, emb AS q_emb, n2 AS q_n2 FROM base
+              WHERE vec_id < {n_queries}),
+            scored AS (
+              SELECT q.q_id, b.vec_id,
+                CAST(floor(list_dot_product(b.emb, q.q_emb)
+                           / sqrt(b.n2 * q.q_n2) * 1000000.0) AS BIGINT) AS ip
+              FROM base b CROSS JOIN q WHERE b.vec_id != q.q_id),
+            exact_top AS (
+              SELECT q_id, vec_id FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY q_id ORDER BY ip DESC, vec_id ASC) AS rn
+                FROM scored) WHERE rn <= {k}),
+            aff AS (
+              SELECT b.vec_id, c.cell,
+                CAST(floor(list_dot_product(b.emb, c.centroid)
+                           / c.cnorm * 1000000.0) AS BIGINT) AS aff
+              FROM base b CROSS JOIN cent c),
+            assigned AS (
+              SELECT vec_id, cell FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY aff DESC, cell ASC) AS rn
+                FROM aff) WHERE rn = 1),
+            probe AS (
+              SELECT a.vec_id AS q_id, a.cell FROM (
+                SELECT vec_id, cell, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY aff DESC, cell ASC) AS rn
+                FROM aff) a JOIN q ON a.vec_id = q.q_id
+              WHERE a.rn <= {nprobe}),
+            cand AS (
+              SELECT p.q_id, s.vec_id FROM assigned s
+              JOIN probe p ON s.cell = p.cell WHERE s.vec_id != p.q_id),
+            ivf_top AS (
+              SELECT q_id, vec_id FROM (
+                SELECT sc.q_id, sc.vec_id, row_number() OVER (
+                  PARTITION BY sc.q_id ORDER BY sc.ip DESC, sc.vec_id ASC) AS rn
+                FROM scored sc JOIN cand c
+                  ON sc.q_id = c.q_id AND sc.vec_id = c.vec_id)
+              WHERE rn <= {k}),
+            ov AS (
+              SELECT e.q_id, count(*) AS n_overlap
+              FROM exact_top e JOIN ivf_top i
+                ON e.q_id = i.q_id AND e.vec_id = i.vec_id
+              GROUP BY e.q_id)
+            SELECT q.q_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+            FROM q LEFT JOIN ov ON q.q_id = ov.q_id"""
+
+
 def _ivfpq_oracle_sql(k: int = 10, nprobe: int = 2) -> str:
     """IVF-PQ composite oracle — the IVF assignment/probe CTEs
     (_ivf_oracle_sql) feeding the PQ encode/LUT CTEs (_pq_oracle_sql),
@@ -2954,6 +3131,61 @@ def oracle_sql() -> dict[str, str]:
               CAST(count(*) AS BIGINT) AS n_transitions,
               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
             FROM seq GROUP BY tool_from, tool_to""",
+        # FastSS deletion-neighborhood editdist pairs over the first-token
+        # SymSpell dictionary.  Keys ASCII-sanitized so DuckDB's BYTE
+        # levenshtein equals Spark's code-point one and substr offsets agree.
+        "dedup_editdist": """
+            WITH tok AS (
+              SELECT doc_id,
+                substr(coalesce(
+                  list_filter(
+                    regexp_split_to_array(
+                      lower(regexp_replace(coalesce(text, ''),
+                                           '[^\\x20-\\x7e]', '?', 'g')),
+                      '[ \\t\\n\\x0b\\f\\r]+'),
+                    x -> x != '')[1], ''), 1, 24) AS k
+              FROM documents),
+            kd AS (
+              SELECT DISTINCT CASE CAST(doc_id % 3 AS INT)
+                WHEN 1 THEN substr(k, 1, 1) || substr(k, 3)
+                WHEN 2 THEN substr(k, 1, 1) || 'x' || substr(k, 3)
+                ELSE k END AS k
+              FROM tok WHERE len(CASE CAST(doc_id % 3 AS INT)
+                WHEN 1 THEN substr(k, 1, 1) || substr(k, 3)
+                WHEN 2 THEN substr(k, 1, 1) || 'x' || substr(k, 3)
+                ELSE k END) > 0),
+            sig AS (
+              SELECT k,
+                unnest(list_distinct(list_concat([k],
+                  list_transform(range(1, len(k) + 1),
+                    i -> substr(k, 1, i - 1) || substr(k, i + 1))))) AS s
+              FROM kd)
+            SELECT DISTINCT a.k AS a_key, b.k AS b_key,
+              CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+            FROM sig a JOIN sig b ON a.s = b.s AND a.k < b.k
+            WHERE levenshtein(a.k, b.k) <= 1""",
+        "cur_conv_loops": TRANSCRIPTS_SQL_CTE + """,
+            r AS (
+              SELECT conv_id, turn_idx,
+                CASE WHEN row_number() OVER w > 1
+                          AND text IS NOT DISTINCT FROM lag(text) OVER w
+                     THEN 1 ELSE 0 END AS rep
+              FROM transcripts
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+            isl AS (
+              SELECT conv_id,
+                sum(1 - rep) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) AS isl_id
+              FROM r),
+            runs AS (
+              SELECT conv_id, isl_id, count(*) AS run
+              FROM isl GROUP BY conv_id, isl_id)
+            SELECT conv_id,
+              CAST(sum(run) AS BIGINT) AS n_turns,
+              CAST(sum(run) - count(*) AS BIGINT) AS n_repeat_turns,
+              CAST(max(run) AS BIGINT) AS max_run,
+              max(run) >= 3 AS has_loop
+            FROM runs GROUP BY conv_id""",
         "cur_dialogue_windows": TRANSCRIPTS_SQL_CTE + """
             , tk AS (
               SELECT conv_id, turn_idx, role,
@@ -3546,6 +3778,7 @@ GROUP BY 1"""
         "ann_pq": _pq_oracle_sql(k=10),
         "ann_ivfpq": _ivfpq_oracle_sql(k=10, nprobe=2),
         "ann_pq_recall": _pq_recall_oracle_sql(n_queries=8, k=10),
+        "ann_ivf_recall": _ivf_recall_oracle_sql(n_queries=8, k=10, nprobe=2),
         "ann_bm25": _BM25_ORACLE_SQL,
         # BM25 from the prebuilt inverted index is value-identical to the
         # inline build (a query term's df over the full postings table IS

@@ -218,6 +218,9 @@ def main() -> int:
         # r5: transcript freq-boilerplate strip (CCNet rule, turn axis)
         # and tool-chain transition mining
         "cur_turn_boiler", "cur_tool_chains",
+        # r5 continuation: IVF-vs-exact recall fidelity, transcript
+        # stuck-loop detection, FastSS deletion-blocked editdist pairs
+        "ann_ivf_recall", "cur_conv_loops", "dedup_editdist",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

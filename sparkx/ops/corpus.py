@@ -1215,3 +1215,52 @@ def tool_chain_stats(
         F.count(F.lit(1)).alias("n_transitions"),
         F.countDistinct("conv_id").alias("n_convs"),
     )
+
+
+def conv_loop_stats(
+    turns: DataFrame,
+    min_run: int = 3,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stuck-loop detection over agent transcripts: per conversation, how
+    many turns repeat the PREVIOUS turn's text verbatim and the longest
+    consecutive run of identical turns — the signature of an agent retrying
+    the same tool call / emitting the same apology until a step cap kills
+    it.  Loop-y conversations are poison as training data (the model learns
+    to repeat itself), so corpus builds gate on ``has_loop`` the same way
+    they gate on Gopher rules.
+
+    Classic gaps-and-islands, all on one ``(conv, idx)`` ordering: a turn
+    is a repeat iff a previous turn exists and its text is null-safe-equal
+    (two NULL-text turns DO extend a run — mirrored as
+    ``IS NOT DISTINCT FROM``); island id = running count of run starts;
+    run lengths fold to one row per conversation (``n_repeat_turns`` =
+    ``n_turns − n_islands``, so the repeat count needs no second pass).
+    Conversations are short while corpora are wide, so the window state is
+    KB-bounded per key and the whole report is two partial-aggregated
+    exchanges after the window's — no per-row Python, value-hash exact.
+
+    Returns ``(conv_col, n_turns, n_repeat_turns, max_run, has_loop)``
+    with ``has_loop = max_run ≥ min_run``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    t = turns.select(conv_col, F.col(idx_col), F.col(text_col).alias("_tx"))
+    t = t.withColumn(
+        "_rep",
+        (F.row_number().over(w) > 1)
+        & F.col("_tx").eqNullSafe(F.lag("_tx").over(w)),
+    )
+    t = t.withColumn(
+        "_isl", F.sum((~F.col("_rep")).cast("long")).over(w)
+    )
+    runs = t.groupBy(conv_col, "_isl").agg(F.count(F.lit(1)).alias("_run"))
+    return runs.groupBy(conv_col).agg(
+        F.sum("_run").alias("n_turns"),
+        (F.sum("_run") - F.count(F.lit(1))).alias("n_repeat_turns"),
+        F.max("_run").alias("max_run"),
+        (F.max("_run") >= min_run).alias("has_loop"),
+    )

@@ -1205,3 +1205,72 @@ def cluster_canonical(
         (F.col(id_col) == F.col("keep_doc_id")).alias("is_canonical"),
         "q",
     )
+
+
+def editdist_pairs(
+    docs: DataFrame,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Typo-level near-dup pairs by bounded edit distance over a SHORT key
+    (title, question, normalized first line) via deletion-neighborhood
+    blocking — the FastSS / SymSpell family (Bocek et al. 2007, public):
+    every key emits itself plus its ``len(key)`` single-character-deletion
+    variants as signatures; two keys within edit distance 1 provably share
+    at least one signature (equal → the key itself; deletion/insertion →
+    the shorter IS a variant of the longer; substitution → deleting the
+    differing position from both collides), so a signature equi-join has
+    EXACT recall and a ``levenshtein ≤ max_dist`` check kills the false
+    positives (e.g. transpositions like ``ab``/``ba`` collide but measure
+    2).  Never all-pairs: candidates exist only where signatures collide.
+
+    Only ``max_dist=1`` is supported — the k-deletion neighborhood is
+    C(len, k)-sized and a different algorithm (SymSpell's dictionary-side
+    expansion) is the right tool past 1.
+
+    Scale notes: a key of length L emits L+1 signatures (len-bounded by
+    the caller's key construction — keep keys ≤ ~64 chars); pairs are
+    deduped per signature collision set.  Identical keys pair
+    quadratically (they ARE pairwise dups) — run exact dedup first, the
+    standard pipeline order.  Empty/NULL keys carry no signal and are
+    dropped.
+
+    Cross-engine note: Spark's ``levenshtein`` counts code points, DuckDB's
+    counts BYTES — a DuckDB-mirrored query must sanitize the key to ASCII
+    first (the ``dedup_editdist`` gated query replaces ``[^\\x20-\\x7e]``
+    with ``?``), which also makes ``substr`` positions agree.
+
+    Returns ``(a_id, b_id, dist)`` with ``a_id < b_id``, one row per pair.
+    """
+    if max_dist != 1:
+        raise ValueError("editdist_pairs supports max_dist=1 only")
+    base = docs.select(
+        F.col(id_col).alias("_id"), F.col(key_col).alias("_k")
+    ).filter(F.length("_k") > 0)
+    sigs = base.select(
+        "_id",
+        "_k",
+        F.explode(
+            F.array_union(
+                F.array(F.col("_k")),
+                F.expr(
+                    "transform(sequence(1, char_length(_k)), "
+                    "i -> concat(substring(_k, 1, i-1), substring(_k, i+1)))"
+                ),
+            )
+        ).alias("_sig"),
+    )
+    a = sigs.select(
+        F.col("_id").alias("a_id"), F.col("_k").alias("_ka"), "_sig"
+    )
+    b = sigs.select(
+        F.col("_id").alias("b_id"), F.col("_k").alias("_kb"), "_sig"
+    )
+    return (
+        a.join(b, "_sig")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.levenshtein("_ka", "_kb").alias("dist"))
+        .filter(F.col("dist") <= max_dist)
+        .distinct()
+    )

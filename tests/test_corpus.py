@@ -526,3 +526,32 @@ def test_tool_chain_stats_links_across_non_tool_turns(spark):
     assert got[("exec", "exec")] == (1, 1)
     assert got[("START", "browse")] == (1, 1)   # C's NULL tool row skipped
     assert len(got) == 4
+
+
+def test_conv_loop_stats_islands_and_null_runs(spark):
+    """Gaps-and-islands semantics: runs counted on consecutive verbatim
+    repeats only, NULL-text turns extend runs (null-safe equality), a
+    leading NULL is never a repeat, and has_loop flips at min_run."""
+    from sparkx.ops.corpus import conv_loop_stats
+
+    rows = [
+        # c1: a a a b a  → runs 3,1,1; repeats 2; loop at min_run=3
+        ("c1", 0, "a"), ("c1", 1, "a"), ("c1", 2, "a"),
+        ("c1", 3, "b"), ("c1", 4, "a"),
+        # c2: NULL NULL x NULL → NULL run of 2; leading NULL not a repeat
+        ("c2", 0, None), ("c2", 1, None), ("c2", 2, "x"), ("c2", 3, None),
+        # c3: all distinct
+        ("c3", 0, "p"), ("c3", 1, "q"),
+    ]
+    got = {
+        r.conv_id: r
+        for r in conv_loop_stats(
+            spark.createDataFrame(rows, "conv_id string, turn_idx int, text string"),
+            min_run=3,
+        ).collect()
+    }
+    assert (got["c1"].n_turns, got["c1"].n_repeat_turns, got["c1"].max_run,
+            got["c1"].has_loop) == (5, 2, 3, True)
+    assert (got["c2"].n_turns, got["c2"].n_repeat_turns, got["c2"].max_run,
+            got["c2"].has_loop) == (4, 1, 2, False)
+    assert (got["c3"].max_run, got["c3"].has_loop) == (1, False)

@@ -1639,3 +1639,90 @@ def test_stratified_fixed_k_exact_budget_and_plan(spark, docs):
     # the rank<=k filter must plan as WindowGroupLimit (map-side group top-k)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_ivf_recall_report_vs_python_mirror(spark):
+    """ivf_recall_report equals a loop-based Python mirror of the whole
+    chain — exact grid-cosine top-k, frozen assignment, probe-cell pick,
+    candidate top-k, overlap — on random vectors with a custom (non-frozen)
+    quantizer, including a ragged-dim vector that the dim guard must drop
+    from BOTH sides."""
+    import numpy as np
+
+    from sparkx.ops.similarity import ivf_recall_report
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(24, 8)
+    cents = [list(map(float, rng.randn(8))) for _ in range(4)]
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(24)]
+    rows.append((24, [1.0, 2.0, 3.0]))  # ragged dim → excluded everywhere
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    k, nprobe, n_q = 5, 2, 4
+    got = {r.q_id: r.n_overlap
+           for r in ivf_recall_report(emb, cents, n_queries=n_q, k=k,
+                                      nprobe=nprobe).collect()}
+
+    def f32(v):  # the float32 storage round-trip the Spark side reads
+        return np.asarray(v, dtype=np.float32).astype(np.float64)
+
+    vecs = {i: f32(mat[i]) for i in range(24)}
+
+    def grid(a, b):
+        return math.floor(
+            float(np.dot(a, b))
+            / math.sqrt(float(np.dot(a, a)) * float(np.dot(b, b)))
+            * 1_000_000.0
+        )
+
+    def aff(v, c):
+        ca = np.asarray(c, dtype=np.float64)
+        return math.floor(
+            float(np.dot(v, ca)) / math.sqrt(float(np.dot(ca, ca))) * 1e6
+        )
+
+    def topk(scored):  # scored: list of (ip, vec_id); ties → vec_id asc
+        return {i for _, i in sorted(((-ip, i) for ip, i in scored))[:k]}
+
+    assign = {
+        i: min(range(4), key=lambda c: (-aff(v, cents[c]), c))
+        for i, v in vecs.items()
+    }
+    expected = {}
+    for q in range(n_q):
+        exact = topk([(grid(vecs[i], vecs[q]), i) for i in vecs if i != q])
+        probe = sorted(range(4), key=lambda c: (-aff(vecs[q], cents[c]), c))[:nprobe]
+        cand = [i for i in vecs if i != q and assign[i] in probe]
+        ivf = topk([(grid(vecs[i], vecs[q]), i) for i in cand])
+        expected[q] = len(exact & ivf)
+    assert got == expected
+    assert 24 not in got  # ragged row is neither query nor candidate
+
+
+def test_editdist_pairs_exact_vs_bruteforce(spark):
+    """FastSS collision lemma in practice: the deletion-signature join +
+    levenshtein verify returns EXACTLY the brute-force distance-≤1 pairs —
+    insertions, deletions, substitutions in; transpositions (ab/ba) and
+    distance-2 edits out."""
+    from sparkx.ops.dedup import editdist_pairs
+
+    keys = ["cat", "cats", "cut", "bat", "ab", "ba", "a", "", "xyz",
+            "scat", "coat", "cast", "tac"]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {(r.a_id, r.b_id, r.dist)
+           for r in editdist_pairs(df, key_col="k", id_col="k").collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    live = {(a, b, lev(a, b))
+            for a in keys for b in keys
+            if a and b and a < b and lev(a, b) <= 1}
+    assert got == live
+    assert ("ab", "ba", 2) not in got and not any(
+        a == "" or b == "" for a, b, _ in got)
