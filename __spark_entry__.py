@@ -1659,6 +1659,70 @@ def _q_diag_compaction_plan(spark, sf_dir):
     return DG.compaction_plan(files, target_bytes=4000)
 
 
+def _q_ta_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth curve (textstats.vocab_growth): cumulative
+    distinct tokens vs cumulative tokens along the doc_id prefix order in
+    50-doc buckets — first-occurrence attribution (min doc_id per token)
+    replaces the quadratic per-prefix distinct recount; the cumsum window's
+    input is the metadata-scale bucket frame.  The source-diversity read
+    a corpus build makes before adding more of the same data."""
+    return T.vocab_growth(_docs(spark, sf_dir), bucket_docs=50)
+
+
+def _q_diag_prune_report(spark, sf_dir):
+    """Manifest file-skipping simulation (diag.partition_prune_report) over
+    two simulated 100-row-file layouts of events: 'arrival' (file =
+    event_id div 100 — the unsorted ingest layout) vs 'clustered' (file =
+    value-rank div 100 — what a sort-based rewrite produces).  Four
+    candidate value ranges probe both manifests; the report shows the
+    arrival layout scans ~everything while the clustered layout prunes to
+    ~the selectivity — the number that justifies a table rewrite before a
+    100 TB scan.  NULL-stats files are conservatively always scanned;
+    NULLS LAST pinned on the rank (Spark asc default is NULLS FIRST,
+    DuckDB/ANSI is NULLS LAST)."""
+    from pyspark.sql import Window
+
+    from sparkx.ops import diag as DG
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value"
+    )
+    ranges = spark.createDataFrame(
+        [("r0", 0.0, 50.0), ("r1", 100.0, 150.0),
+         ("r2", 400.0, 500.0), ("r3", 480.0, 500.0)],
+        "range_id string, lo double, hi double",
+    )
+    m_arrival = (
+        ev.groupBy(F.expr("event_id div 100").alias("f"))
+        .agg(
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.asc_nulls_last("value"), F.asc("event_id"))
+    )
+    m_clustered = (
+        ev.select("value", rn.alias("_rn"))
+        .groupBy(F.expr("(_rn - 1) div 100").alias("f"))
+        .agg(
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return (
+        DG.partition_prune_report(m_arrival, ranges)
+        .withColumn("layout", F.lit("arrival"))
+        .unionByName(
+            DG.partition_prune_report(m_clustered, ranges).withColumn(
+                "layout", F.lit("clustered")
+            )
+        )
+    )
+
+
 def _q_cur_bloom_decontaminate(spark, sf_dir):
     """Bloom-filter decontamination (Bloom CACM 1970; the 100-TB shape of
     cur_decontaminate): the eval side folds to a FIXED 8 KB bitset embedded
@@ -2034,6 +2098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": _q_ann_ivf_recall,
         "cur_conv_loops": _q_cur_conv_loops,
         "dedup_editdist": _q_dedup_editdist,
+        "diag_prune_report": _q_diag_prune_report,
+        "ta_vocab_growth": _q_ta_vocab_growth,
         # changed semantics this round (was_revised truthiness fix) —
         # re-verify with a fresh driver row
         "a5_query_stats": _q_a5_query_stats,
@@ -3071,6 +3137,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, bytes, CAST(grp AS BIGINT) AS grp, oversize FROM packed
             UNION ALL
             SELECT path, bytes, CAST(grp AS BIGINT) AS grp, oversize FROM solo""",
+        # Heaps-law vocab growth: first-occurrence attribution (min doc_id
+        # per token) + per-bucket rollups + one metadata-scale cumsum window
+        "ta_vocab_growth": """
+            WITH tk AS (
+              SELECT doc_id, doc_id // 50 AS bucket,
+                unnest(list_filter(regexp_split_to_array(
+                  lower(trim(coalesce(text, ''))),
+                  '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS tok
+              FROM documents),
+            spine AS (
+              SELECT doc_id // 50 AS bucket, count(*) AS d
+              FROM documents GROUP BY 1),
+            bt AS (SELECT bucket, count(*) AS t FROM tk GROUP BY 1),
+            nt AS (
+              SELECT first_b AS bucket, count(*) AS v FROM (
+                SELECT tok, min(doc_id) // 50 AS first_b
+                FROM tk GROUP BY tok) GROUP BY 1)
+            SELECT s.bucket,
+              CAST(sum(s.d) OVER w AS BIGINT) AS docs_cum,
+              CAST(sum(coalesce(b.t, 0)) OVER w AS BIGINT) AS tokens_cum,
+              CAST(sum(coalesce(n.v, 0)) OVER w AS BIGINT) AS vocab_cum
+            FROM spine s
+            LEFT JOIN bt b ON s.bucket = b.bucket
+            LEFT JOIN nt n ON s.bucket = n.bucket
+            WINDOW w AS (ORDER BY s.bucket ROWS UNBOUNDED PRECEDING)
+            ORDER BY s.bucket""",
+        # manifest file-skipping simulation: min/max-stats overlap test per
+        # (layout, range); NULL-stats files conservatively always scanned;
+        # the clustered layout's rank pins NULLS LAST explicitly
+        "diag_prune_report": """
+            WITH ev AS (SELECT event_id, value FROM events),
+            rg AS (
+              SELECT * FROM (VALUES
+                ('r0', 0.0, 50.0), ('r1', 100.0, 150.0),
+                ('r2', 400.0, 500.0), ('r3', 480.0, 500.0))
+              t(range_id, lo, hi)),
+            ma AS (
+              SELECT event_id // 100 AS f, min(value) AS mn, max(value) AS mx,
+                     count(*) AS n
+              FROM ev GROUP BY 1),
+            rb AS (
+              SELECT value, row_number() OVER (
+                ORDER BY value ASC NULLS LAST, event_id ASC) AS rn
+              FROM ev),
+            mb AS (
+              SELECT (rn - 1) // 100 AS f, min(value) AS mn, max(value) AS mx,
+                     count(*) AS n
+              FROM rb GROUP BY 1),
+            rep AS (
+              SELECT 'arrival' AS layout, r.range_id, r.lo, r.hi,
+                CAST(count(*) AS BIGINT) AS n_files,
+                CAST(sum(CASE WHEN coalesce(m.mx >= r.lo AND m.mn <= r.hi, TRUE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+                CAST(sum(m.n) AS BIGINT) AS rows_total,
+                CAST(sum(CASE WHEN coalesce(m.mx >= r.lo AND m.mn <= r.hi, TRUE)
+                         THEN m.n ELSE 0 END) AS BIGINT) AS rows_scanned
+              FROM ma m CROSS JOIN rg r GROUP BY r.range_id, r.lo, r.hi
+              UNION ALL
+              SELECT 'clustered', r.range_id, r.lo, r.hi,
+                CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN coalesce(m.mx >= r.lo AND m.mn <= r.hi, TRUE)
+                         THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(m.n) AS BIGINT),
+                CAST(sum(CASE WHEN coalesce(m.mx >= r.lo AND m.mn <= r.hi, TRUE)
+                         THEN m.n ELSE 0 END) AS BIGINT)
+              FROM mb m CROSS JOIN rg r GROUP BY r.range_id, r.lo, r.hi)
+            SELECT range_id, lo, hi, n_files, n_scanned, rows_total,
+              rows_scanned,
+              CASE WHEN rows_total > 0
+                   THEN (rows_scanned * 1000000) // rows_total
+                   ELSE 0 END AS scan_share_e6,
+              layout
+            FROM rep""",
         # dialogue training-window assembly: window cumsum for per-turn
         # prefix tokens, window start via the bounded within-conv join
         # (b.pre >= a.cum - budget), target always included

@@ -221,6 +221,8 @@ def main() -> int:
         # r5 continuation: IVF-vs-exact recall fidelity, transcript
         # stuck-loop detection, FastSS deletion-blocked editdist pairs
         "ann_ivf_recall", "cur_conv_loops", "dedup_editdist",
+        # r5: manifest prune simulation + Heaps-law vocab growth
+        "diag_prune_report", "ta_vocab_growth",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

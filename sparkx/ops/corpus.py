@@ -959,8 +959,12 @@ def snapshot_drift(
     float accumulation ever happens inside the op.
 
     Execution: one narrow token-count map + one ≤``n_buckets``-row
-    aggregate per side, a broadcast spine and a broadcast 1-row totals
-    frame — the whole report is two corpus scans and constant-size
+    aggregate per side, a broadcast spine, and totals via an unpartitioned
+    window over the joined ≤``n_buckets``-row frame — NOT a separate
+    ``agg`` + crossJoin, which would reference the count subtree twice and
+    double-evaluate it into FOUR corpus scans (caught by the r5 plan
+    audit; the window's SinglePartition exchange ships ≤``n_buckets``
+    rows).  The whole report is two corpus scans and constant-size
     state."""
 
     def counts(df: DataFrame, out: str) -> DataFrame:
@@ -988,7 +992,14 @@ def snapshot_drift(
             F.coalesce("n_new", F.lit(0).cast("long")).alias("n_new"),
         )
     )
-    tot = j.agg(F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()  # whole frame — ≤ n_buckets rows by construction
+    jt = j.select(
+        "*",
+        F.sum("n_old").over(w).alias("t_old"),
+        F.sum("n_new").over(w).alias("t_new"),
+    )
     p_o = (F.col("n_old") + 1).cast("double") / (
         F.col("t_old") + n_buckets
     ).cast("double")
@@ -1001,7 +1012,7 @@ def snapshot_drift(
     # (ln of a rational), so an exact .5 tie on the 1e-6 grid is
     # measure-zero — never round() a GRID-valued expression this way.
     psi_e6 = F.round((p_n - p_o) * F.log(p_n / p_o) * 1e6).cast("long")
-    return j.crossJoin(F.broadcast(tot)).select(
+    return jt.select(
         F.col("bucket").cast("int").alias("bucket"),
         "n_old",
         "n_new",
@@ -1244,6 +1255,11 @@ def conv_loop_stats(
 
     Returns ``(conv_col, n_turns, n_repeat_turns, max_run, has_loop)``
     with ``has_loop = max_run ≥ min_run``.
+
+    ``idx_col`` MUST be a unique within-conversation ordering (turn_idx is,
+    by the transcript contract): duplicate indices make the lag pairing
+    partition-arrival-ordered and non-reproducible across runs/engines —
+    same precondition style as shard_assign's key uniqueness.
     """
     from pyspark.sql import Window
 

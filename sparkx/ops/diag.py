@@ -126,3 +126,63 @@ def compaction_plan(
         )
     )
     return planned.unionByName(solo)
+
+
+def partition_prune_report(
+    manifest: DataFrame,
+    ranges: DataFrame,
+    min_col: str = "min_v",
+    max_col: str = "max_v",
+    rows_col: str = "n_rows",
+    range_id: str = "range_id",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Manifest file-skipping simulator: for each candidate query range,
+    how many files (and rows) a min/max-stats prune would actually skip —
+    the number that decides whether a table's sort/partition layout earns
+    its keep before anyone runs the 100 TB scan (the Iceberg manifest /
+    parquet row-group pruning math, made a report).
+
+    Semantics mirror the engines': a file is scanned iff its stats range
+    overlaps the predicate (``max_v ≥ lo AND min_v ≤ hi``); a file with
+    NULL stats (no footer, all-NULL column) can never be pruned and is
+    ALWAYS scanned — pruning must be conservative.
+
+    Scale: a manifest is metadata (one row per file; a 100 TB table at
+    128 MB files is ~800k rows) and the range set is a handful of planner
+    candidates, so the broadcast range × manifest product is bounded and
+    folds map-side into one ≤|ranges|-row report (an EMPTY manifest yields
+    an empty report — there is nothing to scan).  Returns ``(range_id,
+    lo, hi, n_files, n_scanned, rows_total, rows_scanned,
+    scan_share_e6)`` with ``scan_share_e6 = rows_scanned·10⁶ div
+    rows_total`` on the integer grid.
+    """
+    scanned = F.coalesce(
+        (F.col(max_col) >= F.col(lo_col))
+        & (F.col(min_col) <= F.col(hi_col)),
+        F.lit(True),
+    ).cast("long")
+    return (
+        manifest.crossJoin(F.broadcast(ranges))
+        .groupBy(range_id, lo_col, hi_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(scanned).alias("n_scanned"),
+            F.sum(F.col(rows_col)).alias("rows_total"),
+            F.sum(scanned * F.col(rows_col)).alias("rows_scanned"),
+        )
+        .select(
+            range_id,
+            lo_col,
+            hi_col,
+            "n_files",
+            "n_scanned",
+            "rows_total",
+            "rows_scanned",
+            F.expr(
+                "CASE WHEN rows_total > 0 THEN (rows_scanned * 1000000) div rows_total "
+                "ELSE 0 END"
+            ).alias("scan_share_e6"),
+        )
+    )

@@ -1031,3 +1031,73 @@ def tfidf_keywords(
             (F.expr("_q div 100") / 10000.0).alias("score"),
         )
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    bucket_docs: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct-token count
+    vs cumulative token count along the corpus prefix order — the curve a
+    corpus build reads to judge source diversity (a flattening vocab means
+    the new data is rehash; tokenizer teams read the same curve to size
+    vocabularies).  Prefix order is ``id_col`` bucketed into
+    ``bucket_docs``-document chunks, so the report is reproducible on any
+    engine and independent of partitioning.
+
+    The cumulative-distinct trick is first-occurrence attribution: a
+    token's contribution to the vocabulary happens in the bucket of its
+    ``min(doc_id)`` — one map-side-combinable min per distinct token, one
+    per-bucket count, NO quadratic prefix recount (the naive "distinct
+    over every prefix" is O(buckets·corpus)).  Token totals fold per
+    bucket the same way; both rollups then cumsum over a single global
+    window whose input is the ≤``n_docs/bucket_docs``-row bucket frame —
+    metadata-scale, never corpus-scale.  Zero-token (NULL/empty) documents
+    still count toward ``docs_cum``.
+
+    Returns ``(bucket, docs_cum, tokens_cum, vocab_cum)`` ordered by
+    bucket.
+    """
+    from pyspark.sql import Window
+
+    bucket = F.expr(f"{id_col} div {bucket_docs}").alias("bucket")
+    toks = docs.select(
+        F.col(id_col),
+        bucket,
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\s+",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    spine = docs.select(bucket).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("_docs")
+    )
+    per_bucket_toks = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("_toks")
+    )
+    new_types = (
+        toks.groupBy("tok")
+        .agg(F.min(id_col).alias("_first"))
+        .select(F.expr(f"_first div {bucket_docs}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_new"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(per_bucket_toks, "bucket", "left")
+        .join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("_docs").over(w).alias("docs_cum"),
+            F.sum(F.coalesce("_toks", F.lit(0).cast("long"))).over(w).alias("tokens_cum"),
+            F.sum(F.coalesce("_new", F.lit(0).cast("long"))).over(w).alias("vocab_cum"),
+        )
+        .orderBy("bucket")
+    )

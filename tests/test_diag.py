@@ -69,3 +69,32 @@ def test_compaction_plan_all_oversize_and_empty(spark):
     assert plan == {"a": (0, True), "b": (1, True)}
     empty = spark.createDataFrame([], "path string, bytes long")
     assert DG.compaction_plan(empty).count() == 0
+
+
+def test_partition_prune_report_overlap_and_null_stats(spark):
+    """Overlap semantics at the boundaries (inclusive both ends), NULL-stats
+    files always scanned, share on the integer grid."""
+    manifest = spark.createDataFrame(
+        [("f0", 0.0, 9.0, 10), ("f1", 10.0, 19.0, 10),
+         ("f2", 20.0, 29.0, 30), ("f3", None, None, 50)],
+        "f string, min_v double, max_v double, n_rows long",
+    )
+    ranges = spark.createDataFrame(
+        [("exact", 10.0, 19.0), ("edge", 9.0, 10.0),
+         ("miss", 40.0, 50.0), ("all", 0.0, 29.0)],
+        "range_id string, lo double, hi double",
+    )
+    got = {r.range_id: r
+           for r in DG.partition_prune_report(manifest, ranges).collect()}
+    # exact: f1 + the NULL-stats file
+    assert (got["exact"].n_scanned, got["exact"].rows_scanned) == (2, 60)
+    # edge touches f0 (max=9>=9) and f1 (min=10<=10) + NULL-stats
+    assert got["edge"].n_scanned == 3
+    # miss: only the NULL-stats file survives pruning
+    assert (got["miss"].n_scanned, got["miss"].rows_scanned) == (1, 50)
+    assert got["all"].n_scanned == 4 and got["all"].rows_total == 100
+    assert got["all"].scan_share_e6 == 1_000_000
+    assert got["miss"].scan_share_e6 == 500_000
+    # empty manifest → empty report (nothing to scan)
+    empty = spark.createDataFrame([], "f string, min_v double, max_v double, n_rows long")
+    assert DG.partition_prune_report(empty, ranges).count() == 0

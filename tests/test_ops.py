@@ -1726,3 +1726,19 @@ def test_editdist_pairs_exact_vs_bruteforce(spark):
     assert got == live
     assert ("ab", "ba", 2) not in got and not any(
         a == "" or b == "" for a, b, _ in got)
+
+
+def test_vocab_growth_first_occurrence_attribution(spark):
+    """Cumulative vocab equals the naive per-prefix distinct count; NULL and
+    empty docs count toward docs_cum but contribute no tokens."""
+    from sparkx.ops.textstats import vocab_growth
+
+    rows = [
+        (0, "a b c"), (1, "a b"),          # bucket 0: vocab {a,b,c}
+        (2, None), (3, "c d"),             # bucket 1: +d
+        (4, "  "), (5, "e e e a"),         # bucket 2: +e
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.bucket, r.docs_cum, r.tokens_cum, r.vocab_cum)
+           for r in vocab_growth(df, bucket_docs=2).collect()]
+    assert got == [(0, 2, 5, 3), (1, 4, 7, 4), (2, 6, 11, 5)]

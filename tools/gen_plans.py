@@ -635,19 +635,24 @@ def main() -> int:
     )
 
     drift_plan = fmt(E.queries()["cur_drift"](spark, sf))
-    n_hash_ex = len(re.findall(
-        r"^\s*\(\d+\)\s+Exchange hashpartitioning", drift_plan, re.M))
-    assert n_hash_ex <= 2, \
-        f"drift must shuffle only the two <=16-row bucket aggregates, saw {n_hash_ex}"
+    n_scan = len(re.findall(r"^\s*\(\d+\)\s+Scan\b", drift_plan, re.M))
+    assert n_scan == 2, \
+        f"drift must scan each snapshot exactly once, saw {n_scan} scans"
+    n_ex = len(re.findall(r"^\s*\(\d+\)\s+Exchange\b", drift_plan, re.M))
+    assert n_ex <= 3, \
+        f"drift exchanges must be the two bucket aggs + totals window, saw {n_ex}"
     sections.append(
         (
             "Snapshot PSI drift (two scans, constant-size state)",
             drift_plan,
-            "What to check (asserted ≤2 hash exchanges): each snapshot side\n"
-            "is one narrow token-count map into a ≤16-row bucket aggregate —\n"
-            "the only hash shuffles in the plan; the spine and totals joins\n"
-            "are broadcasts over constant-size frames.  The whole drift\n"
-            "report costs two corpus scans regardless of corpus size.",
+            "What to check (asserted 2 Scans, ≤3 Exchanges): each snapshot\n"
+            "side is scanned ONCE into a narrow token-count map + ≤16-row\n"
+            "bucket aggregate (r5 fixed a double-evaluation where a separate\n"
+            "totals agg + crossJoin re-ran both count subtrees — 4 corpus\n"
+            "scans); totals now ride an unpartitioned window over the joined\n"
+            "≤16-row frame, so the only exchanges are the two bucket-count\n"
+            "shuffles (2-column post-partial state) and the window's\n"
+            "SinglePartition gather of ≤16 rows.",
         )
     )
 
@@ -687,6 +692,88 @@ def main() -> int:
             "join; no SortMergeJoin anywhere, so the corpus never\n"
             "shuffles; final top-k is TakeOrderedAndProject.  Scan prune ×\n"
             "64× row compression = the production ANN serve plan.",
+        )
+    )
+
+    ivfrec_plan = fmt(E.queries()["ann_ivf_recall"](spark, sf))
+    assert "CartesianProduct" not in ivfrec_plan, \
+        "ivf_recall cross joins must be broadcast, never cartesian"
+    assert ivfrec_plan.count("BroadcastExchange") >= 2, \
+        "query frame and probe-cell set must both broadcast"
+    sections.append(
+        (
+            "IVF recall report (broadcast query/probe frames)",
+            ivfrec_plan,
+            "What to check (asserted): every small side — the n_queries-row\n"
+            "query frame on the exact branch, the ≤n_queries·nprobe probe-cell\n"
+            "set and the query frame again on the IVF branch — arrives via\n"
+            "BroadcastExchange; no CartesianProduct anywhere.  The corpus is\n"
+            "scanned, never shuffled, on both branches; per-query top-ks are\n"
+            "bounded row_number windows over candidate sets.",
+        )
+    )
+
+    loops_plan = fmt(E.queries()["cur_conv_loops"](spark, sf))
+    n_ex = len(re.findall(
+        r"^\s*\(\d+\)\s+Exchange\b", loops_plan, re.M))
+    assert n_ex == 1, \
+        f"conv_loops must shuffle ONCE on conv_id, saw {n_ex} hash exchanges"
+    sections.append(
+        (
+            "Conversation loop stats (one exchange, window + two rollups)",
+            loops_plan,
+            "What to check (asserted): exactly ONE hash exchange — the\n"
+            "window's partitionBy(conv_id); both downstream groupBys\n"
+            "((conv, island) then (conv)) are satisfied by the same\n"
+            "clustering, so the gaps-and-islands fold adds no shuffle.\n"
+            "Window state is bounded by conversation length.",
+        )
+    )
+
+    ed_plan = fmt(E.queries()["dedup_editdist"](spark, sf))
+    assert "CartesianProduct" not in ed_plan and "NestedLoop" not in ed_plan, \
+        "editdist must pair via the signature equi-join, never all-pairs"
+    assert re.search(r"^\s*\(\d+\)\s+Generate", ed_plan, re.M), \
+        "deletion signatures must explode via Generate"
+    sections.append(
+        (
+            "FastSS editdist pairs (signature equi-join, no all-pairs)",
+            ed_plan,
+            "What to check (asserted): candidates come from an equi-join on\n"
+            "the exploded deletion signatures (Generate) — no CartesianProduct\n"
+            "or nested-loop join anywhere, so cost is bounded by signature\n"
+            "collisions, not |dict|².  The levenshtein verify runs on the\n"
+            "joined candidate rows only.",
+        )
+    )
+
+    prune_plan = fmt(E.queries()["diag_prune_report"](spark, sf))
+    assert "BroadcastExchange" in prune_plan, "range set must broadcast"
+    assert "partial_count" in prune_plan or "partial_sum" in prune_plan, \
+        "prune report rollup has no map-side combine"
+    sections.append(
+        (
+            "Manifest prune simulation (broadcast ranges, map-side rollup)",
+            prune_plan,
+            "What to check (asserted): the candidate-range set broadcasts\n"
+            "into the manifest product and the per-range report folds with\n"
+            "partial aggregation — the manifest (metadata-scale) is the\n"
+            "only input that moves.",
+        )
+    )
+
+    vg_plan = fmt(E.queries()["ta_vocab_growth"](spark, sf))
+    assert "partial_min" in vg_plan, \
+        "token first-occurrence must combine map-side (partial_min)"
+    sections.append(
+        (
+            "Vocab growth (first-occurrence attribution, map-side min)",
+            vg_plan,
+            "What to check (asserted): each distinct token's first-occurrence\n"
+            "doc folds as a partial_min BELOW the token exchange — fingerprint\n"
+            "state, never token instances, crosses the shuffle; the cumsum\n"
+            "window's input is the ≤n_buckets-row rollup, so the single-\n"
+            "partition window is metadata-scale by construction.",
         )
     )
 
