@@ -1659,6 +1659,21 @@ def _q_diag_compaction_plan(spark, sf_dir):
     return DG.compaction_plan(files, target_bytes=4000)
 
 
+def _q_cur_role_qa(spark, sf_dir):
+    """Chat-format well-formedness QA (corpus.conv_role_qa) over the derived
+    transcripts: per conversation, user/assistant alternation violations,
+    orphan tool turns (no preceding assistant call or tool chain), opening/
+    closing-role checks, and the composite well_formed gate — the numbers
+    an SFT build reads before chat-template rendering.  The derived role
+    cycle (doc_id % 3 stepping by 50 per turn) genuinely produces orphan
+    tools after user turns, so the checks aren't vacuous.  One lag window
+    + one min_by/max_by aggregate; DuckDB mirror uses arg_min/arg_max on
+    the unique turn ordering."""
+    from sparkx.ops import corpus as C
+
+    return C.conv_role_qa(transcripts_from_documents(spark, sf_dir))
+
+
 def _q_ta_vocab_growth(spark, sf_dir):
     """Heaps-law vocabulary growth curve (textstats.vocab_growth): cumulative
     distinct tokens vs cumulative tokens along the doc_id prefix order in
@@ -2100,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_editdist": _q_dedup_editdist,
         "diag_prune_report": _q_diag_prune_report,
         "ta_vocab_growth": _q_ta_vocab_growth,
+        "cur_role_qa": _q_cur_role_qa,
         # changed semantics this round (was_revised truthiness fix) —
         # re-verify with a fresh driver row
         "a5_query_stats": _q_a5_query_stats,
@@ -3303,6 +3319,32 @@ def oracle_sql() -> dict[str, str]:
               CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
             FROM sig a JOIN sig b ON a.s = b.s AND a.k < b.k
             WHERE levenshtein(a.k, b.k) <= 1""",
+        "cur_role_qa": TRANSCRIPTS_SQL_CTE + """,
+            r AS (
+              SELECT conv_id, turn_idx, role,
+                lag(role) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) AS prev
+              FROM transcripts)
+            SELECT conv_id,
+              CAST(count(*) AS BIGINT) AS n_turns,
+              CAST(sum(CASE WHEN prev IS NOT NULL AND role = prev
+                                 AND role != 'tool'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_role_repeats,
+              CAST(sum(CASE WHEN role = 'tool'
+                                 AND NOT coalesce(
+                                   prev IN ('assistant', 'tool'), FALSE)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_tools,
+              arg_min(role, turn_idx) = 'user' AS starts_with_user,
+              arg_max(role, turn_idx) = 'assistant' AS ends_with_assistant,
+              (sum(CASE WHEN prev IS NOT NULL AND role = prev
+                             AND role != 'tool' THEN 1 ELSE 0 END) = 0
+               AND sum(CASE WHEN role = 'tool'
+                                 AND NOT coalesce(
+                                   prev IN ('assistant', 'tool'), FALSE)
+                       THEN 1 ELSE 0 END) = 0
+               AND arg_min(role, turn_idx) = 'user'
+               AND arg_max(role, turn_idx) = 'assistant') AS well_formed
+            FROM r GROUP BY conv_id""",
         "cur_conv_loops": TRANSCRIPTS_SQL_CTE + """,
             r AS (
               SELECT conv_id, turn_idx,

@@ -223,6 +223,8 @@ def main() -> int:
         "ann_ivf_recall", "cur_conv_loops", "dedup_editdist",
         # r5: manifest prune simulation + Heaps-law vocab growth
         "diag_prune_report", "ta_vocab_growth",
+        # r5: chat-format well-formedness QA (SFT pre-template checks)
+        "cur_role_qa",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

@@ -164,19 +164,51 @@ def run_once(cpus: int, op: str, path: str) -> dict:
            str(cpus), op, path]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    load0 = os.getloadavg()[0]
     out = subprocess.run(cmd, capture_output=True, text=True, check=True,
                          cwd=REPO)
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    r = json.loads(line)
+    # load BEFORE the leg approximates the ambient (co-tenant) level; load
+    # after mixes our own just-finished job into the 1-min average.  Both
+    # recorded so trials can be classified clean/contaminated post hoc.
+    r["load_before"] = round(load0, 2)
+    r["load_after"] = round(os.getloadavg()[0], 2)
+    return r
+
+
+def _wait_quiet(threshold: float, max_wait_s: float) -> float:
+    """Block until the 1-min load average drops below ``threshold`` (the
+    co-tenant storms on this box run in minutes-scale bursts — waiting a
+    few minutes for a quiet window beats measuring through a burst), or
+    give up after ``max_wait_s`` and measure anyway (the per-leg ambient
+    record marks the trial).  Returns the load at release."""
+    t0 = time.time()
+    while True:
+        load = os.getloadavg()[0]
+        if load < threshold or time.time() - t0 > max_wait_s:
+            return load
+        print(f"quiet-gate: ambient load {load:.1f} >= {threshold} — "
+              f"waiting ({int(time.time() - t0)}s)", file=sys.stderr)
+        time.sleep(30)
 
 
 def measure_pair(op: str, path: str, n: int, n4: int, trials: int) -> dict:
+    quiet_gate = float(os.environ.get("SPARKX_SCALING_QUIET_GATE", "0"))
+    quiet_max_wait = float(os.environ.get("SPARKX_SCALING_QUIET_MAX_WAIT", "900"))
     walls: dict[int, list[float]] = {n: [], n4: []}
+    loads: dict[int, list[float]] = {n: [], n4: []}
     rows = None
     for i in range(trials):
         for cpus in (n, n4):  # alternate to decorrelate the noise factor
+            if quiet_gate > 0:
+                # per-LEG gate: also absorbs our own previous leg's 1-min
+                # load-average decay, so "ambient before leg" is truly
+                # ambient and every leg starts on a quiet machine
+                _wait_quiet(quiet_gate, quiet_max_wait)
             r = run_once(cpus, op, path)
             walls[cpus].append(r["wall"])
+            loads[cpus].append(r["load_before"])
             if rows is None:
                 rows = r["rows"]
             elif r["rows"] != rows:
@@ -185,7 +217,8 @@ def measure_pair(op: str, path: str, n: int, n4: int, trials: int) -> dict:
                     f"({rows} vs {r['rows']}) — not the same computation")
             print(f"{op} trial {i + 1} local[{cpus}] "
                   f"(pinned 0-{cpus - 1}): {r['wall']:.2f}s "
-                  f"(load {os.getloadavg()[0]:.1f})", file=sys.stderr)
+                  f"(ambient load before leg {r['load_before']:.1f}, "
+                  f"after {r['load_after']:.1f})", file=sys.stderr)
     paired = [a / b for a, b in zip(walls[n], walls[n4])]
     speedup = statistics.median(paired)
     return {
@@ -194,6 +227,8 @@ def measure_pair(op: str, path: str, n: int, n4: int, trials: int) -> dict:
         "N": n, "4N": n4,
         "walls_N": [round(w, 2) for w in walls[n]],
         "walls_4N": [round(w, 2) for w in walls[n4]],
+        "ambient_load_N": loads[n],
+        "ambient_load_4N": loads[n4],
         "median_wall_N": round(statistics.median(walls[n]), 2),
         "median_wall_4N": round(statistics.median(walls[n4]), 2),
         "paired_speedups": [round(x, 3) for x in paired],

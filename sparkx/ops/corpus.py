@@ -1280,3 +1280,63 @@ def conv_loop_stats(
         F.max("_run").alias("max_run"),
         (F.max("_run") >= min_run).alias("has_loop"),
     )
+
+
+def conv_role_qa(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Chat-format well-formedness QA over transcripts: the checks an SFT
+    pipeline runs before applying a chat template — per conversation, how
+    many consecutive same-role turns break user/assistant alternation
+    (``n_role_repeats`` — tool runs are exempt: multi-tool sequences are
+    legal), how many tool turns appear without a preceding assistant call
+    or tool chain (``n_orphan_tools``), whether the conversation opens
+    with a user turn and closes with an assistant turn, and the composite
+    ``well_formed`` gate.  Malformed conversations get dropped or repaired
+    upstream of template rendering; this op puts numbers on how many.
+
+    One lag window per conversation (bounded by conversation length — the
+    inherently sequential unit) + one combinable aggregate; endpoints use
+    ``min_by``/``max_by`` on the unique ``idx_col`` (DuckDB
+    arg_min/arg_max — same semantics, unique ordering so no tie).  Same
+    unique-``idx_col`` precondition as conv_loop_stats.
+
+    Returns ``(conv_col, n_turns, n_role_repeats, n_orphan_tools,
+    starts_with_user, ends_with_assistant, well_formed)``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    t = turns.select(conv_col, F.col(idx_col), F.col(role_col).alias("_r"))
+    t = t.withColumn("_prev", F.lag("_r").over(w))
+    repeat = (
+        F.col("_prev").isNotNull()
+        & (F.col("_r") == F.col("_prev"))
+        & (F.col("_r") != "tool")
+    ).cast("long")
+    orphan = (
+        (F.col("_r") == "tool")
+        & ~F.coalesce(F.col("_prev").isin("assistant", "tool"), F.lit(False))
+    ).cast("long")
+    return (
+        t.groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(repeat).alias("n_role_repeats"),
+            F.sum(orphan).alias("n_orphan_tools"),
+            (F.min_by("_r", idx_col) == "user").alias("starts_with_user"),
+            (F.max_by("_r", idx_col) == "assistant").alias("ends_with_assistant"),
+        )
+        .select(
+            "*",
+            (
+                (F.col("n_role_repeats") == 0)
+                & (F.col("n_orphan_tools") == 0)
+                & F.col("starts_with_user")
+                & F.col("ends_with_assistant")
+            ).alias("well_formed"),
+        )
+    )

@@ -555,3 +555,33 @@ def test_conv_loop_stats_islands_and_null_runs(spark):
     assert (got["c2"].n_turns, got["c2"].n_repeat_turns, got["c2"].max_run,
             got["c2"].has_loop) == (4, 1, 2, False)
     assert (got["c3"].max_run, got["c3"].has_loop) == (1, False)
+
+
+def test_conv_role_qa_rules(spark):
+    """Alternation repeats (tool runs exempt), orphan tools (leading, or
+    after user), endpoint checks, composite gate."""
+    from sparkx.ops.corpus import conv_role_qa
+
+    rows = [
+        # c1: clean — user/assistant with a legal tool chain in between
+        ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "tool"),
+        ("c1", 3, "tool"), ("c1", 4, "assistant"),
+        # c2: assistant repeat + tool after user (orphan) + leading ok
+        ("c2", 0, "user"), ("c2", 1, "assistant"), ("c2", 2, "assistant"),
+        ("c2", 3, "user"), ("c2", 4, "tool"),
+        # c3: opens with tool (orphan), ends with user
+        ("c3", 0, "tool"), ("c3", 1, "assistant"), ("c3", 2, "user"),
+    ]
+    got = {r.conv_id: r
+           for r in conv_role_qa(
+               spark.createDataFrame(
+                   rows, "conv_id string, turn_idx int, role string")
+           ).collect()}
+    c1 = got["c1"]
+    assert (c1.n_role_repeats, c1.n_orphan_tools, c1.starts_with_user,
+            c1.ends_with_assistant, c1.well_formed) == (0, 0, True, True, True)
+    c2 = got["c2"]
+    assert (c2.n_role_repeats, c2.n_orphan_tools, c2.well_formed) == (1, 1, False)
+    c3 = got["c3"]
+    assert (c3.n_orphan_tools, c3.starts_with_user, c3.ends_with_assistant,
+            c3.well_formed) == (1, False, False, False)
