@@ -2077,6 +2077,75 @@ def _q_ann_int8_topk(spark, sf_dir):
     return S.int8_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
+def _q_cur_dpo_pairs(spark, sf_dir):
+    """Best-of-n preference-pair harvest (corpus.preference_pairs) over the
+    derived transcripts' assistant turns: per conversation, chosen = the
+    highest-quality candidate completion, rejected = the lowest (min
+    turn_idx tiebreaks via the ±id struct picks), zero-margin groups
+    dropped — the DPO-data construction step.  Two map-side-combinable
+    min_by/max_by aggregates, no Window; margin on the 1e-4 integer grid.
+    Oracle mirrors the picks as row_number windows (values identical)."""
+    from sparkx.ops import corpus as C
+
+    t = transcripts_from_documents(spark, sf_dir).filter(
+        F.col("role") == "assistant"
+    )
+    return C.preference_pairs(t, group_col="conv_id", id_col="turn_idx")
+
+
+def _q_cur_sft_render(spark, sf_dir):
+    """Chat-template render offsets (corpus.sft_render_offsets) over the
+    derived transcripts: each conversation renders as
+    ⊕ "<|role|>" ‖ text ‖ "\\n" in turn order; per turn emit the
+    [start_off, end_off) character span in the rendered string plus the
+    assistant-only loss mask — the SFT tokenization interface, shipped as
+    metadata-width offsets instead of a corpus-text re-copy.  One cumsum
+    window per conversation."""
+    from sparkx.ops import corpus as C
+
+    return C.sft_render_offsets(transcripts_from_documents(spark, sf_dir))
+
+
+def _q_cur_pack_eff(spark, sf_dir):
+    """Packing token-efficiency report (corpus.pack_efficiency) over the
+    cur_pack layout (512-token sequences, 8 shards per group): per
+    language group, sequences produced, pad waste in the per-shard final
+    partial sequence (the ONLY waste concatenate-and-chunk has), fill
+    rate on the basis-point integer grid, and boundary-straddling doc
+    count (attention-fragmentation points).  Two bounded rollups on top
+    of the pack window; all arithmetic exact int64."""
+    from sparkx.ops.corpus import pack_efficiency
+
+    return pack_efficiency(
+        _docs(spark, sf_dir), budget_tokens=512, n_shards=8, by="lang"
+    )
+
+
+def _q_ta_zipf_fit(spark, sf_dir):
+    """Zipf-law slope over the exact top-50 token frequencies
+    (textstats.top_tokens → zipf_fit): OLS of ln(count) on ln(rank), both
+    on the 1e-3 ln lattice, regression on exact int64 arithmetic, slope
+    emitted on the 1e-4 grid with sign split from the |N| div D division
+    (engines disagree on negative integer division) — the corpus-shape
+    diagnostic complementing ta_vocab_growth's Heaps curve.  The ranking
+    window runs over the ≤50-row heavy-hitter table (rrf precedent); the
+    corpus-scale work is top_tokens' Misra-Gries pass."""
+    from sparkx.ops.textstats import top_tokens, zipf_fit
+
+    return zipf_fit(top_tokens(_docs(spark, sf_dir), k=50, capacity=4096))
+
+
+def _q_ann_ndcg(spark, sf_dir):
+    """Graded ranking quality of the int8 serving path
+    (similarity.ranking_metrics_report): nDCG@10 + MRR per query vs the
+    fp32 brute-force baseline — order-aware fidelity where ann_int8_recall
+    is membership-only.  DCG gains quantized per-rank to the 1e-6 grid via
+    the bigram_logprob ln idiom (ideal DCG summed engine-side from the same
+    expression); MRR is exact integer division.  Both rankings
+    WindowGroupLimit-bounded over broadcast query frames."""
+    return S.ranking_metrics_report(_emb(spark, sf_dir), n_queries=8, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE ordering is load-bearing: the driver's CORRECTNESS file records the
     # FIRST 50 entries of this dict per round (observed r3: exactly positions
@@ -2230,6 +2299,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tb_rollup": _q_tb_rollup,
         "quantiles_by_lang": _q_quantiles_by_lang,
         "cur_distinct_stats": _q_cur_distinct_stats,
+        "cur_dpo_pairs": _q_cur_dpo_pairs,
+        "cur_sft_render": _q_cur_sft_render,
+        "ann_ndcg": _q_ann_ndcg,
+        "ta_zipf_fit": _q_ta_zipf_fit,
+        "cur_pack_eff": _q_cur_pack_eff,
     }
 
 
@@ -5295,4 +5369,190 @@ GROUP BY 1"""
         "mm_frame_sample": """
             SELECT doc_id AS media_id, unnest(generate_series(0, CAST(octet_length(encode(coalesce(text, ''))) // 64 AS INT), 30)) AS frame_idx
             FROM documents WHERE CAST(doc_id % 3 AS INT) = 2""",
+        "cur_dpo_pairs": TRANSCRIPTS_SQL_CTE + f""",
+            l AS (
+              SELECT conv_id, turn_idx,
+                     coalesce({_TA_QUALITY}, -1.0) AS q
+              FROM transcripts WHERE role = 'assistant'),
+            ch AS (
+              SELECT conv_id, turn_idx AS chosen_id, q AS chosen_q FROM (
+                SELECT conv_id, turn_idx, q,
+                       row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY q DESC, turn_idx ASC) AS rn
+                FROM l) WHERE rn = 1),
+            rj AS (
+              SELECT conv_id, turn_idx AS rejected_id, q AS rejected_q FROM (
+                SELECT conv_id, turn_idx, q,
+                       row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY q ASC, turn_idx ASC) AS rn
+                FROM l) WHERE rn = 1),
+            n AS (
+              SELECT conv_id, CAST(count(*) AS BIGINT) AS n_candidates
+              FROM l GROUP BY conv_id)
+            SELECT n.conv_id, n.n_candidates, ch.chosen_id, ch.chosen_q,
+                   rj.rejected_id, rj.rejected_q,
+                   CAST(round((ch.chosen_q - rj.rejected_q) * 10000)
+                        AS BIGINT) AS margin_e4
+            FROM n
+            JOIN ch ON ch.conv_id = n.conv_id
+            JOIN rj ON rj.conv_id = n.conv_id
+            WHERE ch.chosen_q > rj.rejected_q""",
+        "cur_sft_render": TRANSCRIPTS_SQL_CTE + """,
+            t AS (
+              SELECT conv_id, turn_idx, role,
+                CAST(length(role) + length(coalesce(text, '')) + 5
+                     AS BIGINT) AS turn_len
+              FROM transcripts),
+            c AS (
+              SELECT conv_id, turn_idx, role, turn_len,
+                CAST(sum(turn_len) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS end_off
+              FROM t)
+            SELECT conv_id, turn_idx, role, turn_len,
+                   end_off - turn_len AS start_off, end_off,
+                   role = 'assistant' AS loss_mask
+            FROM c""",
+        "ann_ndcg": """
+            WITH m AS (
+              SELECT vec_id, embedding,
+                list_aggregate(
+                  list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                  'max') AS maxabs
+              FROM embeddings WHERE embedding IS NOT NULL),
+            c AS (
+              SELECT vec_id,
+                CASE WHEN maxabs = 0
+                     THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                     ELSE list_transform(embedding, x ->
+                       CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5)
+                            AS INT) AS DOUBLE)) END AS dcodes
+              FROM m),
+            q32 AS (SELECT vec_id AS q_id, embedding AS q_embedding
+                    FROM m WHERE vec_id < 8),
+            fp AS (
+              SELECT q.q_id, a.vec_id,
+                round(list_dot_product(a.embedding::DOUBLE[], q.q_embedding::DOUBLE[]) /
+                  sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+                       list_dot_product(q.q_embedding::DOUBLE[], q.q_embedding::DOUBLE[])), 4) AS _c
+              FROM m a, q32 q WHERE a.vec_id <> q.q_id),
+            fp_top AS (
+              SELECT q_id, vec_id, rn AS rel_rank FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY _c DESC, vec_id ASC) AS rn
+                FROM fp) WHERE rn <= 10),
+            qc AS (
+              SELECT vec_id AS q_id, dcodes AS q_codes,
+                     CAST(list_dot_product(dcodes, dcodes) AS BIGINT) AS n_q
+              FROM c WHERE vec_id < 8),
+            i8 AS (
+              SELECT q.q_id, a.vec_id,
+                CAST(CAST(list_dot_product(a.dcodes, q.q_codes) AS BIGINT) AS DOUBLE)
+                  / (sqrt(CAST(q.n_q AS DOUBLE))
+                     * sqrt(CAST(CAST(list_dot_product(a.dcodes, a.dcodes) AS BIGINT) AS DOUBLE)))
+                  AS _c
+              FROM c a, qc q
+              WHERE a.vec_id <> q.q_id
+                AND CAST(list_dot_product(a.dcodes, a.dcodes) AS BIGINT) > 0
+                AND q.n_q > 0),
+            i8_top AS (
+              SELECT q_id, vec_id, rn AS sys_rank FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY _c DESC, vec_id ASC) AS rn
+                FROM i8) WHERE rn <= 10),
+            g AS (
+              SELECT CAST(r AS BIGINT) AS r,
+                     CAST(floor(1000000.0 * ln(2.0)
+                          / ln(CAST(r + 1 AS DOUBLE))) AS BIGINT) AS gain
+              FROM range(1, 11) t(r)),
+            idcg AS (SELECT CAST(sum(gain) AS BIGINT) AS idcg_e6 FROM g),
+            hits AS (
+              SELECT i.q_id, i.sys_rank, f.rel_rank
+              FROM i8_top i JOIN fp_top f
+                ON f.q_id = i.q_id AND f.vec_id = i.vec_id),
+            perq AS (
+              SELECT h.q_id, CAST(count(*) AS BIGINT) AS n_hits,
+                     CAST(sum(g.gain) AS BIGINT) AS dcg_e6,
+                     CAST(max(CASE WHEN h.rel_rank = 1
+                              THEN 1000000 // h.sys_rank ELSE 0 END)
+                          AS BIGINT) AS rr_e6
+              FROM hits h JOIN g ON g.r = h.sys_rank
+              GROUP BY h.q_id)
+            SELECT q.q_id,
+                   coalesce(p.n_hits, 0) AS n_hits,
+                   coalesce(p.dcg_e6, 0) AS dcg_e6,
+                   CAST((coalesce(p.dcg_e6, 0) * 1000000)
+                     // (SELECT idcg_e6 FROM idcg) AS BIGINT) AS ndcg_e6,
+                   coalesce(p.rr_e6, 0) AS rr_e6
+            FROM q32 q LEFT JOIN perq p ON p.q_id = q.q_id""",
+        "ta_zipf_fit": """
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(
+                lower(trim(coalesce(text, ''))),
+                '[ \\t\\n\\x0b\\f\\r]+')) AS tok
+              FROM documents),
+            freq AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS n
+              FROM toks GROUP BY tok
+              ORDER BY n DESC, tok ASC LIMIT 50),
+            r AS (
+              SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rk
+              FROM freq),
+            g AS (
+              SELECT n,
+                CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000) AS BIGINT) AS x,
+                CAST(floor(ln(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS y
+              FROM r),
+            a AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(max(n) AS BIGINT) AS n_top,
+                     CAST(min(n) AS BIGINT) AS n_kth
+              FROM g),
+            nd AS (
+              SELECT k, n_top, n_kth,
+                     k * sxy - sx * sy AS num,
+                     k * sxx - sx * sx AS den
+              FROM a)
+            SELECT k, n_top, n_kth,
+              CASE WHEN k < 2 OR den = 0 THEN NULL
+                   ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                        * ((abs(num) * 10000) // den) AS BIGINT)
+              END AS slope_e4
+            FROM nd""",
+        "cur_pack_eff": f"""
+            WITH d AS (
+              SELECT doc_id, lang AS grp,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+                {_TA_TOKENS} AS n_tokens
+              FROM documents),
+            p AS (
+              SELECT grp, shard, n_tokens,
+                CAST(sum(n_tokens) OVER (PARTITION BY grp, shard ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+              FROM d),
+            s AS (
+              SELECT grp, shard,
+                CAST(count(*) AS BIGINT) AS docs,
+                CAST(sum(n_tokens) AS BIGINT) AS toks,
+                CAST(sum(CASE WHEN n_tokens > 0
+                               AND start_offset // 512
+                                   <> (start_offset + n_tokens - 1) // 512
+                          THEN 1 ELSE 0 END) AS BIGINT) AS straddle
+              FROM p GROUP BY grp, shard),
+            s2 AS (SELECT *, (toks + 511) // 512 AS seqs FROM s)
+            SELECT grp,
+                   CAST(sum(docs) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_shards_used,
+                   CAST(sum(seqs) AS BIGINT) AS n_seqs,
+                   CAST(sum(toks) AS BIGINT) AS total_tokens,
+                   CAST(sum(seqs) * 512 - sum(toks) AS BIGINT) AS waste_tokens,
+                   CAST((sum(toks) * 10000) // (sum(seqs) * 512) AS BIGINT)
+                     AS fill_bp,
+                   CAST(sum(straddle) AS BIGINT) AS n_straddle
+            FROM s2 GROUP BY grp""",
     }

@@ -225,6 +225,12 @@ def main() -> int:
         "diag_prune_report", "ta_vocab_growth",
         # r5: chat-format well-formedness QA (SFT pre-template checks)
         "cur_role_qa",
+        # r5 session: DPO best-of-n pair harvest, chat-template loss-mask
+        # offsets, nDCG/MRR ranking fidelity of the int8 serving path, and
+        # the Zipf-slope corpus-shape diagnostic
+        "cur_dpo_pairs", "cur_sft_render", "ann_ndcg", "ta_zipf_fit",
+        # r5 session: packing fill-rate / straddle report
+        "cur_pack_eff",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

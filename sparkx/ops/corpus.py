@@ -1340,3 +1340,198 @@ def conv_role_qa(
             ).alias("well_formed"),
         )
     )
+
+
+def preference_pairs(
+    cands: DataFrame,
+    group_col: str = "conv_id",
+    id_col: str = "turn_idx",
+    text_col: str = "text",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Best-of-n preference-pair harvest (the DPO/RLHF-data construction
+    step): given multiple candidate completions per prompt group, emit one
+    ``(chosen, rejected)`` pair per group — chosen = highest-quality
+    candidate, rejected = lowest — with the quality margin.  Groups whose
+    candidates all tie on quality are dropped (a zero-margin pair teaches a
+    preference model nothing, and keeping it would make the pair selection
+    tiebreak-order-dependent).
+
+    Quality is ``quality_col`` if the table already carries a score (the
+    corpus-scale path — the curation pass scored every doc), else the
+    deterministic :func:`sparkx.ops.textstats.quality_score` inline.
+
+    ``id_col`` MUST be numeric and unique within a group (the min-id
+    tiebreak rides ``−id`` inside the pick struct, same precondition as
+    cluster_canonical; checked eagerly).  Both picks are single
+    ``max_by``/``min_by`` aggregates over a lexicographic struct — one
+    map-side-combinable groupBy, no Window, so a hot prompt group (10k
+    sampled completions) costs a combiner, not a single-task sort.
+
+    Returns ``(group_col, n_candidates, chosen_id, chosen_q, rejected_id,
+    rejected_q, margin_e4)`` — margin on the 1e-4 integer grid (quality is
+    4-dp by construction, so the scaled difference is integer-valued; never
+    ``round()`` a mid-grid float cross-engine).
+    """
+    from sparkx.ops.textstats import quality_score
+
+    _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    id_type = dict(cands.dtypes).get(id_col)
+    if id_type not in _NUMERIC and not str(id_type).startswith("decimal"):
+        raise ValueError(
+            f"preference_pairs requires a numeric id_col for the -id "
+            f"tiebreak; got {id_col}: {id_type}. Hash string ids to a long "
+            f"(e.g. xxhash64) first."
+        )
+
+    q_expr = (
+        F.col(quality_col) if quality_col is not None
+        else quality_score(text_col)
+    )
+    labeled = cands.select(
+        group_col,
+        F.col(id_col),
+        F.coalesce(q_expr, F.lit(-1.0)).alias("q"),
+    )
+    agg = labeled.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max_by(
+            id_col, F.struct(F.col("q"), (-F.col(id_col)).alias("_n"))
+        ).alias("chosen_id"),
+        F.max("q").alias("chosen_q"),
+        F.min_by(
+            id_col, F.struct(F.col("q"), F.col(id_col).alias("_i"))
+        ).alias("rejected_id"),
+        F.min("q").alias("rejected_q"),
+    )
+    return agg.filter(F.col("chosen_q") > F.col("rejected_q")).select(
+        group_col,
+        "n_candidates",
+        "chosen_id",
+        "chosen_q",
+        "rejected_id",
+        "rejected_q",
+        F.round((F.col("chosen_q") - F.col("rejected_q")) * F.lit(10000.0))
+        .cast("long")
+        .alias("margin_e4"),
+    )
+
+
+def sft_render_offsets(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    loss_role: str = "assistant",
+) -> DataFrame:
+    """Chat-template rendering with per-turn loss-mask character offsets —
+    the step between transcript curation and SFT tokenization: each
+    conversation renders to ``⊕ "<|" role "|>" text "\\n"`` in turn order,
+    and the trainer masks loss to the ``loss_role`` turns' spans.  Emitting
+    ``[start_off, end_off)`` offsets instead of the rendered megastring
+    keeps the shuffle payload at metadata width (two longs + a bool per
+    turn, not a re-copy of the corpus text) — the render itself is a
+    deferred concat the tokenizer does per conversation.
+
+    One cumulative-sum window per conversation (the inherently sequential
+    unit) over an integer length column; ``start = cum − len`` so a single
+    running total yields both edges.  Offsets count characters
+    (codepoints), matching both engines' ``length()``.
+
+    Returns ``(conv_col, idx_col, role_col, turn_len, start_off, end_off,
+    loss_mask)``.
+    """
+    from pyspark.sql import Window
+
+    # template chars: "<|" (2) + "|>" (2) + "\n" (1) = 5
+    rendered_len = (
+        F.length(F.col(role_col))
+        + F.length(F.coalesce(F.col(text_col), F.lit("")))
+        + F.lit(5)
+    ).cast("long")
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    t = turns.select(
+        conv_col, idx_col, role_col, rendered_len.alias("turn_len")
+    ).withColumn("end_off", F.sum("turn_len").over(w))
+    return t.select(
+        conv_col,
+        idx_col,
+        role_col,
+        "turn_len",
+        (F.col("end_off") - F.col("turn_len")).alias("start_off"),
+        "end_off",
+        (F.col(role_col) == loss_role).alias("loss_mask"),
+    )
+
+
+def pack_efficiency(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    n_shards: int = 64,
+    by: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-efficiency report of the :func:`pack_assignments` layout — the
+    numbers a pretraining run reads before committing a packing config:
+    per group, how many fixed-budget training sequences the token stream
+    chunks into, how many pad tokens the final partial sequence of each
+    writer shard wastes (concatenate-and-chunk wastes ONLY there — interior
+    sequences are full by construction), the resulting fill rate, and how
+    many documents straddle a sequence boundary (each straddle is an
+    attention-fragmentation point; too many says the budget is small
+    relative to document length).
+
+    Pure integer arithmetic on the pack layout: per (group, shard) the
+    stream length is ``Σ n_tokens``, sequences are ``ceil-div(budget)``,
+    and a document straddles iff its first and last token land in
+    different bins (``start div b ≠ (start+n−1) div b``).  Two bounded
+    rollups over the per-doc frame — the expensive part (the ordered
+    window) is pack_assignments itself, shard-parallel by design.
+
+    Returns ``(grp, n_docs, n_shards_used, n_seqs, total_tokens,
+    waste_tokens, fill_bp, n_straddle)`` — ``fill_bp`` on the basis-point
+    integer grid (``total·10000 div capacity``), never a rounded float
+    ratio.
+    """
+    b = int(budget_tokens)
+    assigned = pack_assignments(
+        docs, budget_tokens=b, n_shards=n_shards, by=by, id_col=id_col
+    )
+    straddle = (
+        (F.col("n_tokens") > 0)
+        & (
+            F.expr(f"start_offset div {b}")
+            != F.expr(f"(start_offset + n_tokens - 1) div {b}")
+        )
+    ).cast("long")
+    per_shard = (
+        assigned.groupBy("grp", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("_docs"),
+            F.sum("n_tokens").alias("_toks"),
+            F.sum(straddle).alias("_straddle"),
+        )
+        .select(
+            "grp", "_docs", "_toks", "_straddle",
+            F.expr(f"(_toks + {b} - 1) div {b}").alias("_seqs"),
+        )
+    )
+    return (
+        per_shard.groupBy("grp")
+        .agg(
+            F.sum("_docs").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_shards_used"),
+            F.sum("_seqs").alias("n_seqs"),
+            F.sum("_toks").alias("total_tokens"),
+            (F.sum("_seqs") * b - F.sum("_toks")).alias("waste_tokens"),
+            F.sum("_straddle").alias("n_straddle"),
+        )
+        .select(
+            "grp", "n_docs", "n_shards_used", "n_seqs", "total_tokens",
+            "waste_tokens",
+            F.expr(f"(total_tokens * 10000) div (n_seqs * {b})")
+            .alias("fill_bp"),
+            "n_straddle",
+        )
+    )

@@ -1285,3 +1285,120 @@ def ivf_recall_report(
             F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
         )
     )
+
+
+def ranking_metrics_report(
+    emb: DataFrame, n_queries: int = 8, k: int = 10
+) -> DataFrame:
+    """Graded ranking-quality evaluation of the int8 ANN serving path —
+    nDCG@k and MRR, the two numbers a retrieval deployment actually quotes
+    (overlap@k from :func:`int8_recall_report` says WHAT fraction survived
+    compression; nDCG says whether the survivors are in the right ORDER,
+    and MRR whether the single best neighbor still surfaces first).
+    Relevance is binary membership in the fp32 brute-force top-``k`` (the
+    verification baseline, mirroring :func:`topk_bruteforce`).
+
+    Cross-engine exactness (the bigram_logprob ln idiom): each hit's DCG
+    gain ``1/log2(rank+1)`` is quantized per-rank to the 1e-6 grid —
+    ``floor(1e6·ln 2/ln(rank+1))`` — BEFORE the long sum, the ideal DCG is
+    the same quantized expression summed over ranks 1..k engine-side (never
+    a Python-float constant smuggled in), and nDCG is integer division on
+    the grid (``dcg_e6·1e6 div idcg_e6``).  MRR needs no ln at all:
+    ``1e6 div rank`` is exact integer arithmetic.
+
+    Scale shape: identical to :func:`int8_recall_report` — both rankings
+    are WindowGroupLimit-bounded per-query top-k over a broadcast query
+    frame; the metrics join touches ≤ n_queries·k rows.  Same no-zero-norm
+    precondition (run :func:`embedding_health` first).
+
+    Returns ``(q_id, n_hits, dcg_e6, ndcg_e6, rr_e6)`` — all metrics on
+    integer grids; divide by 1e6 for the conventional [0,1] values.
+    """
+    from pyspark.sql import Window
+
+    def gain_e6(rank_col):
+        return F.floor(
+            F.lit(1000000.0) * F.log(F.lit(2.0))
+            / F.log(rank_col.cast("double") + F.lit(1.0))
+        ).cast("long")
+
+    base = emb.filter(F.col("embedding").isNotNull())
+    q32 = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    fp = (
+        base.crossJoin(F.broadcast(q32))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id",
+            F.round(_cosine("embedding", "q_embedding"), 4).alias("_c"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("_c"), F.asc("vec_id"))
+    fp_top = (
+        fp.withColumn("rel_rank", F.row_number().over(w))
+        .filter(F.col("rel_rank") <= k)
+        .select("q_id", "vec_id", "rel_rank")
+    )
+    codes = quantize_int8(base).select("vec_id", "codes")
+    qc = codes.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("codes").alias("q_codes"),
+        _int_dot("codes", "codes").alias("n_q"),
+    )
+    i8 = (
+        codes.crossJoin(F.broadcast(qc))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("dot_q", _int_dot("codes", "q_codes"))
+        .withColumn("n_v", _int_dot("codes", "codes"))
+        .filter((F.col("n_v") > 0) & (F.col("n_q") > 0))
+        .select(
+            "q_id", "vec_id",
+            (
+                F.col("dot_q").cast("double")
+                / (
+                    F.sqrt(F.col("n_q").cast("double"))
+                    * F.sqrt(F.col("n_v").cast("double"))
+                )
+            ).alias("_c"),
+        )
+    )
+    i8_top = (
+        i8.withColumn("sys_rank", F.row_number().over(w))
+        .filter(F.col("sys_rank") <= k)
+        .select("q_id", "vec_id", "sys_rank")
+    )
+    hits = i8_top.join(fp_top, ["q_id", "vec_id"])
+    per_q = hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum(gain_e6(F.col("sys_rank"))).alias("dcg_e6"),
+        F.max(
+            F.when(
+                F.col("rel_rank") == 1,
+                F.expr("1000000 div sys_rank"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("rr_e6"),
+    )
+    idcg_e6 = F.aggregate(
+        F.sequence(F.lit(1), F.lit(k)),
+        F.lit(0).cast("long"),
+        lambda acc, r: acc + gain_e6(r),
+    )
+    return (
+        q32.select("q_id")
+        .join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.coalesce("dcg_e6", F.lit(0).cast("long")).alias("dcg_e6"),
+            F.coalesce("rr_e6", F.lit(0).cast("long")).alias("rr_e6"),
+            idcg_e6.alias("_idcg"),
+        )
+        .select(
+            "q_id",
+            "n_hits",
+            "dcg_e6",
+            F.expr("(dcg_e6 * 1000000) div _idcg").alias("ndcg_e6"),
+            "rr_e6",
+        )
+    )

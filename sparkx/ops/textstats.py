@@ -1101,3 +1101,88 @@ def vocab_growth(
         )
         .orderBy("bucket")
     )
+
+
+def zipf_fit(
+    freq: DataFrame,
+    token_col: str = "tok",
+    count_col: str = "n",
+    grid: int = 1000,
+) -> DataFrame:
+    """Zipf-law fit over a top-k token-frequency table: the OLS slope of
+    ``ln(count)`` against ``ln(rank)`` — natural language sits near −1
+    (Zipf 1949); a much flatter slope flags template/boilerplate-heavy or
+    synthetic corpora, a much steeper one vocabulary collapse (the
+    complementary corpus-shape diagnostic to :func:`vocab_growth`'s
+    Heaps curve).  Feed it :func:`top_tokens` output — the input contract
+    is a BOUNDED frequency table (≤ a few hundred rows), so the single
+    ranking window here is metadata-scale by construction (the rrf_fuse
+    precedent); the corpus-scale work happened upstream in the
+    candidate-generation pass.
+
+    Cross-engine exactness: ln values are quantized to the ``1/grid``
+    lattice (the bigram_logprob idiom) and the whole regression runs on
+    exact int64 arithmetic — N = k·Σxy − Σx·Σy, D = k·Σxx − (Σx)²,
+    slope = N/D emitted on the 1e-4 grid.  Because Spark's ``div``
+    truncates toward zero while engines disagree on negative floor
+    division, the division runs on |N| and the sign is re-applied —
+    identical everywhere.  Bounds: with counts ≤ 1e12 and k ≤ 500 every
+    intermediate stays ≤ ~1e16 < 2^63.
+
+    Returns one row: ``(k, n_top, n_kth, slope_e4)`` — ``slope_e4`` NULL
+    when k < 2 (no regression).
+    """
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.orderBy(F.desc(count_col), F.asc(token_col))
+    )
+
+    def ln_grid(c):
+        return F.floor(F.log(c.cast("double")) * F.lit(float(grid))).cast(
+            "long"
+        )
+
+    g = freq.select(
+        F.col(count_col).alias("_n"), rank.alias("_rank")
+    ).select(
+        "_n",
+        ln_grid(F.col("_rank")).alias("_x"),
+        ln_grid(F.col("_n")).alias("_y"),
+    )
+    a = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.max("_n").alias("n_top"),
+        F.min("_n").alias("n_kth"),
+    )
+    nd = a.select(
+        "k",
+        "n_top",
+        "n_kth",
+        (F.col("k") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        .cast("long")
+        .alias("_num"),
+        (F.col("k") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        .cast("long")
+        .alias("_den"),
+    )
+    return nd.select(
+        "k",
+        "n_top",
+        "n_kth",
+        F.when(
+            (F.col("k") < 2) | (F.col("_den") == 0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            F.when(F.col("_num") < 0, F.lit(-1))
+            .otherwise(F.lit(1))
+            .cast("long")
+            * F.expr("(abs(_num) * 10000) div _den")
+        )
+        .alias("slope_e4"),
+    )

@@ -777,6 +777,44 @@ def main() -> int:
         )
     )
 
+    dpo_plan = fmt(E.queries()["cur_dpo_pairs"](spark, sf))
+    assert "Window" not in dpo_plan, \
+        "preference picks must be aggregates, never a per-group window"
+    n_ex = len(re.findall(r"^\s*\(\d+\)\s+Exchange\b", dpo_plan, re.M))
+    assert n_ex == 1, \
+        f"dpo_pairs must shuffle ONCE on the prompt group, saw {n_ex}"
+    assert "partial_max_by" in dpo_plan or "partial_max" in dpo_plan, \
+        "preference picks have no map-side combine"
+    sections.append(
+        (
+            "DPO preference pairs (combinable picks, no Window)",
+            dpo_plan,
+            "What to check (asserted): NO Window operator anywhere — both\n"
+            "picks are max_by/min_by struct aggregates with a PARTIAL pass\n"
+            "below the single prompt-group exchange, so a hot prompt (10k\n"
+            "sampled completions) folds map-side instead of single-tasking\n"
+            "a row_number sort; exactly ONE Exchange total.",
+        )
+    )
+
+    sft_plan = fmt(E.queries()["cur_sft_render"](spark, sf))
+    n_ex = len(re.findall(r"^\s*\(\d+\)\s+Exchange\b", sft_plan, re.M))
+    assert n_ex == 1, \
+        f"sft_render must shuffle ONCE on conv_id, saw {n_ex}"
+    assert "MapInPandas" not in sft_plan and "BatchEvalPython" not in sft_plan
+    sections.append(
+        (
+            "SFT render offsets (one exchange, metadata-width state)",
+            sft_plan,
+            "What to check (asserted): exactly ONE hash exchange — the\n"
+            "cumsum window's partitionBy(conv_id) — and zero Python; the\n"
+            "window's running total is a single long per conversation\n"
+            "(bounded by conversation length, the inherently sequential\n"
+            "unit), and the rendered megastring itself is never\n"
+            "materialized — only [start, end) offsets ship.",
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plan audit (explain formatted)\n\n"
