@@ -2146,6 +2146,34 @@ def _q_ann_ndcg(spark, sf_dir):
     return S.ranking_metrics_report(_emb(spark, sf_dir), n_queries=8, k=10)
 
 
+def _q_cur_epoch_repeats(spark, sf_dir):
+    """Data-constrained epoch-repeat schedule (corpus.epoch_schedule):
+    rank docs by quality (desc, doc_id tiebreak) and fill a 40k-token
+    budget at up to 4 epochs per doc — full repeats above the cutoff, a
+    floor-partial straddler, zero after.  The global ranked cumsum is
+    decomposed scan-sum style over the bounded 1e-4 quality grid (never a
+    corpus-wide single-task window); all arithmetic exact int64, the
+    partial division only on nonnegative numerators.  Oracle is the
+    equivalent single global-window cumsum."""
+    from sparkx.ops.corpus import epoch_schedule
+
+    return epoch_schedule(
+        _docs(spark, sf_dir), budget_tokens=40_000, max_epochs=4
+    )
+
+
+def _q_ann_mmr(spark, sf_dir):
+    """MMR-diversified context re-rank (similarity.mmr_rerank): per query,
+    greedily pick k=5 of the top-12 brute-force candidates maximizing
+    λ·rel − (1−λ)·max-sim-to-picked (λ=0.5) — the context-assembly upgrade
+    over plain top-k.  Greedy unrolled as 5 chained frame steps (pagerank
+    pattern) over localCheckpoint-bounded candidate/pair frames; scores on
+    integer grids (rel/sim cosines → 1e-4, objective exact int64), ±id
+    struct-max argmax per step.  Oracle unrolls the same 5 steps as
+    chained CTEs."""
+    return S.mmr_rerank(_emb(spark, sf_dir), n_queries=4, n_cands=12, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE ordering is load-bearing: the driver's CORRECTNESS file records the
     # FIRST 50 entries of this dict per round (observed r3: exactly positions
@@ -2304,6 +2332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ndcg": _q_ann_ndcg,
         "ta_zipf_fit": _q_ta_zipf_fit,
         "cur_pack_eff": _q_cur_pack_eff,
+        "cur_epoch_repeats": _q_cur_epoch_repeats,
+        "ann_mmr": _q_ann_mmr,
     }
 
 
@@ -3159,6 +3189,78 @@ _HTML_HITS_SQL = _HTML_EDGES_CTE + """,
     SELECT h2.id AS doc_id, h2.h_q / 1000000.0 AS hub,
            a2.a_q / 1000000.0 AS authority
     FROM h2 JOIN a2 USING (id)"""
+
+
+def _mmr_oracle_sql(
+    n_queries: int = 4, n_cands: int = 12, k: int = 5, lam: int = 5000
+) -> str:
+    """DuckDB mirror of similarity.mmr_rerank: the k greedy MMR steps
+    unrolled as chained CTEs (the pagerank oracle pattern).  Step i picks
+    per query the argmax of lam·rel_e4 − (10000−lam)·max-sim-to-selected
+    (max-sim clamped at 0, ties → min vec_id) over candidates not yet in
+    sel_{i−1}."""
+    mu = 10000 - lam
+    cos = (
+        "round(list_dot_product({a}.{ea}::DOUBLE[], {b}.{eb}::DOUBLE[]) /"
+        " sqrt(list_dot_product({a}.{ea}::DOUBLE[], {a}.{ea}::DOUBLE[]) *"
+        " list_dot_product({b}.{eb}::DOUBLE[], {b}.{eb}::DOUBLE[])), 4)"
+    )
+    sql = f"""
+        WITH m AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE embedding IS NOT NULL),
+        q AS (SELECT vec_id AS q_id, embedding AS qe FROM m
+              WHERE vec_id < {n_queries}),
+        c0 AS (
+          SELECT q_id, vec_id, emb,
+                 CAST(round(cos4 * 10000) AS BIGINT) AS rel_e4,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos4 DESC, vec_id ASC) AS rn
+          FROM (SELECT q.q_id, a.vec_id, a.embedding AS emb,
+                       {cos.format(a='a', ea='embedding', b='q', eb='qe')} AS cos4
+                FROM m a, q WHERE a.vec_id <> q.q_id)),
+        cand AS (SELECT q_id, vec_id, emb, rel_e4 FROM c0
+                 WHERE rn <= {n_cands}),
+        ps AS (
+          SELECT c1.q_id, c1.vec_id AS a, c2.vec_id AS b,
+            CAST(round({cos.format(a='c1', ea='emb', b='c2', eb='emb')}
+                 * 10000) AS BIGINT) AS sim_e4
+          FROM cand c1 JOIN cand c2
+            ON c1.q_id = c2.q_id AND c1.vec_id <> c2.vec_id),
+        s1 AS (
+          SELECT q_id, CAST(1 AS INTEGER) AS pick_rank, vec_id, rel_e4,
+                 CAST(0 AS BIGINT) AS maxsim_e4,
+                 CAST({lam} * rel_e4 AS BIGINT) AS mmr_e8
+          FROM (SELECT q_id, vec_id, rel_e4,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY {lam} * rel_e4 DESC, vec_id ASC) AS rn
+                FROM cand) WHERE rn = 1)"""
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT * FROM s{j}" for j in range(1, i))
+        sql += f""",
+        sel{i - 1} AS ({prev}),
+        r{i} AS (
+          SELECT c.q_id, c.vec_id, c.rel_e4,
+                 CAST(greatest(0, max(ps.sim_e4)) AS BIGINT) AS maxsim_e4
+          FROM cand c
+          JOIN sel{i - 1} s ON s.q_id = c.q_id
+          JOIN ps ON ps.q_id = c.q_id AND ps.a = c.vec_id
+                 AND ps.b = s.vec_id
+          WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} x
+                            WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+          GROUP BY c.q_id, c.vec_id, c.rel_e4),
+        s{i} AS (
+          SELECT q_id, CAST({i} AS INTEGER) AS pick_rank, vec_id, rel_e4,
+                 maxsim_e4,
+                 CAST({lam} * rel_e4 - {mu} * maxsim_e4 AS BIGINT) AS mmr_e8
+          FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY {lam} * rel_e4 - {mu} * maxsim_e4 DESC,
+                           vec_id ASC) AS rn
+                FROM r{i}) WHERE rn = 1)"""
+    final = " UNION ALL ".join(f"SELECT * FROM s{j}" for j in range(1, k + 1))
+    sql += f"""
+        SELECT q_id, pick_rank, vec_id, rel_e4, maxsim_e4, mmr_e8
+        FROM ({final})"""
+    return sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5555,4 +5657,37 @@ GROUP BY 1"""
                      AS fill_bp,
                    CAST(sum(straddle) AS BIGINT) AS n_straddle
             FROM s2 GROUP BY grp""",
+        # data-constrained epoch-repeat schedule: rank by (quality desc,
+        # doc_id asc), budget-by-cap fill with one floor-partial straddler.
+        # The oracle is the equivalent single global-window cumsum of the
+        # engine's scan-sum decomposition (bucket totals + within-bucket
+        # window — identical because the within-bucket order IS the global
+        # tiebreak); the partial division runs only on a nonnegative
+        # numerator (engines disagree on negative integer division)
+        "cur_epoch_repeats": f"""
+            WITH d AS (
+              SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(coalesce(text, '')),
+                     '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS toks,
+                CAST(round(coalesce({_TA_QUALITY}, -1.0) * 10000)
+                     AS BIGINT) AS q_e4
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks, q_e4,
+                CAST(coalesce(sum(toks * 4) OVER (
+                  ORDER BY q_e4 DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before
+              FROM d),
+            r AS (
+              SELECT *, CASE WHEN toks <= 0 THEN 0
+                             WHEN cum_before >= 40000 THEN 0
+                             ELSE least(4, (40000 - cum_before) // toks)
+                        END AS repeats
+              FROM c)
+            SELECT doc_id, toks, q_e4, cum_before,
+                   CAST(repeats AS BIGINT) AS repeats,
+                   CAST(repeats * toks AS BIGINT) AS sched_tokens
+            FROM r""",
+        "ann_mmr": _mmr_oracle_sql(n_queries=4, n_cands=12, k=5, lam=5000),
     }

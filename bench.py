@@ -231,6 +231,8 @@ def main() -> int:
         "cur_dpo_pairs", "cur_sft_render", "ann_ndcg", "ta_zipf_fit",
         # r5 session: packing fill-rate / straddle report
         "cur_pack_eff",
+        # r5 close: data-constrained epoch schedule + MMR context re-rank
+        "cur_epoch_repeats", "ann_mmr",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

@@ -81,7 +81,13 @@ def ensure_edges(n_nodes: int, deg: int = 8) -> str:
            + offs[None, :]) % n_nodes
     tbl = pa.table({"src": src, "dst": dst.reshape(-1)})
     os.makedirs(path, exist_ok=True)
-    pq.write_table(tbl, f"{path}/edges.parquet")
+    # row_group_size bounds scan parallelism: Spark splits parquet at row-
+    # group boundaries, so a single-row-group file = a single scan task at
+    # ANY core count (caught live in r5: the docs input below shipped ONE
+    # 400k-row group and the whole shingle/sketch stage ran single-task in
+    # both configs, reading as a total scaling failure of the OP)
+    pq.write_table(tbl, f"{path}/edges.parquet",
+                   row_group_size=max(65536, n_nodes * deg // 64))
     return path
 
 
@@ -116,7 +122,10 @@ def ensure_docs(n_docs: int, dup_frac: float = 0.1) -> str:
     tbl = pa.table({"doc_id": pa.array(range(n_docs), type=pa.int64()),
                     "text": texts})
     os.makedirs(path, exist_ok=True)
-    pq.write_table(tbl, f"{path}/docs.parquet")
+    # 64 row groups — see the edges writer note: one row group = one scan
+    # task no matter how many executors the job has
+    pq.write_table(tbl, f"{path}/docs.parquet",
+                   row_group_size=max(4096, n_docs // 64))
     return path
 
 

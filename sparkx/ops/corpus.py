@@ -1535,3 +1535,104 @@ def pack_efficiency(
             "n_straddle",
         )
     )
+
+
+def epoch_schedule(
+    docs: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Data-constrained epoch-repeat allocation (the Muennighoff et al.
+    "Scaling Data-Constrained Language Models" interface): given a token
+    budget and a repeat ceiling, decide how many epochs each document is
+    seen during training — the step that turns a curated corpus plus a
+    compute budget into a sampling schedule.  Docs are ranked by quality
+    (desc, ties → ``id_col`` asc) and the budget is filled in rank order
+    with each doc reserving its full ``toks × max_epochs`` cap; the one
+    doc straddling the budget gets the floor-partial epoch count
+    (``(budget − cum_before) div toks``) and every doc past it gets 0.
+    Budget-by-cap with a single straddler is the deterministic,
+    prefix-sum-expressible contract (true remainder-carrying greedy is a
+    sequential recurrence — not worth a non-mirrorable op for a ≤1-doc
+    boundary difference).
+
+    Scale shape: the global ranked cumsum is decomposed scan-sum style —
+    quality lives on the 1e-4 grid, so (1) per-bucket cap totals are one
+    map-side-combinable groupBy over ≤10 002 distinct ``q_e4`` values,
+    (2) the bucket-level running total is a window over that bounded
+    aggregate frame (rrf/zipf precedent — its SinglePartition exchange
+    ships ≤10 002 rows, never the corpus), and (3) the within-bucket
+    cumsum partitions by ``q_e4`` — NEVER a corpus-wide single-task
+    window.  The decomposition equals the global cumsum exactly because
+    the within-bucket order (``id_col`` asc) is the global tiebreak.
+
+    Preconditions: ``id_col`` unique (duplicate ids make the running-sum
+    frame order-dependent — the shard_assign precondition); token counts
+    from the ONE canonical tokenizer.  All arithmetic is exact int64;
+    the partial-epoch division only ever runs on a nonnegative numerator
+    (engines disagree on negative integer division — the zipf_fit
+    lesson).  NULL text coalesces to '' before tokenizing — ONE empty
+    whitespace token, the canonical tokenizer's convention shared by
+    every textstats op (never a special-cased 0); NULL quality scores −1
+    (sorts last, q_e4 = −10000).  The ``toks <= 0`` branch is therefore
+    defensive-only for caller-precomputed counts, not reachable from
+    text.
+
+    Returns ``(id_col, toks, q_e4, cum_before, repeats, sched_tokens)``.
+    """
+    from pyspark.sql import Window
+
+    e = int(max_epochs)
+    b = int(budget_tokens)
+    q_expr = (
+        F.col(quality_col) if quality_col is not None
+        else quality_score(text_col)
+    )
+    labeled = docs.select(
+        F.col(id_col),
+        token_count(F.coalesce(F.col(text_col), F.lit("")))
+        .cast("long").alias("toks"),
+        F.round(F.coalesce(q_expr, F.lit(-1.0)) * F.lit(10000.0))
+        .cast("long").alias("q_e4"),
+    ).withColumn("cap_toks", F.col("toks") * F.lit(e))
+    bucket_tot = labeled.groupBy("q_e4").agg(
+        F.sum("cap_toks").alias("_btot")
+    )
+    w_b = (
+        Window.orderBy(F.desc("q_e4"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_before = bucket_tot.select(
+        "q_e4",
+        F.coalesce(F.sum("_btot").over(w_b), F.lit(0).cast("long"))
+        .alias("_bb"),
+    )
+    w_in = (
+        Window.partitionBy("q_e4").orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = labeled.join(F.broadcast(bucket_before), "q_e4").select(
+        id_col, "toks", "q_e4",
+        (
+            F.col("_bb")
+            + F.coalesce(F.sum("cap_toks").over(w_in), F.lit(0).cast("long"))
+        ).alias("cum_before"),
+    )
+    repeats = (
+        F.when(F.col("toks") <= 0, F.lit(0).cast("long"))
+        .when(F.col("cum_before") >= b, F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(e).cast("long"),
+                F.expr(f"({b} - cum_before) div toks"),
+            )
+        )
+    )
+    return cum.select(
+        id_col, "toks", "q_e4", "cum_before",
+        repeats.alias("repeats"),
+        (repeats * F.col("toks")).alias("sched_tokens"),
+    )

@@ -1402,3 +1402,147 @@ def ranking_metrics_report(
             "rr_e6",
         )
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    n_queries: int = 4,
+    n_cands: int = 12,
+    k: int = 5,
+    lam_e4: int = 5000,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified re-rank (Carbonell &
+    Goldstein 1998) of each query's brute-force candidate list — the
+    context-assembly upgrade over plain top-k (reference retrieval returns
+    raw nearest chunks, ``store.py`` top-k): a RAG context of k
+    near-duplicate chunks wastes its token budget, so each pick maximizes
+    ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` against the already-picked
+    set S.
+
+    MMR is inherently sequential in k, so the greedy is unrolled as k
+    chained frame steps (the pagerank fixed-iteration pattern) over
+    BOUNDED frames: candidates are the per-query top-``n_cands``
+    (WindowGroupLimit over the broadcast query frame — the corpus-scale
+    stage, identical shape to :func:`ranking_metrics_report`), and every
+    greedy step touches ≤ ``n_queries·n_cands`` candidate rows and
+    ≤ ``n_queries·n_cands²`` precomputed pair sims.  Candidate and
+    pair-sim frames are localCheckpoint'd once (bounded by construction)
+    so the k unrolled steps do not re-evaluate the corpus scan or grow
+    the plan.
+
+    Cross-engine exactness: relevance and pair sims are cosines rounded
+    to the 1e-4 grid then scaled to int64 (ties on a continuous cosine
+    are measure-zero — the ann_ndcg precedent); the MMR objective is then
+    exact integer arithmetic, ``mmr_e8 = lam_e4·rel_e4 −
+    (10000−lam_e4)·maxsim_e4``, with ties broken by min ``vec_id`` via
+    the ±id struct-max pick (the preference_pairs idiom — no Window on
+    the per-step argmax, a map-side-combinable aggregate).  ``maxsim`` is
+    clamped at 0: cosine lives in [−1, 1] and an UNclamped negative
+    max-sim would pay a diversity BONUS to anti-correlated candidates,
+    letting them outscore their own relevance (classic MMR assumes
+    sim ∈ [0, 1]).  First pick has S = ∅ → maxsim term 0 → argmax of
+    relevance, the standard MMR seed.  Queries with fewer than k
+    candidates emit all of them (rank sequence stays gap-free).
+
+    Returns ``(q_id, pick_rank, vec_id, rel_e4, maxsim_e4, mmr_e8)``.
+    """
+    base = emb.filter(F.col("embedding").isNotNull())
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("_c"), F.asc("vec_id"))
+    cand = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", "embedding",
+            F.round(_cosine("embedding", "q_embedding"), 4).alias("_c"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_cands)
+        .select(
+            "q_id", "vec_id", "embedding",
+            F.round(F.col("_c") * F.lit(10000.0)).cast("long").alias("rel_e4"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select("q_id", F.col("vec_id").alias("a"),
+                    F.col("embedding").alias("_ea"))
+    bb = cand.select("q_id", F.col("vec_id").alias("b"),
+                     F.col("embedding").alias("_eb"))
+    pairs = (
+        a.join(bb, "q_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "q_id", "a", "b",
+            F.round(F.round(_cosine("_ea", "_eb"), 4) * F.lit(10000.0))
+            .cast("long").alias("sim_e4"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mu = int(10000 - lam_e4)
+    remaining = cand.select("q_id", "vec_id", "rel_e4")
+    selected = None
+    for step in range(1, k + 1):
+        if selected is None:
+            scored = remaining.withColumn(
+                "maxsim_e4", F.lit(0).cast("long")
+            )
+        else:
+            sel_ids = selected.select(
+                F.col("q_id").alias("_sq"), F.col("vec_id").alias("_s")
+            )
+            p = pairs.select(
+                F.col("q_id").alias("_pq"), "a", "b", "sim_e4"
+            )
+            ms = (
+                remaining.join(
+                    sel_ids, F.col("q_id") == F.col("_sq")
+                )
+                .join(
+                    p,
+                    (F.col("q_id") == F.col("_pq"))
+                    & (F.col("vec_id") == F.col("a"))
+                    & (F.col("_s") == F.col("b")),
+                )
+                .groupBy("q_id", "vec_id")
+                .agg(
+                    F.greatest(
+                        F.lit(0).cast("long"), F.max("sim_e4")
+                    ).alias("maxsim_e4")
+                )
+            )
+            scored = remaining.join(ms, ["q_id", "vec_id"])
+        scored = scored.withColumn(
+            "mmr_e8",
+            F.lit(int(lam_e4)) * F.col("rel_e4")
+            - F.lit(mu) * F.col("maxsim_e4"),
+        )
+        pick = (
+            scored.groupBy("q_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("mmr_e8"),
+                        (-F.col("vec_id")).alias("_nv"),
+                        F.col("rel_e4").alias("_r"),
+                        F.col("maxsim_e4").alias("_m"),
+                    )
+                ).alias("p")
+            )
+            .select(
+                "q_id",
+                F.lit(step).alias("pick_rank"),
+                (-F.col("p._nv")).alias("vec_id"),
+                F.col("p._r").alias("rel_e4"),
+                F.col("p._m").alias("maxsim_e4"),
+                F.col("p.mmr_e8").alias("mmr_e8"),
+            )
+        )
+        selected = pick if selected is None else selected.unionByName(pick)
+        remaining = remaining.join(
+            pick.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_anti"
+        )
+    return selected

@@ -815,6 +815,56 @@ def main() -> int:
         )
     )
 
+    ep_plan = fmt(E.queries()["cur_epoch_repeats"](spark, sf))
+    n_win = len(re.findall(r"^\s*\(\d+\)\s+Window\b", ep_plan, re.M))
+    assert n_win == 2, \
+        f"epoch_schedule wants exactly 2 windows (bucket + within), saw {n_win}"
+    assert "BroadcastHashJoin" in ep_plan, \
+        "bucket running totals must broadcast back, never sort-merge"
+    assert "SortMergeJoin" not in ep_plan
+    n_ex = len(re.findall(r"^\s*\(\d+\)\s+Exchange\b", ep_plan, re.M))
+    assert n_ex <= 4, \
+        f"epoch_schedule grew extra shuffles, saw {n_ex} (want <= 4)"
+    sections.append(
+        (
+            "Epoch schedule (scan-sum decomposed ranked cumsum)",
+            ep_plan,
+            "What to check (asserted): exactly TWO Window operators — the\n"
+            "bucket-level running total over the <=10,002-row quality-grid\n"
+            "aggregate (its SinglePartition exchange ships buckets, never\n"
+            "the corpus) and the within-bucket cumsum partitioned by q_e4\n"
+            "— so there is NO corpus-wide single-task window anywhere; the\n"
+            "bucket totals rejoin via BroadcastHashJoin (no SortMergeJoin),\n"
+            "and the whole plan holds at <= 4 Exchanges.",
+        )
+    )
+
+    mmr_plan = fmt(E.queries()["ann_mmr"](spark, sf))
+    assert "MapInPandas" not in mmr_plan and "BatchEvalPython" not in mmr_plan, \
+        "MMR greedy must stay JVM-side"
+    assert "CartesianProduct" not in mmr_plan, \
+        "candidate/pair joins must never be cartesian"
+    n_union = len(re.findall(r"^\s*\(\d+\)\s+Union\b", mmr_plan, re.M))
+    assert n_union >= 1, "k picks must union, plan shape changed"
+    assert "partial_max" in mmr_plan, \
+        "per-step argmax has no map-side combine"
+    n_scan = len(re.findall(r"^\s*\(\d+\)\s+Scan parquet", mmr_plan, re.M))
+    assert n_scan == 0, \
+        f"MMR steps must read the checkpointed bounded frames, not re-scan " \
+        f"the corpus {n_scan} times"
+    sections.append(
+        (
+            "MMR re-rank (k unrolled greedy steps over checkpointed frames)",
+            mmr_plan,
+            "What to check (asserted): ZERO parquet scans — the corpus-\n"
+            "scale candidate generation ran once into a localCheckpoint\n"
+            "and every greedy step reads the bounded cached frames (<=\n"
+            "n_q*n_cands rows, else the k steps would re-run the corpus\n"
+            "scan k times); zero Python, no cartesian joins, each step's\n"
+            "argmax a partial_max struct aggregate, k picks unioned.",
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plan audit (explain formatted)\n\n"
