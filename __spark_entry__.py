@@ -2218,13 +2218,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_query_stats": _q_a5_query_stats,
         # oldest driver rows (r2) — refresh
         "corpus_funnel": _q_corpus_funnel,
-        "stream_extract": _q_stream_extract,
-        "sessionize": _q_sessionize,
-        "asof_join": _q_asof_join,
-        "pivot_counts": _q_pivot_counts,
-        "mm_decode": _q_mm_decode,
-        "mm_resize_plan": _q_mm_resize_plan,
-        "mm_frame_sample": _q_mm_frame_sample,
+        # r5-close additions — never driver-verified yet (displace the seven
+        # r2-green unchanged refreshes stream_extract/sessionize/asof_join/
+        # pivot_counts/mm_* below position 49; all seven have full green
+        # {rows,schema,hash} rows in CORRECTNESS_r02)
+        "cur_dpo_pairs": _q_cur_dpo_pairs,
+        "cur_sft_render": _q_cur_sft_render,
+        "ann_ndcg": _q_ann_ndcg,
+        "ta_zipf_fit": _q_ta_zipf_fit,
+        "cur_pack_eff": _q_cur_pack_eff,
+        "cur_epoch_repeats": _q_cur_epoch_repeats,
+        "ann_mmr": _q_ann_mmr,
         # r3-green refresh fill
         "ext_text_blocks": _q_ext_text_blocks,
         "ext_table_markdown": _q_ext_table_markdown,
@@ -2327,13 +2331,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tb_rollup": _q_tb_rollup,
         "quantiles_by_lang": _q_quantiles_by_lang,
         "cur_distinct_stats": _q_cur_distinct_stats,
-        "cur_dpo_pairs": _q_cur_dpo_pairs,
-        "cur_sft_render": _q_cur_sft_render,
-        "ann_ndcg": _q_ann_ndcg,
-        "ta_zipf_fit": _q_ta_zipf_fit,
-        "cur_pack_eff": _q_cur_pack_eff,
-        "cur_epoch_repeats": _q_cur_epoch_repeats,
-        "ann_mmr": _q_ann_mmr,
+        "stream_extract": _q_stream_extract,
+        "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
+        "pivot_counts": _q_pivot_counts,
+        "mm_decode": _q_mm_decode,
+        "mm_resize_plan": _q_mm_resize_plan,
+        "mm_frame_sample": _q_mm_frame_sample,
     }
 
 
