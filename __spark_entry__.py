@@ -1561,6 +1561,52 @@ def _q_cur_conv_loops(spark, sf_dir):
     )
 
 
+def _q_cur_session_splits(spark, sf_dir):
+    """Gap-based session segmentation (corpus.conv_sessions): a new session
+    starts when the gap to the previous turn exceeds 60 s.  The derived
+    table's turn cadence is a constant 50 s, so — like cur_tool_chains'
+    tool diversification — the timestamps are deterministically jittered
+    (±45 s on the turn_idx² mod 7 cycle, identical arithmetic in both
+    engines) to produce a real gap distribution: gaps land in
+    {5,20,35,50,65,80,95} s and ~40% cross the threshold, so the split
+    logic is exercised, not vacuous.  One conv-partitioned window + one
+    fold; per-session summary rows."""
+    from sparkx.ops import corpus as C
+
+    t = transcripts_from_documents(spark, sf_dir).withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.col("ts").cast("long")
+            + ((F.col("turn_idx") * F.col("turn_idx")) % 7 - 3) * 15
+        ),
+    )
+    return C.conv_sessions(t, gap_sec=60)
+
+
+def _q_ta_code_flags(spark, sf_dir):
+    """Code-likeness routing flags (textstats.code_likeness): symbol /
+    snake_case / indentation / keyword surface counts folded to an e4
+    integer score with an is_code gate — the code-vs-prose router a corpus
+    build runs before applying prose-tuned quality rules.  Every fourth
+    document gets a deterministic code snippet appended (same CASE in the
+    oracle) so all four signals and the fence bonus genuinely fire.
+    Map-only plan: no shuffle, no Python."""
+    from sparkx.ops import textstats as T
+
+    snippet = (
+        "\ndef f(x):\n    return my_var + 1;\n"
+        "import os\n\tcall_site = {1: 2}\n```"
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(snippet)),
+        ).otherwise(F.col("text")),
+    )
+    return T.code_likeness(docs, threshold_e4=200)
+
+
 def _q_dedup_editdist(spark, sf_dir):
     """Typo-level near-dup pairs (dedup.editdist_pairs, FastSS deletion
     blocking): SymSpell dictionary shape — keys are each document's first
@@ -2229,7 +2275,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_pack_eff": _q_cur_pack_eff,
         "cur_epoch_repeats": _q_cur_epoch_repeats,
         "ann_mmr": _q_ann_mmr,
-        # r3-green refresh fill
+        "cur_session_splits": _q_cur_session_splits,
+        "ta_code_flags": _q_ta_code_flags,
+        # r3-green refresh fill (ta_lang_agg and dedup_exact displaced past
+        # position 49 by the two entries above; both have green
+        # {rows,schema,hash} rows in CORRECTNESS_r01–r03)
         "ext_text_blocks": _q_ext_text_blocks,
         "ext_table_markdown": _q_ext_table_markdown,
         "ext_figures": _q_ext_figures,
@@ -5694,4 +5744,71 @@ GROUP BY 1"""
                    CAST(repeats * toks AS BIGINT) AS sched_tokens
             FROM r""",
         "ann_mmr": _mmr_oracle_sql(n_queries=4, n_cands=12, k=5, lam=5000),
+        # Gap-based session segmentation over the jittered transcript
+        # timestamps.  The oracle skips the timestamp type entirely and
+        # works on the same epoch-seconds integers the Spark side round-
+        # trips through timestamp_seconds/cast("long"): ep = base + jitter,
+        # jitter = ((turn_idx² mod 7) - 3) * 15 — exact int math both sides.
+        "cur_session_splits": TRANSCRIPTS_SQL_CTE + """,
+            j AS (
+              SELECT conv_id, turn_idx,
+                CAST(1767225600 + doc_id
+                     + ((turn_idx * turn_idx) % 7 - 3) * 15 AS BIGINT) AS ep
+              FROM transcripts),
+            g AS (
+              SELECT conv_id, turn_idx, ep,
+                ep - lag(ep) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) AS gap
+              FROM j),
+            s AS (
+              SELECT conv_id, turn_idx, ep,
+                CAST(sum(CASE WHEN gap IS NULL OR gap > 60 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+                     AS INT) AS session_idx
+              FROM g)
+            SELECT conv_id, session_idx,
+              CAST(count(*) AS BIGINT) AS n_turns,
+              CAST(min(turn_idx) AS INT) AS first_turn_idx,
+              CAST(max(turn_idx) AS INT) AS last_turn_idx,
+              CAST(max(ep) - min(ep) AS BIGINT) AS span_sec
+            FROM s GROUP BY conv_id, session_idx""",
+        # Code-likeness routing flags.  regexp_count ↔ len(regexp_extract_all)
+        # (leftmost-greedy in both Java regex and RE2, so counts agree);
+        # split("\n") keeps trailing empties in BOTH engines (Spark limit=-1,
+        # DuckDB string_split); score is truncating integer div on the e4
+        # grid (never round() — parity rule), fence bonus flat +2000.
+        "ta_code_flags": """
+            WITH d AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0
+                  THEN coalesce(text, '') || chr(10) || 'def f(x):' || chr(10)
+                       || '    return my_var + 1;' || chr(10) || 'import os'
+                       || chr(10) || chr(9) || 'call_site = {1: 2}'
+                       || chr(10) || '```'
+                  ELSE coalesce(text, '') END AS txt
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(txt, '[{}();=<>]'))
+                     AS BIGINT) AS n_sym,
+                CAST(len(regexp_extract_all(txt, '[a-z0-9]+_[a-z0-9]+'))
+                     AS BIGINT) AS n_snake,
+                CAST(len(list_filter(string_split(txt, chr(10)),
+                     x -> x LIKE '    %' OR x LIKE chr(9) || '%'))
+                     AS BIGINT) AS n_indent,
+                CAST(len(regexp_extract_all(
+                     txt, '(def |return |import |#include)'))
+                     AS BIGINT) AS n_kw,
+                CAST(len(string_split(txt, chr(10))) AS BIGINT) AS n_lines,
+                greatest(len(txt), 1) AS tlen,
+                CASE WHEN contains(txt, '```') THEN 1 ELSE 0 END AS fence
+              FROM d),
+            sc AS (
+              SELECT *, CAST((n_sym * 2 + n_snake * 3 + n_indent * 5
+                              + n_kw * 5) * 10000 // tlen
+                             + fence * 2000 AS BIGINT) AS code_score_e4
+              FROM c)
+            SELECT doc_id, n_sym, n_snake, n_indent, n_kw, n_lines,
+                   code_score_e4, code_score_e4 >= 200 AS is_code
+            FROM sc""",
     }

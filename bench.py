@@ -233,6 +233,8 @@ def main() -> int:
         "cur_pack_eff",
         # r5 close: data-constrained epoch schedule + MMR context re-rank
         "cur_epoch_repeats", "ann_mmr",
+        # r5 close: gap-based session segmentation + code-vs-prose routing
+        "cur_session_splits", "ta_code_flags",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

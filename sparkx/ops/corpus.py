@@ -1636,3 +1636,56 @@ def epoch_schedule(
         repeats.alias("repeats"),
         (repeats * F.col("toks")).alias("sched_tokens"),
     )
+
+
+def conv_sessions(
+    turns: DataFrame,
+    gap_sec: int = 60,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based session segmentation over agent transcripts: within each
+    conversation a new *session* starts when the wall-clock gap to the
+    previous turn exceeds ``gap_sec`` — the standard pre-step before
+    per-session context assembly (a conversation resumed hours later should
+    not leak the stale earlier context into a training window).  This is
+    :func:`sparkx.ops.temporal.sessionize` re-keyed to the transcript
+    contract (conv_id / turn_idx / ts) with per-session summary output.
+
+    One window over ``(conv, idx)`` — epoch-seconds lag, gap > threshold (or
+    first turn) marks a session start, running sum numbers the sessions
+    0-based — then one combinable group-by fold to
+    ``(conv_col, session_idx, n_turns, first_turn_idx, last_turn_idx,
+    span_sec)``.  Timestamps go through ``cast("long")`` (epoch seconds,
+    the sessionize convention) so span arithmetic is exact integer math on
+    both engines.  Out-of-order timestamps yield a NEGATIVE gap, which is
+    ``<= gap_sec`` and therefore extends the session — pinned by test so a
+    clock hiccup never fragments a session.
+
+    Scale shape: the window partitions by conversation — the inherently
+    sequential unit, KB-bounded state per key — and the fold's keys refine
+    the window's, so AQE sees a near-free second exchange over already-tiny
+    partial aggregates.  Mega-conversation skew is the north-star's named
+    hazard: the state here is O(1) per row (one lag), so even a 10M-turn
+    conversation streams through a single task without blowup.
+
+    ``idx_col`` MUST be a unique within-conversation ordering (same
+    precondition as conv_loop_stats).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    ep = F.col(ts_col).cast("long")
+    t = turns.select(conv_col, F.col(idx_col), ep.alias("_ep"))
+    gap = F.col("_ep") - F.lag("_ep").over(w)
+    is_new = (gap.isNull() | (gap > gap_sec)).cast("long")
+    t = t.withColumn(
+        "session_idx", (F.sum(is_new).over(w) - 1).cast("int")
+    )
+    return t.groupBy(conv_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min(idx_col).alias("first_turn_idx"),
+        F.max(idx_col).alias("last_turn_idx"),
+        (F.max("_ep") - F.min("_ep")).alias("span_sec"),
+    )

@@ -1186,3 +1186,76 @@ def zipf_fit(
         )
         .alias("slope_e4"),
     )
+
+
+def code_likeness(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_e4: int = 200,
+) -> DataFrame:
+    """Code-likeness scoring: the language-ID analogue for *code vs prose*
+    — a corpus build routes code-like documents to a separate mixture
+    bucket (or a code-specific quality battery) instead of letting Gopher
+    prose rules throw them away.  Four cheap surface signals per document,
+    all exactly countable on both engines:
+
+    * ``n_sym`` — occurrences of the code-symbol class ``[{}();=<>]``
+      (braces, semicolons, comparison/assignment — prose-rare, code-dense);
+    * ``n_snake`` — ``snake_case`` identifiers ``[a-z0-9]+_[a-z0-9]+``
+      (leftmost-greedy in both Java-regex and RE2, so counts agree);
+    * ``n_indent`` — lines opening with four spaces or a tab (block
+      indentation; the HOF lambda runs once per ROW, the allowed budget);
+    * ``n_kw`` — keyword hits ``def | return | import |#include`` with the
+      trailing space inside the literal (poor-man's word boundary — ``\\b``
+      is the kind of class the engines disagree on, plain literals are not).
+
+    Score = length-normalized weighted sum on the e4 integer grid via
+    truncating ``div`` (the cur_scorecard idiom — never ``round()`` a
+    grid value), plus a flat +2000 for a markdown code fence; ``is_code``
+    gates at ``threshold_e4``.  Map-only plan: no shuffle, no Python, scales
+    as a pure scan — the filter pushes to the parquet reader and the whole
+    row fits one codegen stage.
+
+    Returns ``(id_col, n_sym, n_snake, n_indent, n_kw, n_lines,
+    code_score_e4, is_code)``.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(txt, "\n")
+    n_indent = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("    ") | x.startswith("\t"),
+        )
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        F.regexp_count(txt, F.lit(r"[{}();=<>]")).cast("long").alias("n_sym"),
+        F.regexp_count(txt, F.lit("[a-z0-9]+_[a-z0-9]+"))
+        .cast("long")
+        .alias("n_snake"),
+        n_indent.alias("n_indent"),
+        F.regexp_count(txt, F.lit("(def |return |import |#include)"))
+        .cast("long")
+        .alias("n_kw"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.greatest(F.length(txt), F.lit(1)).cast("long").alias("_len"),
+        txt.contains("```").cast("long").alias("_fence"),
+    )
+    score = (
+        F.expr(
+            "((n_sym * 2 + n_snake * 3 + n_indent * 5 + n_kw * 5) * 10000)"
+            " div _len"
+        )
+        + F.col("_fence") * 2000
+    ).cast("long")
+    return base.select(
+        id_col,
+        "n_sym",
+        "n_snake",
+        "n_indent",
+        "n_kw",
+        "n_lines",
+        score.alias("code_score_e4"),
+        (score >= threshold_e4).alias("is_code"),
+    )
