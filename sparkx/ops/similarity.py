@@ -1410,6 +1410,7 @@ def mmr_rerank(
     n_cands: int = 12,
     k: int = 5,
     lam_e4: int = 5000,
+    checkpoint_picks: bool = True,
 ) -> DataFrame:
     """Maximal-Marginal-Relevance diversified re-rank (Carbonell &
     Goldstein 1998) of each query's brute-force candidate list — the
@@ -1541,6 +1542,18 @@ def mmr_rerank(
                 F.col("p.mmr_e8").alias("mmr_e8"),
             )
         )
+        # checkpoint the ≤ n_queries-row pick: without this the step
+        # chain re-evaluates every earlier pick inside both the next
+        # step's anti-join AND the final union (the DAG grows
+        # combinatorially in k — measured 13.0 s → ~3.8 s at sf0.1 for
+        # identical output).  The aggregate is checkpointed BEFORE the
+        # downstream joins, per the dedup.connected_components rule.
+        # checkpoint_picks=False keeps the fully chained lazy plan — the
+        # plan-audit probe (tools/gen_plans.py) uses it to assert the
+        # per-step argmax shape (partial_max struct agg), which the
+        # production plan hides inside already-materialized RDD scans.
+        if checkpoint_picks:
+            pick = pick.localCheckpoint(eager=True)
         selected = pick if selected is None else selected.unionByName(pick)
         remaining = remaining.join(
             pick.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_anti"
