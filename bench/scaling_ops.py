@@ -279,7 +279,12 @@ def main() -> int:
         "target": 0.8,
         "pass": all(r["efficiency"] >= 0.8 for r in results),
     }
-    out = os.path.join(REPO, "BENCH", "scaling_ops_last.json")
+    # single-op re-measures should NOT clobber the composite ledger:
+    # point SPARKX_SCALING_OPS_OUT at a per-run artifact instead
+    out = os.environ.get(
+        "SPARKX_SCALING_OPS_OUT",
+        os.path.join(REPO, "BENCH", "scaling_ops_last.json"),
+    )
     with open(out, "w") as f:
         json.dump({"summary": summary, "results": results}, f, indent=1)
     print(json.dumps(summary))

@@ -88,6 +88,7 @@ def corpus_flags(
     jaccard_threshold: float = 0.5,
     ngram_n: int = 3,
     quality_mode: str = "score",
+    persist_mode: str = "cache",
 ) -> CorpusFlags:
     """Annotate surviving text blocks with the funnel stage flags.
 
@@ -124,16 +125,37 @@ def corpus_flags(
       broadcast-hash when the frame is actually tiny).  The exact-canonical
       frame is persisted too (second cache handle): the cluster pass, the
       loser join probe, and the caller's materialization all read it.
+
+    ``persist_mode`` controls HOW the single-materialization guarantee is
+    implemented — ``"cache"`` (default, ``.persist()`` MEMORY_AND_DISK),
+    ``"checkpoint"`` (eager ``localCheckpoint``: truncates lineage, blocks
+    live on executor disk), or ``"none"`` (NO materialization point — the
+    canonical-pick self-join re-evaluates extraction on both sides; a
+    DIAGNOSTIC mode for isolating cache-layer costs in scaling studies,
+    never the production setting).  On a real cluster every executor has
+    its own BlockManager, but in local mode all tasks share ONE, which
+    serializes cache writes + double cache reads — the A/B between modes
+    is how BENCH/BASELINE.md attributes the funnel's local-mode scaling
+    ceiling to the cache layer rather than the operator DAG.
     """
+    if persist_mode not in ("cache", "checkpoint", "none"):
+        raise ValueError(f"unknown persist_mode {persist_mode!r}")
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if persist_mode == "cache":
+            return df.persist()  # persist() returns self (PySpark API)
+        if persist_mode == "checkpoint":
+            return df.localCheckpoint(eager=True)
+        return df
+
     text_blocks = surviving(blocks).filter(F.col("chunk_type") == "text")
     fp = fingerprint("structured_text")  # ONE normalization definition
     n = token_count("structured_text")
-    base = (
+    base = _pin(
         text_blocks.withColumn("fp", fp)
         .withColumn("_fp_key", F.coalesce(F.col("fp"), F.lit(_NULL_FP_KEY)))
-        .persist()  # persist() returns self (PySpark API)
     )
-    caches: tuple[DataFrame, ...] = (base,)
+    caches: tuple[DataFrame, ...] = (base,) if persist_mode == "cache" else ()
     canon = base.groupBy("_fp_key").agg(F.min("chunk_id").alias("_canon_chunk_id"))
     flagged = (
         base.join(canon, "_fp_key")
@@ -146,8 +168,9 @@ def corpus_flags(
         # times (cluster pass, loser-join probe, caller materialization) —
         # without this each read re-runs the canonical-pick shuffle over the
         # cached base
-        flagged = flagged.persist()
-        caches = (base, flagged)
+        flagged = _pin(flagged)
+        if persist_mode == "cache":
+            caches = (base, flagged)
         reps = flagged.filter("is_canonical").select(
             F.col("chunk_id").alias("doc_id"),
             F.col("structured_text").alias("text"),

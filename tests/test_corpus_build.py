@@ -157,3 +157,38 @@ def test_corpus_build_gopher_quality_mode(spark, tmp_path, transcripts_pdf):
     }
     assert got == want
     assert any(got.values()) and not all(got.values())
+
+def test_corpus_flags_persist_modes_agree(spark, transcripts_pdf):
+    """persist_mode changes only HOW the extracted base materializes
+    (cache / localCheckpoint / nothing), never WHAT comes out: all three
+    modes yield identical flag frames, and 'none' leaves no cache handles
+    (it is the diagnostic mode the scaling A/B uses to isolate the
+    local-mode BlockManager cost — see BENCH/BASELINE.md)."""
+    from sparkx.corpus_build import corpus_flags
+    from sparkx.pipeline import extract_blocks
+
+    df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS)
+    blocks = extract_blocks(df, mode="fastpath", run_id="pm")
+
+    def snap(mode):
+        cf = corpus_flags(
+            blocks, min_tokens=5, max_tokens=5000, sample_rate=0.5,
+            salt="pm0", dedup_mode="minhash", persist_mode=mode,
+        )
+        with cf as flagged:
+            rows = sorted(
+                (r.chunk_id, r.is_canonical, r.passes_quality, r.sampled)
+                for r in flagged.select(
+                    "chunk_id", "is_canonical", "passes_quality", "sampled"
+                ).collect()
+            )
+        return cf, rows
+
+    cf_cache, rows_cache = snap("cache")
+    cf_ckpt, rows_ckpt = snap("checkpoint")
+    cf_none, rows_none = snap("none")
+    assert rows_cache == rows_ckpt == rows_none
+    assert len(cf_cache.caches) == 2          # base + exact-canonical frame
+    assert cf_ckpt.caches == cf_none.caches == ()
+    with pytest.raises(ValueError, match="persist_mode"):
+        corpus_flags(blocks, persist_mode="bogus")
