@@ -132,7 +132,7 @@ def ensure_docs(n_docs: int, dup_frac: float = 0.1) -> str:
 # ── per-op runner (child process, pinned, warm + timed pass in one JVM) ────
 
 RUNNER = """
-import sys, time, json
+import os, sys, time, json
 sys.path.insert(0, {repo!r})
 cpus, op, path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
 from sparkx.session import build_session
@@ -145,9 +145,17 @@ def work():
         from sparkx.pipeline import extract_blocks
         from sparkx.corpus_build import corpus_flags
         t = spark.read.parquet(path)
+        # SPARKX_FUNNEL_PERSIST_MODE drives the cache-layer A/B that pins
+        # the funnel's local-mode scaling ceiling on the BlockManager
+        # (BENCH/BASELINE.md): "none" trades a second extraction pass for
+        # zero cache traffic — if THAT scales like the flagship while
+        # "cache" stays at ~0.55, the ceiling is the cache layer, not the
+        # operator DAG
         cf = corpus_flags(extract_blocks(t, n_partitions=2 * cpus),
                           min_tokens=5, max_tokens=5000, sample_rate=0.5,
-                          salt="corpus0", quality_mode="gopher")
+                          salt="corpus0", quality_mode="gopher",
+                          persist_mode=os.environ.get(
+                              "SPARKX_FUNNEL_PERSIST_MODE", "cache"))
         with cf as flagged:
             return flagged.count()
     if op == "pagerank":
@@ -271,6 +279,8 @@ def main() -> int:
 
     summary = {
         "trials": trials,
+        "funnel_persist_mode": os.environ.get("SPARKX_FUNNEL_PERSIST_MODE",
+                                              "cache"),
         "wall_total_sec": round(time.time() - t0, 1),
         "load_avg_start": round(load0, 2),
         "load_avg_end": round(os.getloadavg()[0], 2),
