@@ -2220,6 +2220,111 @@ def _q_ann_mmr(spark, sf_dir):
     return S.mmr_rerank(_emb(spark, sf_dir), n_queries=4, n_cands=12, k=5)
 
 
+
+# ───────────────────── r5 final-session additions ───────────────────────────
+
+
+def _q_cur_turn_merge(spark, sf_dir):
+    """Chat normalization (corpus.merge_adjacent_turns): runs of consecutive
+    same-role turns merged into one block per run — the strict-alternation
+    pre-step every chat-template renderer needs.  The derived transcripts'
+    role cycle never repeats within a conversation (doc_id % 3 stepped by
+    50 ≡ 2 mod 3), so the role is deterministically remapped onto a
+    turn_idx % 6 cycle (user, assistant, assistant, tool, tool, user) —
+    runs of 2 inside the cycle AND a cross-cycle user+user merge (idx 5 →
+    next cycle's 0), so the islands logic is exercised, not vacuous.
+    Oracle: identical remap + lag/running-sum islands + ordered
+    string_agg."""
+    from sparkx.ops import corpus as C
+
+    t = transcripts_from_documents(spark, sf_dir)
+    role2 = F.element_at(
+        F.array(*(F.lit(r) for r in
+                  ("user", "assistant", "assistant", "tool", "tool", "user"))),
+        (F.col("turn_idx") % 6 + 1).cast("int"),
+    )
+    return C.merge_adjacent_turns(t.withColumn("role", role2))
+
+
+def _q_dedup_branches(spark, sf_dir):
+    """Conversation branch collapse (dedup.conv_prefix_groups): conversations
+    grouped by the md5 signature of their first-2-turn texts, longest branch
+    canonical.  Branches are synthesized deterministically: turns 0–1 get a
+    shared 'seed_<conv % 7>' opener (7 prefix groups over the 50 derived
+    conversations), and every third conversation drops 20% of its turns
+    (turn_idx % 5 == 4) so the most-turns canonical pick is exercised, with
+    the conv_id-asc tiebreak deciding among equal-length branches."""
+    t = transcripts_from_documents(spark, sf_dir)
+    conv_nr = F.substring("conv_id", 6, 4).cast("int")
+    t = t.withColumn(
+        "text",
+        F.when(
+            F.col("turn_idx") < 2,
+            F.concat(F.lit("seed_"), (conv_nr % 7).cast("string")),
+        ).otherwise(F.col("text")),
+    ).filter(~((conv_nr % 3 == 0) & (F.col("turn_idx") % 5 == 4)))
+    return D.conv_prefix_groups(t, k=2)
+
+
+def _q_cur_split_leakage(spark, sf_dir):
+    """Split-leakage audit (corpus.split_leakage): MinHash-LSH near-dup
+    pairs (same construction as dedup_minhash_lsh) joined against a
+    doc-keyed split_assign(20/20/60) — the deliberately-leaky split, so
+    cross-split is_leak rows genuinely appear and the audit quantifies
+    exactly the contamination cur_cluster_split's cluster-atomic split
+    prevents.  Two hash joins + a ≤9-row aggregate; oracle reuses the
+    shared mh_pairs CTE chain + the identical md5 split gate."""
+    from sparkx.ops import corpus as C
+
+    d = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(d, n=3, threshold=0.05)
+    splits = C.split_assign(d, val_rate=0.2, test_rate=0.2)
+    return C.split_leakage(pairs, splits)
+
+
+def _q_ta_readability(spark, sf_dir):
+    """Readability router (textstats.readability): Flesch–Kincaid grade +
+    reading ease on the e3 grid from three exactly countable signals.
+    Every third document gets deterministic sentence terminators appended
+    (' End. Really? Yes!') so the [.!?]+ sentence count varies beyond the
+    ≥1 clamp, and every 97th is blanked to exercise the NULL-metrics blank
+    path (same CASE in the oracle).  Map-only plan: no shuffle, no
+    Python."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 97 == 0, F.lit(""))
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" End. Really? Yes!"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    return T.readability(docs)
+
+
+def _q_ta_ttr(spark, sf_dir):
+    """Lexical diversity (textstats.lexical_diversity): per-doc type–token
+    and hapax ratios over the canonical whitespace tokens — explode + two
+    doc-keyed codegen aggregates, no interpreted array lambdas.  Every
+    fourth document gets a repeated two-word tail appended (' spam ham'
+    × 30) so the TTR/hapax bands genuinely spread (same CASE in the
+    oracle)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.repeat(F.lit(" spam ham"), 30),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return T.lexical_diversity(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE ordering is load-bearing: the driver's CORRECTNESS file records the
     # FIRST 50 entries of this dict per round (observed r3: exactly positions
@@ -2277,6 +2382,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mmr": _q_ann_mmr,
         "cur_session_splits": _q_cur_session_splits,
         "ta_code_flags": _q_ta_code_flags,
+        # r5 final-session additions — never driver-verified (displace the
+        # r1–r3-green ext_chunk_stats / ext_crossref / ext_chunk_ids /
+        # ext_ordering / ta_profile past position 49)
+        "cur_turn_merge": _q_cur_turn_merge,
+        "dedup_branches": _q_dedup_branches,
+        "cur_split_leakage": _q_cur_split_leakage,
+        "ta_readability": _q_ta_readability,
+        "ta_ttr": _q_ta_ttr,
         # r3-green refresh fill (ta_lang_agg and dedup_exact displaced past
         # position 49 by the two entries above; both have green
         # {rows,schema,hash} rows in CORRECTNESS_r01–r03)
@@ -5811,4 +5924,142 @@ GROUP BY 1"""
             SELECT doc_id, n_sym, n_snake, n_indent, n_kw, n_lines,
                    code_score_e4, code_score_e4 >= 200 AS is_code
             FROM sc""",
+        # Chat normalization: same turn_idx%6 role remap, NULL-safe
+        # lag/running-sum islands, texts joined in turn order (string_agg
+        # ORDER BY ↔ array_sort(collect_list(struct)) — both skip nothing:
+        # NULL text is coalesced to '' on both sides first).
+        "cur_turn_merge": TRANSCRIPTS_SQL_CTE + """,
+            r AS (
+              SELECT conv_id, turn_idx,
+                CASE CAST(turn_idx % 6 AS INT)
+                  WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                  WHEN 2 THEN 'assistant' WHEN 3 THEN 'tool'
+                  WHEN 4 THEN 'tool' ELSE 'user' END AS role,
+                coalesce(text, '') AS txt
+              FROM transcripts),
+            g AS (
+              SELECT conv_id, turn_idx, role, txt,
+                CASE WHEN lag(turn_idx) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) IS NULL THEN 1
+                     WHEN role IS NOT DISTINCT FROM lag(role) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) THEN 0
+                     ELSE 1 END AS is_new
+              FROM r),
+            b AS (
+              SELECT conv_id, turn_idx, role, txt,
+                CAST(sum(is_new) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) - 1 AS INT)
+                  AS block_idx
+              FROM g)
+            SELECT conv_id, block_idx, min(role) AS role,
+              CAST(count(*) AS BIGINT) AS n_merged,
+              CAST(min(turn_idx) AS INT) AS first_turn_idx,
+              CAST(max(turn_idx) AS INT) AS last_turn_idx,
+              string_agg(txt, chr(10) ORDER BY turn_idx) AS text
+            FROM b GROUP BY conv_id, block_idx""",
+        # Branch collapse: chr(31) = 0x1f unit separator (the Spark side's
+        # array_join separator); string_agg skips the CASE's NULLs exactly
+        # as collect_list skips the when()'s, and coalesce('') covers the
+        # no-prefix-turns empty-signature convention.
+        "dedup_branches": TRANSCRIPTS_SQL_CTE + """,
+            t2 AS (
+              SELECT conv_id, turn_idx,
+                CASE WHEN turn_idx < 2
+                  THEN 'seed_' || CAST(CAST(doc_id % 50 AS INT) % 7 AS VARCHAR)
+                  ELSE text END AS txt
+              FROM transcripts
+              WHERE NOT (CAST(doc_id % 50 AS INT) % 3 = 0
+                         AND turn_idx % 5 = 4)),
+            per AS (
+              SELECT conv_id,
+                CAST(count(*) AS BIGINT) AS n_turns,
+                md5(coalesce(string_agg(
+                  CASE WHEN turn_idx < 2 THEN coalesce(txt, '') END,
+                  chr(31) ORDER BY turn_idx), '')) AS prefix_sig
+              FROM t2 GROUP BY conv_id)
+            SELECT conv_id, prefix_sig, n_turns,
+              CAST(count(*) OVER (PARTITION BY prefix_sig) AS BIGINT)
+                AS n_branches,
+              row_number() OVER (PARTITION BY prefix_sig
+                ORDER BY n_turns DESC, conv_id ASC) = 1 AS is_canonical
+            FROM per""",
+        # Split-leakage audit: shared LSH pair chain + the identical
+        # md5('split0|…') gate split_assign(0.2, 0.2) uses.
+        "cur_split_leakage": (
+            "WITH " + _minhash_pairs_ctes(0.05) + """,
+            sp AS (
+              SELECT doc_id,
+                CASE WHEN (('0x' || substr(md5('split0|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) < 2000 THEN 'test'
+                     WHEN (('0x' || substr(md5('split0|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) < 4000 THEN 'val'
+                     ELSE 'train' END AS split
+              FROM documents),
+            e AS (
+              SELECT least(sa.split, sb.split) AS split_a,
+                     greatest(sa.split, sb.split) AS split_b
+              FROM mh_pairs p
+              JOIN sp sa ON sa.doc_id = p.a_id
+              JOIN sp sb ON sb.doc_id = p.b_id)
+            SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_edges,
+                   split_a != split_b AS is_leak
+            FROM e GROUP BY split_a, split_b"""
+        ),
+        # Readability: counts via len(regexp_extract_all) ↔ regexp_count
+        # (leftmost-greedy in both engines), scores by truncating integer
+        # div on the e3 grid (never round() — parity rule), blanks NULL.
+        "ta_readability": """
+            WITH d AS (
+              SELECT doc_id, trim(CASE WHEN doc_id % 97 = 0 THEN ''
+                WHEN doc_id % 3 = 0
+                  THEN coalesce(text, '') || ' End. Really? Yes!'
+                ELSE coalesce(text, '') END) AS txt
+              FROM documents),
+            c AS (
+              SELECT doc_id, txt = '' AS blank,
+                CAST(len(regexp_split_to_array(trim(txt),
+                  '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n_words,
+                CAST(greatest(len(regexp_extract_all(txt, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sents,
+                CAST(len(regexp_extract_all(lower(txt), '[aeiouy]+'))
+                  AS BIGINT) AS n_syll
+              FROM d)
+            SELECT doc_id,
+              CASE WHEN blank THEN NULL ELSE n_words END AS n_words,
+              CASE WHEN blank THEN NULL ELSE n_sents END AS n_sents,
+              CASE WHEN blank THEN NULL ELSE n_syll END AS n_syll,
+              CASE WHEN blank THEN NULL ELSE
+                CAST((390 * n_words) // n_sents
+                     + (11800 * n_syll) // n_words - 15590 AS BIGINT)
+              END AS fk_grade_e3,
+              CASE WHEN blank THEN NULL ELSE
+                CAST(206835 - (1015 * n_words) // n_sents
+                     - (84600 * n_syll) // n_words AS BIGINT)
+              END AS ease_e3
+            FROM c""",
+        # Lexical diversity: unnest + two-level GROUP BY mirrors the
+        # explode + two-level aggregate; empty-token split artifacts
+        # filtered on both sides; ratios by truncating // on the e4 grid.
+        "ta_ttr": """
+            WITH d AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 4 = 1
+                  THEN coalesce(text, '') || repeat(' spam ham', 30)
+                  ELSE coalesce(text, '') END AS txt
+              FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(trim(txt), '[ \t\n\x0b\f\r]+'),
+                x -> x != '')) AS t
+              FROM d),
+            c AS (
+              SELECT doc_id, t, count(*) AS cnt
+              FROM tok GROUP BY doc_id, t)
+            SELECT doc_id,
+              CAST(sum(cnt) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS n_types,
+              CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_hapax,
+              CAST((count(*) * 10000) // sum(cnt) AS BIGINT) AS ttr_e4,
+              CAST((sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 10000)
+                   // sum(cnt) AS BIGINT) AS hapax_e4
+            FROM c GROUP BY doc_id""",
     }

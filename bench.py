@@ -235,6 +235,10 @@ def main() -> int:
         "cur_epoch_repeats", "ann_mmr",
         # r5 close: gap-based session segmentation + code-vs-prose routing
         "cur_session_splits", "ta_code_flags",
+        # r5 final: adjacent-turn merge, conversation branch collapse,
+        # split-leakage audit, readability router, lexical diversity
+        "cur_turn_merge", "dedup_branches", "cur_split_leakage",
+        "ta_readability", "ta_ttr",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

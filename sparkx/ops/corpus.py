@@ -1689,3 +1689,110 @@ def conv_sessions(
         F.max(idx_col).alias("last_turn_idx"),
         (F.max("_ep") - F.min("_ep")).alias("span_sec"),
     )
+
+
+def merge_adjacent_turns(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Chat normalization: merge runs of CONSECUTIVE same-role turns within
+    a conversation into one block — the standard pre-step before rendering
+    chat templates (most formats require strict role alternation, and agent
+    frameworks routinely emit split assistant messages: streamed halves,
+    post-tool continuations, retry fragments).  Reference analog: the
+    answer/revision turns are single logical messages even when the graph
+    emits them in pieces (langgraph_pipeline.py's answer/revise nodes).
+
+    Gaps-and-islands on one ``(conv, idx)`` window — a block starts where
+    the role differs from the previous turn's (NULL-safe, so NULL-role runs
+    merge too, same convention as conv_loop_stats) — then one group-by per
+    block: texts joined with ``sep`` in turn order (NULL text contributes
+    an empty string, exactly DuckDB's ``string_agg(coalesce(text,''))``),
+    plus run length and the turn-idx span.  ``block_idx`` is 0-based per
+    conversation, so ``(conv_col, block_idx)`` is the merged table's key
+    and block order is the conversation order.
+
+    Scale shape: the window partitions by conversation (KB-bounded
+    sequential unit, O(1) lag state per row); the fold's keys refine the
+    window partitioning.  The sort inside ``array_sort`` is per BLOCK
+    (role runs — tens of rows), never per conversation.  The transform
+    lambda is an interpreted HOF but runs once per OUTPUT row on an
+    already-collected block array — the once-per-row regime CLAUDE.md's
+    HOF rule allows.
+
+    ``idx_col`` MUST be a unique within-conversation ordering (same
+    precondition as conv_sessions/conv_loop_stats).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    prev = F.lag(role_col).over(w)
+    # the first turn is marked via lag(idx) IS NULL, NOT via the role
+    # comparison: a conversation that STARTS with a NULL role would
+    # otherwise read eqNullSafe(NULL, NULL-lag) = true and open at block
+    # −1 (caught by the mirror test)
+    first = F.lag(idx_col).over(w).isNull()
+    is_new = (first | ~F.col(role_col).eqNullSafe(prev)).cast("long")
+    t = turns.select(
+        conv_col,
+        F.col(idx_col),
+        F.col(role_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_txt"),
+    ).withColumn("block_idx", (F.sum(is_new).over(w) - 1).cast("int"))
+    return t.groupBy(conv_col, "block_idx").agg(
+        F.min(role_col).alias(role_col),  # constant within a block
+        F.count(F.lit(1)).alias("n_merged"),
+        F.min(idx_col).alias("first_turn_idx"),
+        F.max(idx_col).alias("last_turn_idx"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col(idx_col).alias("i"), F.col("_txt").alias("t"))
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            sep,
+        ).alias("text"),
+    )
+
+
+def split_leakage(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Split-leakage audit: given a near-dup pair frame (``a_id``/``b_id``,
+    any producer — MinHash-LSH at scale) and a split assignment, count pair
+    edges by unordered split pair — the after-the-fact check that
+    quantifies exactly the eval contamination :func:`cluster_split` exists
+    to prevent (a doc-keyed :func:`split_assign` WILL show non-zero
+    ``is_leak`` rows whenever near-dups exist; a cluster-atomic split must
+    show zero).  Trust-but-verify for the split layer: run it after every
+    corpus build, alert on any leak edge.
+
+    Execution: two hash equi-joins attach each endpoint's split (the split
+    frame is corpus-sized on one side and the pair frame is the post-LSH
+    candidate set on the other — both shuffles are on the doc key, and AQE
+    broadcasts the pair side when the dup set is small), then an unordered
+    ``least/greatest`` normalization and a ≤|splits|²-row aggregate.  No
+    driver state; output is constant-size.
+    """
+    a = splits.select(F.col(id_col).alias("a_id"), F.col(split_col).alias("_sa"))
+    b = splits.select(F.col(id_col).alias("b_id"), F.col(split_col).alias("_sb"))
+    j = pairs.select("a_id", "b_id").join(a, "a_id").join(b, "b_id")
+    return (
+        j.select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+    )

@@ -1274,3 +1274,71 @@ def editdist_pairs(
         .filter(F.col("dist") <= max_dist)
         .distinct()
     )
+
+
+def conv_prefix_groups(
+    turns: DataFrame,
+    k: int = 2,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation branch collapse: group conversations by the signature of
+    their first ``k`` turns and pick one canonical per group — the
+    transcript-corpus analog of URL-keyed page dedup.  Agent frameworks
+    fork conversations (regenerated answers, A/B samples, resumed
+    sessions), producing many transcripts that share a verbatim opening;
+    training on every branch over-weights the shared prefix, so corpus
+    builds keep the longest branch (most turns) per prefix group.
+
+    ``prefix_sig`` = md5 over the first-``k`` turn texts in turn order,
+    joined with the unit separator 0x1f (NULL text → empty string, both
+    conventions shared with the oracle's ``string_agg``).  A conversation
+    with FEWER than ``k`` turns signs whatever prefix it has; one with no
+    turns below ``k`` indices signs the empty string — degenerate groups,
+    kept rather than dropped so the audit sees them.  Canonical pick:
+    most turns, then lowest ``conv_col`` (string-safe — no numeric-id
+    precondition, unlike cluster_canonical's −id trick).
+
+    Execution: one per-conversation fold (hash exchange on ``conv_col``;
+    the conditional ``collect_list`` carries only the ≤k prefix structs,
+    never the whole conversation) and two windows over ``prefix_sig`` on a
+    CONVERSATIONS-sized frame (already corpus-cardinality / turns-per-conv
+    — at 10^12 turns the conv frame is ~10^9 rows, and groups are small by
+    construction, so the rank window never sees a mega-partition unless
+    the corpus truly has millions of identical-prefix branches, in which
+    case that skew IS the signal the op exists to find).
+    """
+    from pyspark.sql import Window
+
+    per_conv = turns.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col(idx_col) < k,
+                                F.struct(
+                                    F.col(idx_col).alias("i"),
+                                    F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["t"],
+                ),
+                "\x1f",
+            )
+        ).alias("prefix_sig"),
+    )
+    wg = Window.partitionBy("prefix_sig")
+    wr = wg.orderBy(F.desc("n_turns"), F.asc(conv_col))
+    return per_conv.select(
+        conv_col,
+        "prefix_sig",
+        "n_turns",
+        F.count(F.lit(1)).over(wg).alias("n_branches"),
+        (F.row_number().over(wr) == 1).alias("is_canonical"),
+    )

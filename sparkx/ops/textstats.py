@@ -1259,3 +1259,100 @@ def code_likeness(
         score.alias("code_score_e4"),
         (score >= threshold_e4).alias("is_code"),
     )
+
+
+def readability(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Readability scoring on the integer grid: Flesch–Kincaid grade level
+    and Flesch reading ease (Kincaid et al. 1975) from three exactly
+    countable surface signals — the classic prose-quality router a corpus
+    build runs next to the Gopher rules (e.g. keep grade 4–14 for a
+    general-web mix, route outliers to review).
+
+    Counts (all single JVM-side regex passes, oracle-identical by
+    construction): ``n_words`` = the canonical whitespace token count;
+    ``n_sents`` = maximal ``[.!?]+`` runs, clamped to ≥1 (headlines have
+    words but no terminator); ``n_syll`` = maximal ``[aeiouy]+`` vowel
+    groups in the lowercased text — the standard syllable surrogate: exact
+    on the engines' shared ASCII semantics, and biased identically across
+    docs so ORDERING (what a router consumes) is preserved even where the
+    count misses English edge cases like silent-e.
+
+    Scores on the e3 grid via TRUNCATING integer division (the parity
+    rule — never round() a grid value):
+    ``fk_grade_e3  = (390·w) div s + (11800·syl) div w − 15590``
+    ``ease_e3      = 206835 − (1015·w) div s − (84600·syl) div w``
+    Blank docs (empty/NULL text) keep their row with NULL scores — a
+    corpus audit must see them, not lose them.  Map-only: no shuffle, no
+    Python, pure scan at any scale."""
+    txt = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    blank = txt == ""
+    base = docs.select(
+        id_col,
+        blank.alias("_blank"),
+        token_count(txt).cast("long").alias("n_words"),
+        F.greatest(
+            F.regexp_count(txt, F.lit(r"[.!?]+")), F.lit(1)
+        ).cast("long").alias("n_sents"),
+        F.regexp_count(F.lower(txt), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("n_syll"),
+    )
+    fk = F.expr(
+        "(390 * n_words) div n_sents + (11800 * n_syll) div n_words - 15590"
+    ).cast("long")
+    ease = F.expr(
+        "206835 - (1015 * n_words) div n_sents - (84600 * n_syll) div n_words"
+    ).cast("long")
+    nullify = lambda c: F.when(F.col("_blank"), F.lit(None).cast("long")).otherwise(c)  # noqa: E731
+    return base.select(
+        id_col,
+        nullify(F.col("n_words")).alias("n_words"),
+        nullify(F.col("n_sents")).alias("n_sents"),
+        nullify(F.col("n_syll")).alias("n_syll"),
+        nullify(fk).alias("fk_grade_e3"),
+        nullify(ease).alias("ease_e3"),
+    )
+
+
+def lexical_diversity(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document lexical diversity: type–token ratio and hapax-legomenon
+    ratio over the canonical whitespace tokens — the cheap template /
+    boilerplate / keyword-stuffing detector (machine-generated spam repeats
+    a tiny vocabulary → low TTR; natural prose at web-document lengths sits
+    in a stable band; both ratios feed the quality-router ensemble next to
+    :func:`readability` and the Gopher rules).
+
+    Shape: explode → two-level aggregate — ``(doc, token)`` counts (partial
+    map-side combine collapses each doc's repeats before the shuffle), then
+    a per-doc fold counting tokens / types / count-1 types.  Everything is
+    codegen'd; the only wide op hashes on the doc key both times, so AQE
+    coalesces the second exchange over the already-tiny per-doc partials.
+    This is the scale-safe form — array_distinct / HOF lambdas per row
+    would be interpreted, and corpus-wide token frames are exactly what
+    top_tokens/vocab_growth already shuffle, so at 10^12 turns the cost is
+    the tokenize pass itself.
+
+    Ratios on the e4 grid by truncating div.  Docs with NO tokens
+    (empty/NULL text) drop out — inner-group semantics, same convention as
+    cur_chunks; the blank-doc census lives in :func:`readability` /
+    profile.  ``n_tokens`` here counts NON-EMPTY tokens (the empty split
+    artifact is filtered), so it can differ by 1 from the raw
+    token_count() convention on blank-ish texts — documented, mirrored in
+    the oracle."""
+    tok = docs.select(
+        id_col, F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("t")
+    ).filter(F.col("t") != "")
+    per_tok = tok.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = per_tok.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("cnt") == 1).cast("long")).alias("n_hapax"),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr("(n_types * 10000) div n_tokens").cast("long").alias("ttr_e4"),
+        F.expr("(n_hapax * 10000) div n_tokens").cast("long").alias("hapax_e4"),
+    )

@@ -881,6 +881,99 @@ def main() -> int:
         )
     )
 
+    tm_plan = fmt(E.queries()["cur_turn_merge"](spark, sf))
+    n_ex = len(re.findall(r"^\s*\(\d+\)\s+Exchange\b", tm_plan, re.M))
+    assert n_ex == 1, \
+        f"turn_merge must shuffle ONCE on conv_id, saw {n_ex}"
+    assert "MapInPandas" not in tm_plan and "BatchEvalPython" not in tm_plan
+    sections.append(
+        (
+            "Adjacent-turn merge (one exchange, islands fold)",
+            tm_plan,
+            "What to check (asserted): exactly ONE hash exchange — the\n"
+            "islands window's partitionBy(conv_id); the per-block groupBy\n"
+            "((conv, block_idx)) keys refine the window clustering so the\n"
+            "fold adds no shuffle (same shape as conv_loops); zero Python.\n"
+            "The array_sort runs per BLOCK (role runs), never per\n"
+            "conversation.",
+        )
+    )
+
+    br_plan = fmt(E.queries()["dedup_branches"](spark, sf))
+    n_ex = len(re.findall(r"^\s*\(\d+\)\s+Exchange\b", br_plan, re.M))
+    assert n_ex <= 2, \
+        f"conv_prefix_groups wants conv fold + sig window only, saw {n_ex}"
+    n_win = len(re.findall(r"^\s*\(\d+\)\s+Window\b", br_plan, re.M))
+    assert n_win >= 1, "canonical pick lost its rank window"
+    assert "MapInPandas" not in br_plan and "BatchEvalPython" not in br_plan
+    sections.append(
+        (
+            "Conversation branch collapse (conv fold + conversations-sized window)",
+            br_plan,
+            "What to check (asserted <= 2 Exchanges, zero Python): one hash\n"
+            "exchange for the per-conversation fold (the conditional\n"
+            "collect_list carries only the <=k prefix structs, never whole\n"
+            "conversations) and one for the prefix_sig windows — which run\n"
+            "over the CONVERSATIONS-sized frame (corpus cardinality /\n"
+            "turns-per-conv), not the turn table.",
+        )
+    )
+
+    lk_plan = fmt(E.queries()["cur_split_leakage"](spark, sf))
+    assert "CartesianProduct" not in lk_plan and "NestedLoop" not in lk_plan
+    assert "BroadcastHashJoin" in lk_plan, \
+        "the post-LSH pair side should broadcast into the split attach"
+    assert "partial_count" in lk_plan, "leak rollup has no map-side combine"
+    sections.append(
+        (
+            "Split-leakage audit (broadcast pair attach, map-side rollup)",
+            lk_plan,
+            "What to check (asserted): the near-dup pair frame (post-LSH,\n"
+            "orders of magnitude smaller than the corpus) broadcasts into\n"
+            "both split-attach joins — the corpus-sized split frame is\n"
+            "scanned, never shuffled for the join — and the <=|splits|^2\n"
+            "aggregate folds with partial_count below its exchange.  No\n"
+            "cartesian anywhere; the expensive subtree is the LSH pair\n"
+            "pipeline itself, audited with dedup_minhash_lsh.",
+        )
+    )
+
+    rd_plan = fmt(E.queries()["ta_readability"](spark, sf))
+    n_ex = len(re.findall(r"^\s*\(\d+\)\s+Exchange\b", rd_plan, re.M))
+    assert n_ex == 0, f"readability must be map-only, saw {n_ex} exchanges"
+    assert "MapInPandas" not in rd_plan and "BatchEvalPython" not in rd_plan
+    sections.append(
+        (
+            "Readability router (map-only, zero shuffle)",
+            rd_plan,
+            "What to check (asserted 0 Exchanges, zero Python): three\n"
+            "regexp counts + two truncating integer divisions, all inside\n"
+            "one WholeStageCodegen span over the scan — the whole router\n"
+            "costs one corpus read at any scale, same class as\n"
+            "ta_code_flags/gopher_rules.",
+        )
+    )
+
+    ttr_plan = fmt(E.queries()["ta_ttr"](spark, sf))
+    n_ex = len(re.findall(r"^\s*\(\d+\)\s+Exchange\b", ttr_plan, re.M))
+    assert n_ex <= 2, f"lexical_diversity wants <=2 doc-keyed exchanges, saw {n_ex}"
+    assert "partial_count" in ttr_plan, \
+        "(doc, token) counts must combine map-side"
+    assert re.search(r"^\s*\(\d+\)\s+Generate", ttr_plan, re.M), \
+        "tokens must explode via Generate (codegen), not an array HOF"
+    assert "MapInPandas" not in ttr_plan and "BatchEvalPython" not in ttr_plan
+    sections.append(
+        (
+            "Lexical diversity (explode + two doc-keyed combinable aggregates)",
+            ttr_plan,
+            "What to check (asserted): tokens explode via Generate into a\n"
+            "(doc, token) aggregate whose partial_count collapses each\n"
+            "doc's repeats BEFORE the shuffle, then the per-doc fold — both\n"
+            "exchanges hash on the doc key.  No interpreted array lambdas\n"
+            "(the array_distinct per-row form would be), zero Python.",
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plan audit (explain formatted)\n\n"
