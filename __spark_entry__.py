@@ -2325,6 +2325,122 @@ def _q_ta_ttr(spark, sf_dir):
     return T.lexical_diversity(docs)
 
 
+def _q_ann_filtered_topk(spark, sf_dir):
+    """Metadata-filtered vector search (similarity.filtered_topk): exact
+    cosine top-10 for vec_id 0 restricted to corpus rows with label IN
+    (1,3,5,7) — an IN predicate precisely because it reaches the parquet
+    scan as a pushed filter (plan-asserted); the query vector lookup stays
+    unfiltered, so the op retrieves even when the query's own label fails
+    the gate.  Oracle: ann_topk's SQL + the identical WHERE."""
+    return S.filtered_topk(
+        _emb(spark, sf_dir),
+        query_vec_id=0,
+        k=10,
+        predicate=F.col("label").isin(1, 3, 5, 7),
+    )
+
+
+def _q_cur_global_order(spark, sf_dir):
+    """Reproducible global training order (corpus.global_order): every doc
+    gets a single global_pos in [0, N) under the deterministic md5 shuffle
+    — shard_assign's (shard, pos) plus broadcast cumulative shard offsets
+    (the scan-sum decomposition; never a corpus-wide single-task window).
+    n_shards=16 over the 500 sf0.01 docs ≈ 31 docs/shard, so every shard
+    is non-trivially occupied and the offset cumsum is exercised.  Oracle:
+    the cur_shards md5/shard/row_number chain + a window cumsum."""
+    from sparkx.ops import corpus as C
+
+    return C.global_order(_docs(spark, sf_dir), n_shards=16)
+
+
+def _q_ta_mojibake(spark, sf_dir):
+    """Encoding-damage detector (textstats.encoding_flags): counts of
+    U+FFFD replacement chars, UTF-8-as-Latin-1 mojibake digraphs, and
+    non-whitespace C0 controls.  The corpus is clean by construction, so
+    damage is injected deterministically: every 5th doc gets a mojibake
+    apostrophe ('â€™'), every 11th a replacement char, every 13th a BEL
+    control (chr(7)) — overlapping ids get several, appended in that fixed
+    order (same CASE chain in the oracle)."""
+    moji = F.when(F.col("doc_id") % 5 == 0, F.lit("â€™")).otherwise(F.lit(""))
+    repl = F.when(F.col("doc_id") % 11 == 0, F.lit("�")).otherwise(F.lit(""))
+    ctrl = F.when(F.col("doc_id") % 13 == 0, F.lit("\x07")).otherwise(F.lit(""))
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), moji, repl, ctrl),
+    )
+    return T.encoding_flags(docs)
+
+
+def _q_dedup_consensus(spark, sf_dir):
+    """Detector-consensus audit (dedup.method_agreement): full outer join
+    of the MinHash-LSH (threshold 0.05, as everywhere at sf0.01) and
+    SimHash (Hamming ≤ 3) pair sets with per-method scores + membership
+    flags — the calibration view over where the order-sensitive and
+    order-blind definitions of "near" agree.  Oracle: the two shared
+    detector CTE chains (_minhash_pairs_ctes + _simhash_pairs_ctes)
+    composed with one FULL OUTER JOIN — each detector has exactly ONE SQL
+    definition in the file."""
+    return D.method_agreement(_docs(spark, sf_dir), n=3, threshold=0.05,
+                              max_hamming=3)
+
+
+def _q_ta_rule_ablation(spark, sf_dir):
+    """Gopher rule ablation (textstats.rule_ablation): per-rule fail and
+    unique-reject counts at the default thresholds.  Failures are injected
+    deterministically so the table is non-vacuous: every 10th-ish doc
+    (doc_id % 10 == 2) becomes the two-word 'tiny doc' (fails n_words —
+    and by being tiny also stop_hits, so NOT unique), and every 6th-ish
+    (doc_id % 6 == 1 — provably disjoint: % 10 == 2 forces an even id,
+    % 6 == 1 an odd one) gets ' ####'×30 appended (symbol_ratio).  Same
+    CASE chain feeds the oracle's shared Gopher signal SQL."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 2, F.lit("tiny doc"))
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.repeat(F.lit(" ####"), 30),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    return T.rule_ablation(docs)
+
+
+def _q_cur_dup_by_source(spark, sf_dir):
+    """Per-source duplication scorecard (dedup.dup_by_source).  Dups are
+    injected deterministically: docs with doc_id % 5 == 2 share one
+    cross-source banner text (fires n_cross_fp in every source), and docs
+    with doc_id < 40 share 'intra <source>' within their source only
+    (source = src(doc_id % 20), so ids i and i+20 collide — exactly one
+    within-source dup pair per source).  The banner CASE wins where both
+    apply, mirrored in the oracle."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 2, F.lit("shared banner"))
+        .when(
+            F.col("doc_id") < 40,
+            F.concat(F.lit("intra "), F.col("source")),
+        )
+        .otherwise(F.col("text")),
+    )
+    return D.dup_by_source(docs)
+
+
+def _q_cur_mix_plan(spark, sf_dir):
+    """Mixture planner (corpus.mix_plan): target weights (i % 5) + 1 for
+    src0–src18 with src19 deliberately absent (weight-0 / excluded-source
+    path), budget 100k tokens — small enough that most sources downsample
+    (rate < 1e6) while the weight-5 sources upsample (epochs ≥ 2 at sf0.01
+    supply).  Frozen weight literals are inlined identically in the oracle
+    CASE chain (the ivf frozen-artifact pattern)."""
+    from sparkx.ops import corpus as C
+
+    weights = {f"src{i}": (i % 5) + 1 for i in range(19)}
+    return C.mix_plan(_docs(spark, sf_dir), weights, budget_tokens=100_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE ordering is load-bearing: the driver's CORRECTNESS file records the
     # FIRST 50 entries of this dict per round (observed r3: exactly positions
@@ -2390,6 +2506,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_split_leakage": _q_cur_split_leakage,
         "ta_readability": _q_ta_readability,
         "ta_ttr": _q_ta_ttr,
+        # r5 final batch 2 — never driver-verified (displace the r3-green
+        # ext_agentic_tables / ext_ocr_fallback / ext_retry_lowconf /
+        # ext_drop_metrics past position 49)
+        "ann_filtered_topk": _q_ann_filtered_topk,
+        "cur_global_order": _q_cur_global_order,
+        "ta_mojibake": _q_ta_mojibake,
+        "dedup_consensus": _q_dedup_consensus,
+        # r5 final batch 3 — never driver-verified (displace the r3-green
+        # ext_text_blocks / ext_table_markdown / ext_figures past 49)
+        "ta_rule_ablation": _q_ta_rule_ablation,
+        "cur_dup_by_source": _q_cur_dup_by_source,
+        "cur_mix_plan": _q_cur_mix_plan,
         # r3-green refresh fill (ta_lang_agg and dedup_exact displaced past
         # position 49 by the two entries above; both have green
         # {rows,schema,hash} rows in CORRECTNESS_r01–r03)
@@ -2605,10 +2733,13 @@ _CROSSREF_PRED = (
 )
 
 
-def _simhash_oracle_sql() -> str:
-    """64-bit SimHash (two 32-bit halves) in DuckDB: explode tokens, 64
+def _simhash_pairs_ctes(max_hamming: int = 3) -> str:
+    """CTE chain (no leading WITH) ending in ``sh_pairs`` — 64-bit SimHash
+    (two 32-bit halves) near-dup pairs in DuckDB: explode tokens, 64
     sign-vote sums, 16-bit banded self-join + exact Hamming filter (mirrors
-    sparkx.ops.dedup.simhash_pairs at SIMHASH_BITS=64)."""
+    sparkx.ops.dedup.simhash_pairs at SIMHASH_BITS=64).  Factored out of
+    :func:`_simhash_oracle_sql` so the consensus oracle composes it with
+    :func:`_minhash_pairs_ctes` — ONE definition per detector."""
     votes = ", ".join(
         f"SUM(CASE WHEN (h_{nm} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{nm[0]}{j}"
         for nm in ("lo", "hi")
@@ -2630,8 +2761,7 @@ def _simhash_oracle_sql() -> str:
         ]
     )
     ham = "bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi))"
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
   FROM documents
 ), hashed AS (
@@ -2650,10 +2780,17 @@ WITH toks AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
          a.sim_lo AS alo, a.sim_hi AS ahi, b.sim_lo AS blo, b.sim_hi AS bhi
   FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-)
-SELECT a_id, b_id, {ham} AS hamming
-FROM cand WHERE {ham} <= 3
-"""
+), sh_pairs AS (
+  SELECT a_id, b_id, {ham} AS hamming
+  FROM cand WHERE {ham} <= {max_hamming}
+)"""
+
+
+def _simhash_oracle_sql() -> str:
+    return (
+        "WITH " + _simhash_pairs_ctes()
+        + "\nSELECT a_id, b_id, hamming FROM sh_pairs"
+    )
 
 
 def _minhash_pairs_ctes(threshold: float, src: str = "documents",
@@ -2737,6 +2874,109 @@ wn_min AS (
 winnow_fps AS (SELECT DISTINCT doc_id, fp FROM wn_min WHERE pos >= {window - 1})"""
 
 
+# the 8 Gopher rule PASS conditions over the signal CTE ``m`` — the ONE SQL
+# definition of each threshold comparison, shared by the ta_gopher_rules
+# ``keep`` and the ta_rule_ablation fail flags (mirrors
+# sparkx.ops.textstats._gopher_pass_preds)
+_GOPHER_SQL_PASS = {
+    "n_words": "n_words BETWEEN 50 AND 100000",
+    "mean_word_len": "mean_word_len BETWEEN 3.0 AND 10.0",
+    "symbol_ratio": "symbol_ratio <= 0.1",
+    "bullet_frac": "bullet_frac <= 0.9",
+    "ellipsis_frac": "ellipsis_frac <= 0.3",
+    "stop_hits": "stop_hits >= 2",
+    "dup_line_frac": "dup_line_frac <= 0.3",
+    "dup_2gram_frac": "dup_2gram_frac <= 0.2",
+}
+
+
+def _gopher_signals_ctes(src: str = "documents") -> str:
+    """CTE chain (no leading WITH) ending in ``m`` — the Gopher signal
+    battery in DuckDB (mirrors sparkx.ops.textstats.gopher_rules' signal
+    pass).  ``src`` parametrizes the input relation so ta_rule_ablation
+    can feed a mutated-text subquery through the SAME signal SQL."""
+    return f"""base AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+'),
+                            x -> x != '') AS toks,
+                list_filter(string_split(coalesce(text, ''), chr(10)), x -> x != '') AS lines
+              FROM {src}),
+            g AS (
+              SELECT doc_id, t, toks, lines,
+                CAST(len(toks) AS INT) AS n_words,
+                CAST(len(lines) AS INT) AS n_lines,
+                CASE WHEN len(toks) < 2 THEN []
+                     ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                END AS grams
+              FROM base),
+            m AS (
+              SELECT doc_id, n_words,
+                floor((coalesce(list_sum(list_transform(toks, x -> length(x))), 0) * 10000)
+                      / greatest(n_words, 1)) / 10000.0 AS mean_word_len,
+                floor(((length(t) - length(replace(t, '#', ''))
+                        + (length(t) - length(replace(t, '...', ''))) / 3) * 10000)
+                      / greatest(n_words, 1)) / 10000.0 AS symbol_ratio,
+                floor((len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+                       OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• '))) * 10000)
+                      / greatest(n_lines, 1)) / 10000.0 AS bullet_frac,
+                floor((len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) * 10000)
+                      / greatest(n_lines, 1)) / 10000.0 AS ellipsis_frac,
+                CAST(list_contains(toks, 'the') AS INT) + CAST(list_contains(toks, 'be') AS INT)
+                  + CAST(list_contains(toks, 'to') AS INT) + CAST(list_contains(toks, 'of') AS INT)
+                  + CAST(list_contains(toks, 'and') AS INT) + CAST(list_contains(toks, 'that') AS INT)
+                  + CAST(list_contains(toks, 'have') AS INT) + CAST(list_contains(toks, 'with') AS INT)
+                  AS stop_hits,
+                CASE WHEN n_lines <= 0 THEN 0.0
+                     ELSE floor(((n_lines - len(list_distinct(lines))) * 10000) / n_lines) / 10000.0
+                END AS dup_line_frac,
+                CASE WHEN len(grams) <= 0 THEN 0.0
+                     ELSE floor(((len(grams) - len(list_distinct(grams))) * 10000) / len(grams)) / 10000.0
+                END AS dup_2gram_frac
+              FROM g)"""
+
+
+def _rule_ablation_oracle_sql() -> str:
+    """ta_rule_ablation's oracle: the shared Gopher signal chain over the
+    driver query's mutated-text subquery, per-rule fail bits from the
+    negated shared PASS conditions, one global aggregate, and the 8-row
+    table via UNION ALL."""
+    src = (
+        "(SELECT doc_id, CASE WHEN doc_id % 10 = 2 THEN 'tiny doc' "
+        "WHEN doc_id % 6 = 1 THEN coalesce(text, '') || repeat(' ####', 30) "
+        "ELSE text END AS text FROM documents)"
+    )
+    names = list(_GOPHER_SQL_PASS)
+    fail_cols = ",\n                ".join(
+        f"CAST(NOT ({cond}) AS INT) AS f_{k}"
+        for k, cond in _GOPHER_SQL_PASS.items()
+    )
+    tot = " + ".join(f"f_{k}" for k in names)
+    sums = ",\n                ".join(
+        f"sum(f_{k}) AS nf_{k}, "
+        f"sum(CASE WHEN f_{k} = 1 AND tot = 1 THEN 1 ELSE 0 END) AS nu_{k}"
+        for k in names
+    )
+    rows = "\n            UNION ALL ".join(
+        f"SELECT '{k}' AS rule, CAST(coalesce(nf_{k}, 0) AS BIGINT) AS n_fail, "
+        f"CAST(coalesce(nu_{k}, 0) AS BIGINT) AS n_unique_reject, "
+        f"CAST(n AS BIGINT) AS n_docs FROM a"
+        for k in names
+    )
+    return (
+        "WITH " + _gopher_signals_ctes(src) + f""",
+            fl AS (
+              SELECT doc_id,
+                {fail_cols}
+              FROM m),
+            t AS (SELECT *, {tot} AS tot FROM fl),
+            a AS (
+              SELECT count(*) AS n,
+                {sums}
+              FROM t)
+            {rows}"""
+    )
+
+
 def _minhash_oracle_sql(threshold: float = 0.05) -> str:
     return (
         "WITH " + _minhash_pairs_ctes(threshold)
@@ -2745,6 +2985,7 @@ def _minhash_oracle_sql(threshold: float = 0.05) -> str:
 
 
 from sparkx.ops.textstats import EMAIL_RE as _EMAIL_RE
+from sparkx.ops.textstats import MOJIBAKE_RE as _MOJIBAKE_RE
 from sparkx.ops.textstats import PHONE_RE as _PHONE_RE
 
 # deterministic sampling hash gate (mirrors sparkx.ops.corpus.sample_bucket,
@@ -4369,53 +4610,13 @@ GROUP BY 1"""
         # Gopher rule battery: same token/line/2-gram definitions as the
         # Spark projection; every ratio a single exact-int division, 4 dp;
         # keep compares the ROUNDED values in both engines
-        "ta_gopher_rules": """
-            WITH base AS (
-              SELECT doc_id, coalesce(text, '') AS t,
-                list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+'),
-                            x -> x != '') AS toks,
-                list_filter(string_split(coalesce(text, ''), chr(10)), x -> x != '') AS lines
-              FROM documents),
-            g AS (
-              SELECT doc_id, t, toks, lines,
-                CAST(len(toks) AS INT) AS n_words,
-                CAST(len(lines) AS INT) AS n_lines,
-                CASE WHEN len(toks) < 2 THEN []
-                     ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-                END AS grams
-              FROM base),
-            m AS (
-              SELECT doc_id, n_words,
-                floor((coalesce(list_sum(list_transform(toks, x -> length(x))), 0) * 10000)
-                      / greatest(n_words, 1)) / 10000.0 AS mean_word_len,
-                floor(((length(t) - length(replace(t, '#', ''))
-                        + (length(t) - length(replace(t, '...', ''))) / 3) * 10000)
-                      / greatest(n_words, 1)) / 10000.0 AS symbol_ratio,
-                floor((len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
-                       OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• '))) * 10000)
-                      / greatest(n_lines, 1)) / 10000.0 AS bullet_frac,
-                floor((len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) * 10000)
-                      / greatest(n_lines, 1)) / 10000.0 AS ellipsis_frac,
-                CAST(list_contains(toks, 'the') AS INT) + CAST(list_contains(toks, 'be') AS INT)
-                  + CAST(list_contains(toks, 'to') AS INT) + CAST(list_contains(toks, 'of') AS INT)
-                  + CAST(list_contains(toks, 'and') AS INT) + CAST(list_contains(toks, 'that') AS INT)
-                  + CAST(list_contains(toks, 'have') AS INT) + CAST(list_contains(toks, 'with') AS INT)
-                  AS stop_hits,
-                CASE WHEN n_lines <= 0 THEN 0.0
-                     ELSE floor(((n_lines - len(list_distinct(lines))) * 10000) / n_lines) / 10000.0
-                END AS dup_line_frac,
-                CASE WHEN len(grams) <= 0 THEN 0.0
-                     ELSE floor(((len(grams) - len(list_distinct(grams))) * 10000) / len(grams)) / 10000.0
-                END AS dup_2gram_frac
-              FROM g)
+        "ta_gopher_rules": (
+            "WITH " + _gopher_signals_ctes() + f"""
             SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
               ellipsis_frac, stop_hits, dup_line_frac, dup_2gram_frac,
-              (n_words BETWEEN 50 AND 100000
-               AND mean_word_len BETWEEN 3.0 AND 10.0
-               AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
-               AND ellipsis_frac <= 0.3 AND stop_hits >= 2
-               AND dup_line_frac <= 0.3 AND dup_2gram_frac <= 0.2) AS keep
-            FROM m""",
+              ({" AND ".join(_GOPHER_SQL_PASS.values())}) AS keep
+            FROM m"""
+        ),
         # substring-level dup pairs: POSITIONAL 5-gram shingles (1-based
         # here, 0-based in Spark — the gaps-and-islands key and the counts
         # are base-invariant), diagonal run lengths, longest run + n-1
@@ -6062,4 +6263,145 @@ GROUP BY 1"""
               CAST((sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 10000)
                    // sum(cnt) AS BIGINT) AS hapax_e4
             FROM c GROUP BY doc_id""",
+        # Metadata-filtered vector search: ann_topk's exact-cosine SQL plus
+        # the identical label gate (the Spark side pushes it to the scan).
+        "ann_filtered_topk": f"""
+            SELECT a.vec_id, a.label, {_COS} AS cosine
+            FROM embeddings a,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE a.vec_id != 0 AND a.label IN (1, 3, 5, 7)
+            ORDER BY cosine DESC, a.vec_id ASC LIMIT 10""",
+        # Global training order: the cur_shards md5/shard/row_number chain
+        # (salt 'order0', 16 shards) + cumulative shard offsets — the same
+        # scan-sum decomposition as the Spark side, unrolled as a window
+        # cumsum over the ≤16-row count frame.
+        "cur_global_order": """
+            WITH h AS (
+              SELECT doc_id,
+                md5('order0|' || coalesce(CAST(doc_id AS VARCHAR), '∅')) AS hh
+              FROM documents),
+            s AS (
+              SELECT doc_id, hh,
+                CAST(('0x' || substr(hh, 1, 8))::BIGINT % 16 AS INT) AS shard
+              FROM h),
+            p AS (
+              SELECT doc_id, shard,
+                CAST(row_number() OVER (
+                       PARTITION BY shard
+                       ORDER BY hh ASC, doc_id ASC NULLS LAST) - 1
+                     AS BIGINT) AS pos
+              FROM s),
+            o AS (SELECT shard, count(*) AS n FROM p GROUP BY shard),
+            f AS (
+              SELECT shard,
+                CAST(coalesce(sum(n) OVER (ORDER BY shard
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS offs
+              FROM o)
+            SELECT p.doc_id, p.shard, p.pos,
+              CAST(p.pos + f.offs AS BIGINT) AS global_pos
+            FROM p JOIN f USING (shard)""",
+        # Encoding-damage detector: identical injection CASE chain (mojibake
+        # apostrophe, U+FFFD, BEL — fixed order), then the three counts via
+        # len(regexp_extract_all(...)) on the shared literal patterns.
+        "ta_mojibake": f"""
+            WITH d AS (
+              SELECT doc_id,
+                coalesce(text, '')
+                || CASE WHEN doc_id % 5 = 0 THEN 'â€™' ELSE '' END
+                || CASE WHEN doc_id % 11 = 0 THEN '�' ELSE '' END
+                || CASE WHEN doc_id % 13 = 0 THEN chr(7) ELSE '' END AS txt
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(txt, '�')) AS BIGINT)
+                  AS n_replacement,
+                CAST(len(regexp_extract_all(txt, '{_MOJIBAKE_RE}')) AS BIGINT)
+                  AS n_mojibake,
+                CAST(len(regexp_extract_all(txt,
+                  '[\\x00-\\x08\\x0e-\\x1f]')) AS BIGINT) AS n_ctrl
+              FROM d)
+            SELECT doc_id, n_replacement, n_mojibake, n_ctrl,
+              (n_replacement + n_mojibake + n_ctrl) > 0 AS is_damaged
+            FROM c""",
+        # Detector consensus: the two shared detector CTE chains composed
+        # with one FULL OUTER JOIN on the normalized pair key — each
+        # detector has exactly ONE SQL definition in this file.
+        "dedup_consensus": (
+            "WITH "
+            + _minhash_pairs_ctes(0.05)
+            + ",\n"
+            + _simhash_pairs_ctes(3)
+            + """
+            SELECT coalesce(m.a_id, s.a_id) AS a_id,
+                   coalesce(m.b_id, s.b_id) AS b_id,
+                   m.jaccard,
+                   CAST(s.hamming AS BIGINT) AS hamming,
+                   m.a_id IS NOT NULL AS in_minhash,
+                   s.a_id IS NOT NULL AS in_simhash
+            FROM mh_pairs m FULL OUTER JOIN sh_pairs s
+              ON m.a_id = s.a_id AND m.b_id = s.b_id"""
+        ),
+        # Gopher rule ablation: the shared signal chain over the mutated-
+        # text subquery + negated shared PASS conditions (one definition
+        # per rule, per engine) + UNION ALL of the 8 aggregate rows.
+        "ta_rule_ablation": _rule_ablation_oracle_sql(),
+        # Per-source dup scorecard: identical injection CASE (banner wins),
+        # the shared normalized-md5 fingerprint, count/count-distinct per
+        # source, and the cross-source fingerprint attach.
+        "cur_dup_by_source": """
+            WITH d AS (
+              SELECT doc_id, source,
+                CASE WHEN doc_id % 5 = 2 THEN 'shared banner'
+                     WHEN doc_id < 40 THEN 'intra ' || source
+                     ELSE text END AS text
+              FROM documents),
+            fp AS (
+              SELECT source,
+                md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp
+              FROM d),
+            ps AS (
+              SELECT source, count(*) AS n_docs,
+                count(DISTINCT fp) AS n_unique
+              FROM fp GROUP BY 1),
+            pr AS (SELECT DISTINCT source, fp FROM fp WHERE fp IS NOT NULL),
+            ns AS (SELECT fp, count(*) AS nsrc FROM pr GROUP BY 1),
+            cr AS (
+              SELECT pr.source, count(*) AS n_cross
+              FROM pr JOIN ns USING (fp) WHERE ns.nsrc >= 2 GROUP BY 1)
+            SELECT ps.source,
+              CAST(n_docs AS BIGINT) AS n_docs,
+              CAST(n_unique AS BIGINT) AS n_unique,
+              CAST(n_docs - n_unique AS BIGINT) AS n_dup_rows,
+              CAST(((n_docs - n_unique) * 10000) // n_docs AS BIGINT)
+                AS dup_rate_e4,
+              CAST(coalesce(cr.n_cross, 0) AS BIGINT) AS n_cross_fp
+            FROM ps LEFT JOIN cr USING (source)""",
+        # Mixture planner: frozen weight CASE (src0–src18 get (i%5)+1,
+        # src19 absent → 0), Σw = 55, budget 100k — truncating integer
+        # division throughout (the parity rule).
+        "cur_mix_plan": f"""
+            WITH a AS (
+              SELECT source,
+                CAST(sum(len(regexp_split_to_array(trim(coalesce(text, '')),
+                  '[ \\t\\n\\x0b\\f\\r]+'))) AS BIGINT) AS avail_tokens
+              FROM documents GROUP BY 1),
+            w AS (
+              SELECT source, avail_tokens,
+                CAST(CASE source
+                  {" ".join(f"WHEN 'src{i}' THEN {(i % 5) + 1}" for i in range(19))}
+                  ELSE 0 END AS BIGINT) AS weight
+              FROM a),
+            t AS (
+              SELECT *, CAST((100000 * weight) // 55 AS BIGINT)
+                AS target_tokens
+              FROM w)
+            SELECT source, avail_tokens, weight, target_tokens,
+              CAST(CASE WHEN avail_tokens > 0
+                THEN least(1000000, (target_tokens * 1000000) // avail_tokens)
+                ELSE 0 END AS BIGINT) AS rate_e6,
+              CAST(CASE WHEN avail_tokens > 0 AND target_tokens > 0
+                THEN (target_tokens + avail_tokens - 1) // avail_tokens
+                ELSE 0 END AS BIGINT) AS epochs
+            FROM t""",
     }

@@ -239,6 +239,13 @@ def main() -> int:
         # split-leakage audit, readability router, lexical diversity
         "cur_turn_merge", "dedup_branches", "cur_split_leakage",
         "ta_readability", "ta_ttr",
+        # r5 final batch 2: filtered ANN, global training order,
+        # encoding-damage detector, detector-consensus audit
+        "ann_filtered_topk", "cur_global_order", "ta_mojibake",
+        "dedup_consensus",
+        # r5 final batch 3: Gopher rule ablation, per-source dup scorecard,
+        # token-budget mixture planner
+        "ta_rule_ablation", "cur_dup_by_source", "cur_mix_plan",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

@@ -1796,3 +1796,153 @@ def split_leakage(
         .agg(F.count(F.lit(1)).alias("n_edges"))
         .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
     )
+
+
+def global_order(
+    docs: DataFrame,
+    n_shards: int = 256,
+    key_col: str = "doc_id",
+    salt: str = "order0",
+    strict: bool = False,
+) -> DataFrame:
+    """Reproducible GLOBAL training-order permutation: every doc gets a
+    single ``global_pos`` in [0, N) under a deterministic hash shuffle —
+    the trainer-visible total order (:func:`shard_assign` fixes each
+    shard's internal order; this op additionally fixes the order ACROSS
+    shards, so "document #573,214 of the run" is a stable identity for
+    resume/repro/debugging regardless of cluster size or input layout).
+
+    Scan-sum decomposition — never a corpus-wide single-task window:
+    (1) :func:`shard_assign` gives ``(shard, pos)`` (one hash exchange +
+    per-shard local sort); (2) shard sizes are recounted from a NARROW
+    re-derivation of the shard key (md5 of the key column only — a second
+    scan of one pruned column, deliberately NOT a second reference to the
+    window output, which Spark would re-evaluate wholesale: the cur_drift
+    double-eval lesson); (3) the ≤``n_shards``-row count frame gets
+    cumulative offsets via an unpartitioned window (bounded by
+    construction) and broadcast-joins back: ``global_pos = offset + pos``.
+    Same salt → byte-identical permutation on any engine, run, or cluster.
+
+    The permutation ranks by ``(shard, md5)`` — shard is a hash RESIDUE,
+    not a hash-prefix range, so this is not md5-sorted order; it is still
+    a fixed pseudo-random permutation, which is the contract.  ``key_col``
+    uniqueness precondition and ``strict`` are inherited from
+    :func:`shard_assign`.
+    """
+    assigned = shard_assign(
+        docs, n_shards=n_shards, key_col=key_col, salt=salt, strict=strict
+    )
+    # narrow re-derivation of the shard id for counting (no window subtree)
+    hh = F.md5(
+        F.concat(
+            F.lit(salt), F.lit("|"),
+            F.coalesce(F.col(key_col).cast("string"), F.lit("∅")),
+        )
+    )
+    shard = (
+        F.conv(F.substring(hh, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    counts = (
+        docs.select(shard.alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # ≤ n_shards rows by construction — the single partition is fine
+    offsets = counts.select(
+        "shard",
+        F.coalesce(F.sum("_n").over(w), F.lit(0)).cast("long").alias("_off"),
+    )
+    return assigned.join(F.broadcast(offsets), "shard").select(
+        key_col,
+        "shard",
+        "pos",
+        (F.col("_off") + F.col("pos")).cast("long").alias("global_pos"),
+    )
+
+
+def mix_plan(
+    docs: DataFrame,
+    weights: dict,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixture planner: given target mixture ``weights`` (relative integer
+    parts per source) and a total token ``budget_tokens``, compute per
+    OBSERVED source the available token supply and the plan to hit the
+    target — the arithmetic every training-mix spec sheet runs before
+    :func:`capped_mixture` executes it:
+
+    - ``avail_tokens`` — canonical token count summed over the source;
+    - ``target_tokens`` — ``(budget × weight) div Σweights`` (truncating
+      integer division, the parity rule — allocations may undershoot the
+      budget by < |sources| tokens, never overshoot);
+    - ``rate_e6`` — the deterministic sampling rate on the e6 grid,
+      capped at 1e6 (downsampling plans cap; upsampling shows 1e6 and
+      expresses the rest through epochs);
+    - ``epochs`` — ``ceil(target / avail)`` via integer arithmetic: how
+      many passes over the source the trainer schedules when the target
+      exceeds supply (the data-constrained case
+      :func:`epoch_schedule` allocates in detail).
+
+    Sources observed in the corpus but absent from ``weights`` get weight
+    0 (target 0 — explicitly excluded, visible in the plan rather than
+    silently dropped); weights for sources with no corpus rows produce no
+    row — the plan is over observed supply.  Execution: one map-side
+    tokenize + per-source combinable sum (|sources| rows out), then pure
+    column arithmetic against the broadcast weight MAP literal — no join,
+    no second pass; at 100 TB this is one scan.
+    """
+    from sparkx.ops.textstats import token_count
+
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    sum_w = sum(weights.values())
+    if sum_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    wmap = F.create_map(
+        *[F.lit(x) for k, v in sorted(weights.items()) for x in (k, int(v))]
+    )
+    agg = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(token_count(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("long")
+        .alias("avail_tokens")
+    )
+    w = F.coalesce(wmap[F.col("source")], F.lit(0)).cast("long")
+    tgt = F.expr(
+        f"(CAST({int(budget_tokens)} AS BIGINT) * weight) div {int(sum_w)}"
+    ).cast("long")
+    return (
+        agg.withColumn("weight", w)
+        .withColumn("target_tokens", tgt)
+        .select(
+            "source",
+            "avail_tokens",
+            "weight",
+            "target_tokens",
+            F.when(
+                F.col("avail_tokens") > 0,
+                F.least(
+                    F.lit(1_000_000).cast("long"),
+                    F.expr("(target_tokens * 1000000) div avail_tokens"),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rate_e6"),
+            F.when(
+                (F.col("avail_tokens") > 0) & (F.col("target_tokens") > 0),
+                F.expr(
+                    "(target_tokens + avail_tokens - 1) div avail_tokens"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("epochs"),
+        )
+    )

@@ -1342,3 +1342,92 @@ def conv_prefix_groups(
         F.count(F.lit(1)).over(wg).alias("n_branches"),
         (F.row_number().over(wr) == 1).alias("is_canonical"),
     )
+
+
+def method_agreement(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Detector-consensus audit: the full outer join of the two lexical
+    near-dup detectors' pair sets — MinHash-LSH (shingle-Jaccard: order-
+    sensitive, catches shared PASSAGES) and SimHash (token-bag Hamming:
+    order-blind, catches shared VOCABULARY) — one row per candidate pair
+    with each method's score and membership flag.  The calibration tool a
+    corpus build runs before trusting either detector alone: both-methods
+    pairs are safe to auto-drop, single-method pairs are where the two
+    definitions of "near" genuinely diverge (reordered boilerplate fires
+    SimHash only; a long shared quote inside distinct docs fires MinHash
+    only) and deserve the threshold review.
+
+    Execution: the two pair pipelines are the suite's scale-safe
+    banded-LSH paths unchanged (each bounded by its band-bucket joins);
+    the consensus join runs over POST-LSH pair frames — orders of
+    magnitude smaller than the corpus — on the normalized ``a_id < b_id``
+    pair key both producers already emit, so the full outer join is a
+    cheap equi-join no matter what the corpus weighs.  NULL score = that
+    method did not propose the pair (membership is carried explicitly in
+    the flags, so downstream never infers it from NULLs).
+    """
+    mh = minhash_lsh_pairs(docs, n=n, threshold=threshold)
+    sh = simhash_pairs(docs, max_hamming=max_hamming)
+    j = mh.join(sh, ["a_id", "b_id"], "full_outer")
+    return j.select(
+        "a_id",
+        "b_id",
+        "jaccard",
+        F.col("hamming").cast("long").alias("hamming"),
+        F.col("jaccard").isNotNull().alias("in_minhash"),
+        F.col("hamming").isNotNull().alias("in_simhash"),
+    )
+
+
+def dup_by_source(docs: DataFrame, source_col: str = "source") -> DataFrame:
+    """Per-source duplication scorecard: for each source feed, row count,
+    distinct normalized-content fingerprints, duplicate rows (rows minus
+    distinct — what exact dedup would delete within the source),
+    ``dup_rate_e4`` on the e4 grid by truncating division, and
+    ``n_cross_fp`` — how many of this source's distinct fingerprints also
+    appear in at least one OTHER source (the feed-overlap signal that
+    tells a build which feeds mirror each other and which
+    source-priority rule to write; :func:`priority_dedup` consumes that
+    decision).  The ingest-audit view a corpus build checks per batch:
+    a feed whose dup rate jumps is re-crawling itself; a pair of feeds
+    with high cross counts should be collapsed by priority.
+
+    Execution: one fingerprint projection (map-only, the shared
+    :func:`~sparkx.ops.textstats.fingerprint` md5), then (a) a per-source
+    count/count-distinct aggregate and (b) the cross-source path —
+    distinct (source, fp) pairs, a per-fp source count, and a semi-join
+    back — all keyed on fp/source with map-side partials; output is
+    |sources| rows.  NULL-text docs carry a NULL fp, which COUNT(DISTINCT)
+    ignores on both engines — they count as rows, never as unique content
+    (document-level semantics: a NULL text cannot be deduplicated).
+    """
+    fp = docs.select(
+        F.col(source_col).alias("source"), fingerprint().alias("fp")
+    )
+    per_src = fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fp").alias("n_unique"),
+    )
+    pairs = fp.filter(F.col("fp").isNotNull()).distinct()
+    nsrc = pairs.groupBy("fp").agg(F.count(F.lit(1)).alias("_ns"))
+    cross = (
+        pairs.join(nsrc, "fp")
+        .filter(F.col("_ns") >= 2)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_cross_fp"))
+    )
+    return per_src.join(cross, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_unique",
+        (F.col("n_docs") - F.col("n_unique")).cast("long").alias("n_dup_rows"),
+        F.expr("((n_docs - n_unique) * 10000) div n_docs")
+        .cast("long")
+        .alias("dup_rate_e4"),
+        F.coalesce(F.col("n_cross_fp"), F.lit(0)).cast("long")
+        .alias("n_cross_fp"),
+    )

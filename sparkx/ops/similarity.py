@@ -1559,3 +1559,45 @@ def mmr_rerank(
             pick.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_anti"
         )
     return selected
+
+
+def filtered_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    predicate=None,
+) -> DataFrame:
+    """Metadata-filtered vector search: exact cosine top-k restricted to
+    corpus rows satisfying ``predicate`` (a Column) — the "filtered ANN"
+    every production vector store needs (retrieve only docs matching a
+    lang/source/label/date gate).  The filter is PRE-scoring, applied to
+    the corpus side only: the query-vector lookup stays UNfiltered, so a
+    query whose own metadata fails the gate still retrieves (the common
+    cross-slice case: "given this English doc, find similar French ones").
+
+    Execution, 100-TB shape: the predicate is a plain Catalyst expression
+    on the scan side, so it reaches the parquet reader as a pushed filter
+    (plan-asserted: PushedFilters on the scan — the corpus rows that fail
+    the gate are never decoded, let alone scored); the query vector rides
+    a broadcast (never a collected literal); top-k is
+    TakeOrderedAndProject (per-partition heads, never a global sort).
+    Pre-filtering beats post-filtering top-k structurally: filter-then-
+    score always returns k true matches, while score-then-filter can
+    return fewer than k after the gate.  The brute-force scan is the
+    exactness baseline; at scale compose the same predicate with the
+    IVF/PQ probes (cell pruning and metadata pruning stack).
+    """
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    base = emb if predicate is None else emb.filter(predicate)
+    scored = base.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        F.round(_cosine("embedding", "q_embedding"), 4).alias("cosine"),
+    )
+    return (
+        scored.filter(F.col("vec_id") != query_vec_id)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -10,6 +10,8 @@ scale linearly with input splits.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -334,6 +336,36 @@ def line_repetition_ratio(col: str | Column = "text") -> Column:
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def _gopher_pass_preds(
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_ratio: float,
+    max_bullet_frac: float,
+    max_ellipsis_frac: float,
+    min_stop_hits: int,
+    max_dup_line_frac: float,
+    max_dup_2gram_frac: float,
+) -> dict:
+    """The 8 per-rule PASS predicates over :func:`gopher_rules`' signal
+    columns — the ONE definition of each rule's threshold comparison,
+    shared by the fused ``keep`` and by :func:`rule_ablation` (a re-spelled
+    copy in either place could silently drift on boundary semantics)."""
+    return {
+        "n_words": F.col("n_words").between(min_words, max_words),
+        "mean_word_len": F.col("mean_word_len").between(
+            min_mean_word_len, max_mean_word_len
+        ),
+        "symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "bullet_frac": F.col("bullet_frac") <= max_bullet_frac,
+        "ellipsis_frac": F.col("ellipsis_frac") <= max_ellipsis_frac,
+        "stop_hits": F.col("stop_hits") >= min_stop_hits,
+        "dup_line_frac": F.col("dup_line_frac") <= max_dup_line_frac,
+        "dup_2gram_frac": F.col("dup_2gram_frac") <= max_dup_2gram_frac,
+    }
+
+
 def gopher_rules(
     docs: DataFrame,
     min_words: int = 50,
@@ -458,16 +490,12 @@ def gopher_rules(
         flagged = d.select(*docs.columns, *signal_cols)
     else:
         flagged = d.select(id_col, *signal_cols)
-    keep = (
-        F.col("n_words").between(min_words, max_words)
-        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
-        & (F.col("symbol_ratio") <= max_symbol_ratio)
-        & (F.col("bullet_frac") <= max_bullet_frac)
-        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
-        & (F.col("stop_hits") >= min_stop_hits)
-        & (F.col("dup_line_frac") <= max_dup_line_frac)
-        & (F.col("dup_2gram_frac") <= max_dup_2gram_frac)
+    preds = _gopher_pass_preds(
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_symbol_ratio, max_bullet_frac, max_ellipsis_frac,
+        min_stop_hits, max_dup_line_frac, max_dup_2gram_frac,
     )
+    keep = functools.reduce(lambda a, b: a & b, preds.values())
     return flagged.withColumn("keep", keep)
 
 
@@ -1355,4 +1383,116 @@ def lexical_diversity(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         "n_hapax",
         F.expr("(n_types * 10000) div n_tokens").cast("long").alias("ttr_e4"),
         F.expr("(n_hapax * 10000) div n_tokens").cast("long").alias("hapax_e4"),
+    )
+
+
+# Classic UTF-8-decoded-as-Latin-1 artifacts, as literal 2-char sequences
+# (an alternation of literals, not char-class ranges, so Java regex and RE2
+# agree by construction): 'â€' opens the smart-quote/dash family
+# (â€™ â€œ â€“ …), 'Ã·Â' prefixes cover the mangled Latin-1 letter block
+# (Ã© Ã± Ã¼ … Â« Â° …).
+MOJIBAKE_RE = "â€|Ã©|Ã¨|Ã¡|Ã³|Ãº|Ã±|Ã§|Ã¤|Ã¶|Ã¼|Ã«|Ã¢|Ã®|Â«|Â»|Â·|Â°|Â±"
+
+
+def encoding_flags(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Encoding-damage detector: per-document counts of the three surface
+    signals of a broken decode pipeline, each an exactly countable pattern
+    (no statistics, no thresholds to tune — if any fires, some upstream
+    stage mangled bytes):
+
+    - ``n_replacement`` — U+FFFD replacement characters (a decoder already
+      KNEW it lost bytes and said so);
+    - ``n_mojibake`` — classic UTF-8-read-as-Latin-1 digraphs
+      (:data:`MOJIBAKE_RE`: â€™-family punctuation, Ã©-family letters —
+      the ftfy repertoire's high-precision core as literal alternations);
+    - ``n_ctrl`` — C0 control characters EXCLUDING the tokenizer's
+      whitespace set (tab/LF/VT/FF/CR stay legal, same ``[ \\t\\n\\x0b
+      \\f\\r]`` convention as every tokenizer in the suite), i.e.
+      ``[\\x00-\\x08\\x0e-\\x1f]`` — binary junk pasted into text.
+
+    ``is_damaged`` = any signal > 0 — route to re-decode/drop, never
+    train on it (damaged text poisons dedup too: one U+FFFD differs from
+    every clean near-dup).  NULL text counts as clean-empty (0s, not
+    NULLs: the flag answers "did we SEE damage", and in no-text we saw
+    none).  Map-only: three regexp_count passes inside one codegen span,
+    zero shuffle at any scale — run it with the Gopher battery.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n_repl = F.regexp_count(txt, F.lit("�")).cast("long")
+    n_moji = F.regexp_count(txt, F.lit(MOJIBAKE_RE)).cast("long")
+    n_ctrl = F.regexp_count(txt, F.lit(r"[\x00-\x08\x0e-\x1f]")).cast("long")
+    return docs.select(
+        id_col,
+        n_repl.alias("n_replacement"),
+        n_moji.alias("n_mojibake"),
+        n_ctrl.alias("n_ctrl"),
+        ((n_repl + n_moji + n_ctrl) > 0).alias("is_damaged"),
+    )
+
+
+def rule_ablation(docs: DataFrame, **gopher_params) -> DataFrame:
+    """Rule-wise ablation of the Gopher battery: one row per rule with how
+    many documents FAIL it (``n_fail``) and how many it rejects UNIQUELY
+    (``n_unique_reject`` — docs every OTHER rule would keep, i.e. exactly
+    the documents the corpus regains if this one threshold is loosened) —
+    the marginal-value table every threshold-tuning pass reads before
+    touching a knob.  ``n_docs`` rides along so rates are one division
+    away.  Thresholds are :func:`gopher_rules`' kwargs, passed through
+    verbatim; the per-rule comparisons come from the SAME
+    :func:`_gopher_pass_preds` the fused ``keep`` uses, so the ablation
+    can never drift from the filter it ablates.
+
+    Execution: the gopher signal pass (map-only, one corpus scan) → 8
+    fail bits + their row-sum → ONE global aggregate (17 combinable sums,
+    partial map-side, single-partition exchange carries one row) → the
+    8-row table via a literal-struct explode.  Corpus-size-independent
+    output; at 100 TB this costs exactly one Gopher pass plus a
+    17-column partial-agg shuffle of one row per task.
+    """
+    sig = gopher_rules(docs, **gopher_params)
+    defaults = dict(
+        min_words=50, max_words=100_000, min_mean_word_len=3.0,
+        max_mean_word_len=10.0, max_symbol_ratio=0.1, max_bullet_frac=0.9,
+        max_ellipsis_frac=0.3, min_stop_hits=2, max_dup_line_frac=0.3,
+        max_dup_2gram_frac=0.2,
+    )
+    thresholds = {
+        k: gopher_params.get(k, v)
+        for k, v in defaults.items()
+    }
+    preds = _gopher_pass_preds(**thresholds)
+    names = list(preds)
+    fails = sig.select(
+        *[(~p).cast("long").alias(f"_f_{k}") for k, p in preds.items()]
+    ).withColumn(
+        "_tot", functools.reduce(lambda a, b: a + b,
+                                 [F.col(f"_f_{k}") for k in names]),
+    )
+    agg = fails.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(f"_f_{k}").alias(f"_nf_{k}") for k in names],
+        *[
+            F.sum(((F.col(f"_f_{k}") == 1) & (F.col("_tot") == 1)).cast("long"))
+            .alias(f"_nu_{k}")
+            for k in names
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("rule"),
+                F.coalesce(F.col(f"_nf_{k}"), F.lit(0)).cast("long").alias("n_fail"),
+                F.coalesce(F.col(f"_nu_{k}"), F.lit(0)).cast("long")
+                .alias("n_unique_reject"),
+            )
+            for k in names
+        ]
+    )
+    return agg.select(F.explode(rows).alias("s"), F.col("_n")).select(
+        F.col("s.rule").alias("rule"),
+        F.col("s.n_fail").alias("n_fail"),
+        F.col("s.n_unique_reject").alias("n_unique_reject"),
+        F.col("_n").cast("long").alias("n_docs"),
     )

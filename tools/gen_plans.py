@@ -974,6 +974,141 @@ def main() -> int:
         )
     )
 
+    ft_plan = fmt(E.queries()["ann_filtered_topk"](spark, sf))
+    assert re.search(r"PushedFilters: \[[^\]]*In\(label", ft_plan), \
+        "the label IN gate must reach the parquet scan as a pushed filter"
+    assert re.search(r"^\s*\(\d+\)\s+TakeOrderedAndProject", ft_plan, re.M), \
+        "top-k must be TakeOrderedAndProject, not a global sort"
+    assert "CartesianProduct" not in ft_plan
+    assert "MapInPandas" not in ft_plan and "BatchEvalPython" not in ft_plan
+    sections.append(
+        (
+            "Filtered vector search (pushed metadata gate, broadcast query)",
+            ft_plan,
+            "What to check (asserted): the label IN predicate appears in the\n"
+            "scan's PushedFilters — gated corpus rows are never decoded, let\n"
+            "alone scored; the query vector rides a BroadcastExchange (never\n"
+            "a collected literal); top-k is TakeOrderedAndProject\n"
+            "(per-partition heads).  Zero Python, no cartesian.",
+        )
+    )
+
+    go_plan = fmt(E.queries()["cur_global_order"](spark, sf))
+    n_win = len(re.findall(r"^\s*\(\d+\)\s+Window", go_plan, re.M))
+    assert n_win == 2, \
+        f"global_order wants row_number + offset-cumsum windows, saw {n_win}"
+    n_ex = len(re.findall(r"^\s*\(\d+\)\s+Exchange\b", go_plan, re.M))
+    assert n_ex <= 4, f"global_order wants <=4 exchanges, saw {n_ex}"
+    assert re.search(r"^\s*\(\d+\)\s+BroadcastHashJoin", go_plan, re.M), \
+        "the <=n_shards offset frame must broadcast back"
+    assert "SortMergeJoin" not in go_plan
+    assert "MapInPandas" not in go_plan and "BatchEvalPython" not in go_plan
+    sections.append(
+        (
+            "Global training order (scan-sum decomposition, broadcast offsets)",
+            go_plan,
+            "What to check (asserted): exactly TWO Window nodes — the\n"
+            "per-shard row_number (partitioned on shard: the corpus-sized\n"
+            "one) and the offset cumsum, whose single-partition exchange\n"
+            "carries <= n_shards count rows, never the corpus; the offsets\n"
+            "rejoin via BroadcastHashJoin.  The shard-count branch\n"
+            "re-derives the shard id narrowly (md5 of the pruned key\n"
+            "column) instead of referencing the window output twice — the\n"
+            "cur_drift double-eval lesson.  Zero Python.",
+        )
+    )
+
+    mj_plan = fmt(E.queries()["ta_mojibake"](spark, sf))
+    n_ex = len(re.findall(r"^\s*\(\d+\)\s+Exchange\b", mj_plan, re.M))
+    assert n_ex == 0, f"encoding_flags must be map-only, saw {n_ex} exchanges"
+    assert "MapInPandas" not in mj_plan and "BatchEvalPython" not in mj_plan
+    sections.append(
+        (
+            "Encoding-damage detector (map-only, zero shuffle)",
+            mj_plan,
+            "What to check (asserted 0 Exchanges, zero Python): three\n"
+            "regexp counts inside one WholeStageCodegen span over the scan\n"
+            "— the detector costs one corpus read at any scale, same class\n"
+            "as ta_readability/gopher_rules.",
+        )
+    )
+
+    mc_plan = fmt(E.queries()["dedup_consensus"](spark, sf))
+    assert "FullOuter" in mc_plan, "consensus lost its full outer join"
+    assert "CartesianProduct" not in mc_plan
+    assert "MapInPandas" not in mc_plan and "BatchEvalPython" not in mc_plan
+    sections.append(
+        (
+            "Detector consensus (full outer join over post-LSH pair frames)",
+            mc_plan,
+            "What to check (asserted): one FullOuter equi-join on the\n"
+            "normalized (a_id, b_id) pair key, running over the two\n"
+            "detectors' POST-LSH pair frames — orders of magnitude smaller\n"
+            "than the corpus, so the join is cheap at any scale; the\n"
+            "expensive subtrees are the banded LSH pipelines themselves,\n"
+            "audited with dedup_minhash_lsh/dedup_simhash.  No cartesian,\n"
+            "zero Python.",
+        )
+    )
+
+    ra_plan = fmt(E.queries()["ta_rule_ablation"](spark, sf))
+    n_ex = len(re.findall(r"^\s*\(\d+\)\s+Exchange\b", ra_plan, re.M))
+    assert n_ex == 1, \
+        f"rule_ablation is one global aggregate — 1 exchange, saw {n_ex}"
+    n_gen = len(re.findall(r"^\s*\(\d+\)\s+Generate", ra_plan, re.M))
+    assert n_gen == 3, \
+        f"want 2 gopher CollapseProject barriers + the row explode, saw {n_gen}"
+    assert not re.search(r"^\s*\(\d+\)\s+\w*Join", ra_plan, re.M)
+    assert "MapInPandas" not in ra_plan and "BatchEvalPython" not in ra_plan
+    sections.append(
+        (
+            "Gopher rule ablation (one corpus scan, one single-row aggregate)",
+            ra_plan,
+            "What to check (asserted): exactly ONE exchange — the global\n"
+            "aggregate's single-partition collapse, whose partials combine\n"
+            "17 sums map-side so one row per task crosses the wire; three\n"
+            "Generate nodes — the two gopher token/line explode barriers\n"
+            "(row count unchanged) plus the final 8-row struct explode; no\n"
+            "joins, zero Python.  The whole ablation costs one Gopher pass.",
+        )
+    )
+
+    ds_plan = fmt(E.queries()["cur_dup_by_source"](spark, sf))
+    assert "SortMergeJoin" not in ds_plan, \
+        "the |sources|- and fp-keyed frames must broadcast, not sort-merge"
+    assert re.search(r"^\s*\(\d+\)\s+BroadcastHashJoin", ds_plan, re.M)
+    assert "CartesianProduct" not in ds_plan
+    assert "MapInPandas" not in ds_plan and "BatchEvalPython" not in ds_plan
+    sections.append(
+        (
+            "Per-source dup scorecard (broadcast attach, fp-keyed partials)",
+            ds_plan,
+            "What to check (asserted): both joins are BroadcastHashJoin —\n"
+            "the per-fp source-count frame and the per-source cross counts\n"
+            "are post-aggregate (bounded by |distinct fps-in->=2-sources|\n"
+            "and |sources|), never the corpus; the count/count-distinct\n"
+            "aggregates combine map-side.  Zero Python, no cartesian.",
+        )
+    )
+
+    mp_plan = fmt(E.queries()["cur_mix_plan"](spark, sf))
+    n_ex = len(re.findall(r"^\s*\(\d+\)\s+Exchange\b", mp_plan, re.M))
+    assert n_ex == 1, f"mix_plan is one per-source aggregate, saw {n_ex}"
+    assert not re.search(r"^\s*\(\d+\)\s+\w*Join", mp_plan, re.M), \
+        "weights ride a map LITERAL — a join node means the design regressed"
+    assert "MapInPandas" not in mp_plan and "BatchEvalPython" not in mp_plan
+    sections.append(
+        (
+            "Mixture planner (one aggregate, weight map literal, zero joins)",
+            mp_plan,
+            "What to check (asserted): ONE exchange — the per-source token\n"
+            "sum (map-side partials, |sources| rows out) — and NO join\n"
+            "nodes anywhere: the frozen weight table is a Catalyst map\n"
+            "literal evaluated per output row, so the planner costs one\n"
+            "corpus scan at any scale.",
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plan audit (explain formatted)\n\n"
