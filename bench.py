@@ -246,6 +246,8 @@ def main() -> int:
         # r5 final batch 3: Gopher rule ablation, per-source dup scorecard,
         # token-budget mixture planner
         "ta_rule_ablation", "cur_dup_by_source", "cur_mix_plan",
+        # r5 final batch 4: proportional source interleaving
+        "cur_interleave",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

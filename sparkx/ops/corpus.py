@@ -1946,3 +1946,129 @@ def mix_plan(
             .alias("epochs"),
         )
     )
+
+
+def interleave_order(
+    docs: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "il0",
+    n_shards: int = 256,
+) -> DataFrame:
+    """Deterministic proportional source interleaving — the training-order
+    writer's answer to "which source at position p?": each source's docs
+    are spread EVENLY through [0, N) (low-discrepancy stratified spacing,
+    not a biased coin flip), so a mixture reads as locally well-mixed at
+    every scale — no source droughts, no bursts — and the whole layout is
+    reproducible from ``salt`` alone.  :func:`global_order` fixes ONE
+    uniform permutation; this op fixes the canonical MIXTURE order
+    (sources interleave by their size ratio; :func:`mix_plan` decides the
+    sizes upstream).
+
+    Math, all on the exact integer grid: source ``s`` with ``n`` docs
+    gives its rank-``r`` doc (a deterministic per-source md5 shuffle) the
+    stratified key ``key_e12 = floor((2r+1)·10¹² / (2n))`` — the midpoint
+    of the r-th of n equal slots.  The global order is (key_e12, source,
+    key); ``global_pos`` enumerates it WITHOUT a corpus-wide window:
+    shards are contiguous key ranges (``shard = key_e12 div (10¹²/S)``),
+    within-shard positions come from one shard-partitioned window, and
+    the cross-shard offsets come from a CLOSED FORM — the number of
+    source-``s`` keys below a boundary depends only on ``n``, never on
+    which doc got which rank, so the count branch is |sources|×S rows of
+    arithmetic, not a second pass over the corpus (and not a second
+    evaluation of the rank window: the cur_drift lesson).
+
+    Overflow discipline (the 100-TB part): ``(2r+1)·10¹²`` overflows
+    int64 beyond ~4.6M docs/source, so the key is computed by exact
+    two-step split — ``a = x·10⁶ div 2n; key = a·10⁶ + ((x·10⁶ mod 2n)·
+    10⁶) div 2n`` (every intermediate ≤ 2n·10⁶: safe to ~4.6×10¹² docs
+    per source), and the boundary counts factor the shard width out:
+    ``#{r: key(r) < j·D} = #{r: S·(2r+1) < 2nj}`` — products bounded by
+    2·S·n.  Both formulas are mirrored verbatim in the oracle.
+
+    Returns ``(key_col, source, rank_in_source, key_e12, global_pos)``;
+    ``global_pos`` is a total permutation of [0, N).  ``n_shards`` must
+    divide 10¹² (any 2^a·5^b ≤ 10¹²); raise it until a shard's rows fit
+    an executor sort.  NULL sources group together (one stratum), NULL
+    keys follow :func:`shard_assign`'s sentinel convention.
+    """
+    from pyspark.sql import Window
+
+    E = 10**12
+    if E % n_shards != 0:
+        raise ValueError("n_shards must divide 10^12 (use 2^a * 5^b)")
+    d_width = E // n_shards
+    hh = F.md5(
+        F.concat(
+            F.lit(salt), F.lit("|"),
+            F.coalesce(F.col(key_col).cast("string"), F.lit("∅")),
+        )
+    )
+    wsrc = Window.partitionBy(source_col).orderBy(
+        F.col("_h").asc(), F.col(key_col).asc_nulls_last()
+    )
+    wcnt = Window.partitionBy(source_col)
+    staged = (
+        docs.select(
+            F.col(key_col), F.col(source_col).alias("source"), hh.alias("_h")
+        )
+        .withColumn("rank_in_source", (F.row_number().over(wsrc) - 1).cast("long"))
+        .withColumn("_n", F.count(F.lit(1)).over(wcnt).cast("long"))
+    )
+    # exact two-step key: x = 2r+1 < 2n; key = floor(x * 1e12 / (2n))
+    staged = staged.withColumn(
+        "key_e12",
+        F.expr(
+            "CAST((((2*rank_in_source+1) * 1000000) div (2*_n)) * 1000000 "
+            "+ ((((2*rank_in_source+1) * 1000000) % (2*_n)) * 1000000) "
+            "div (2*_n) AS BIGINT)"
+        ),
+    ).withColumn("_shard", F.expr(f"key_e12 div {d_width}").cast("int"))
+    # NULLS LAST pinned on BOTH tiebreaks: Spark's asc default is NULLS
+    # FIRST where DuckDB/ANSI is NULLS LAST (shard_assign's lesson)
+    wshard = Window.partitionBy("_shard").orderBy(
+        "key_e12",
+        F.col("source").asc_nulls_last(),
+        F.col(key_col).asc_nulls_last(),
+    )
+    positioned = staged.withColumn(
+        "_pos", (F.row_number().over(wshard) - 1).cast("long")
+    )
+    # closed-form shard counts from (source, n) alone — never re-evaluates
+    # the rank window.  c_below(j) = #{r in [0,n): S*(2r+1) < 2*n*j}
+    sizes = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    S = n_shards
+    # c_below(j) = #{r >= 0: 2r+1 <= q-1} clamped to n, with
+    # q = ceil(2nj/S); that count is exactly q div 2 — NON-NEGATIVE by
+    # construction, which matters: a (q-2) div 2 + 1 spelling goes
+    # negative at q <= 1, where Spark's div truncates toward zero but
+    # DuckDB's // floors (engine divergence on negatives)
+    below = f"least(_n, ((2*_n*j + {S} - 1) div {S}) div 2)"
+    per_shard = (
+        sizes.select(
+            "_n", F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("j")
+        )
+        .select(
+            F.col("j").alias("_shard"),
+            (
+                F.expr(below.replace("j", "(j+1)"))
+                - F.expr(below)
+            ).alias("_cnt"),
+        )
+        .groupBy("_shard")
+        .agg(F.sum("_cnt").alias("_cnt"))
+    )
+    woff = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_shard.select(
+        "_shard",
+        F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).cast("long").alias("_off"),
+    )
+    return positioned.join(F.broadcast(offsets), "_shard").select(
+        key_col,
+        "source",
+        "rank_in_source",
+        "key_e12",
+        (F.col("_off") + F.col("_pos")).cast("long").alias("global_pos"),
+    )

@@ -1109,6 +1109,32 @@ def main() -> int:
         )
     )
 
+    il_plan = fmt(E.queries()["cur_interleave"](spark, sf))
+    n_ex = len(re.findall(r"^\s*\(\d+\)\s+Exchange\b", il_plan, re.M))
+    assert n_ex <= 5, \
+        f"interleave wants 2 corpus + 3 tiny-branch exchanges, saw {n_ex}"
+    n_win = len(re.findall(r"^\s*\(\d+\)\s+Window", il_plan, re.M))
+    assert n_win == 4, \
+        f"want rank/count + shard-pos + offset-cumsum windows, saw {n_win}"
+    assert re.search(r"^\s*\(\d+\)\s+BroadcastHashJoin", il_plan, re.M), \
+        "the <=n_shards offset frame must broadcast back"
+    assert "SortMergeJoin" not in il_plan
+    assert "MapInPandas" not in il_plan and "BatchEvalPython" not in il_plan
+    sections.append(
+        (
+            "Proportional interleave (two corpus windows, closed-form offsets)",
+            il_plan,
+            "What to check (asserted): only TWO corpus-sized exchanges —\n"
+            "the per-source rank window and the per-shard position window\n"
+            "(shards are contiguous stratified-key ranges, so concatenating\n"
+            "them in shard order IS the global (key, source, id) sort); the\n"
+            "cross-shard offsets come from the CLOSED-FORM count branch\n"
+            "(|sources| aggregate -> S-row explode -> <=S-row cumsum ->\n"
+            "BroadcastHashJoin), never a second corpus pass or a\n"
+            "re-evaluation of the rank window.  Zero Python.",
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plan audit (explain formatted)\n\n"
