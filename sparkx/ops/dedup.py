@@ -1431,3 +1431,90 @@ def dup_by_source(docs: DataFrame, source_col: str = "source") -> DataFrame:
         F.coalesce(F.col("n_cross_fp"), F.lit(0)).cast("long")
         .alias("n_cross_fp"),
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: list[list[float]] | None = None,
+    threshold_e6: int = 950_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings against a frozen coarse
+    quantizer and pruning, WITHIN each cluster, every vector whose cosine
+    to some lower-id cluster-mate reaches ``threshold_e6`` (×10⁻⁶).  This
+    is the paper's actual rule — a vector is removed iff its max
+    similarity to any vector EARLIER in a fixed order exceeds eps; the
+    rule is order-based and non-iterative (NOT greedy-against-kept), so it
+    is one self-join + one aggregate, no sequential dependency — which is
+    what makes it embarrassingly parallel at 100 TB.
+
+    Scale shape: the cluster assignment is the map-only
+    :func:`~sparkx.ops.similarity.ivf_assign_frozen` pass; the quadratic
+    blowup is bounded PER CELL (the paper runs ~50k–110k clusters so cells
+    hold ~n/50k vectors; the checked-in 8-centroid artifact is the demo
+    quantizer, not the scale parameter).  Norms are hoisted to per-row
+    columns BEFORE the self-join (the knn_join lesson: cosine lambdas are
+    interpreted, so per-PAIR work must be one traversal — the dot).  The
+    assignment subtree is evaluated twice (pair branch + output probe) —
+    the cluster_canonical precedent; it is a narrow scan+map.
+
+    Parity: scores live on the floor-1e6 integer grid (no half-ties);
+    zero-norm vectors score NULL against everything EXPLICITLY — without
+    the guard 0/0 = NaN, where Spark's floor→long yields NULL but a SQL
+    mirror's CAST(floor(NaN)) errors (the quantize_int8 lesson).
+    Dim-mismatched and NULL vectors carry a NULL cell (never join, always
+    kept) — :func:`~sparkx.ops.similarity.ivf_assign_frozen`'s dim guard.
+
+    Returns one row per input: ``(id, ivf_cell, max_prior_sim_e6 — max
+    grid-cosine to any lower-id cluster-mate (the paper's thresholded
+    statistic, NULL if none scorable), dup_of — the LOWEST-id mate at or
+    above threshold (NULL if kept), is_kept)``.  Keep-priority variants
+    (e.g. the paper's keep-farthest-from-centroid) compose by remapping
+    ``id_col`` to a rank upstream; quality-aware canonical picks over
+    TRANSITIVE clusters are :func:`cluster_canonical`'s job instead.
+    """
+    from sparkx.ops.similarity import ivf_assign_frozen, load_frozen_centroids
+
+    if centroids is None:
+        centroids = load_frozen_centroids()
+    a = ivf_assign_frozen(
+        emb.select(id_col, vec_col), centroids, vec_col=vec_col
+    ).withColumn("_n2", _norm2(vec_col))
+    left = a.select(
+        F.col(id_col).alias("_i"), F.col(vec_col).alias("_vi"),
+        F.col("_n2").alias("_n2i"), "ivf_cell",
+    )
+    right = a.select(
+        F.col(id_col).alias("_j"), F.col(vec_col).alias("_vj"),
+        F.col("_n2").alias("_n2j"), "ivf_cell",
+    )
+    cos_e6 = F.when(
+        (F.col("_n2i") > 0) & (F.col("_n2j") > 0),
+        F.floor(
+            _dot("_vi", "_vj") / F.sqrt(F.col("_n2i") * F.col("_n2j"))
+            * F.lit(1_000_000.0)
+        ),
+    ).cast("long")
+    pairs = (
+        left.join(right, "ivf_cell")
+        .filter(F.col("_j") < F.col("_i"))
+        .select("_i", F.col("_j"), cos_e6.alias("cos_e6"))
+    )
+    agg = pairs.groupBy("_i").agg(
+        F.max("cos_e6").alias("max_prior_sim_e6"),
+        F.min(
+            F.when(F.col("cos_e6") >= threshold_e6, F.col("_j"))
+        ).alias("dup_of"),
+    )
+    return (
+        a.join(agg, F.col(id_col) == F.col("_i"), "left")
+        .select(
+            F.col(id_col),
+            F.col("ivf_cell"),
+            F.col("max_prior_sim_e6"),
+            F.col("dup_of"),
+            F.col("dup_of").isNull().alias("is_kept"),
+        )
+    )

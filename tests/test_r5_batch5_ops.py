@@ -1,0 +1,153 @@
+"""Loop-mirror tests for semdedup (SemDeDup, Abbas et al. 2023): the
+order-based prune rule pinned against greedy-against-kept, the zero-norm /
+ragged-dim / NULL guards, exact-duplicate drop, and a full mirror on
+random vectors against the frozen production artifact."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def _assign(v, centroids):
+    """Mirror of ivf_assign_frozen: argmax floor(dot(c,v)/||c||*1e6),
+    ties to the LOWEST cell; None for dim mismatch / NULL."""
+    if v is None or len(v) != len(centroids[0]):
+        return None
+    best = None
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c))
+        aff = math.floor(sum(a * b for a, b in zip(c, v)) / cn * 1e6)
+        if best is None or aff > best[0]:
+            best = (aff, i)
+    return best[1]
+
+
+def _mirror(rows, centroids, thr):
+    """Pure-loop semdedup: per id, max grid-cosine to lower-id cell-mates
+    (norm-guarded) and the lowest-id mate at/above threshold."""
+    cells = {i: _assign(v, centroids) for i, v in rows}
+    n2 = {i: (None if v is None else sum(x * x for x in v)) for i, v in rows}
+    vec = dict(rows)
+    out = {}
+    for i, _ in rows:
+        maxsim, dup = None, None
+        for j, _ in rows:
+            if j >= i or cells[i] is None or cells[j] != cells[i]:
+                continue
+            if n2[i] > 0 and n2[j] > 0:
+                c = math.floor(
+                    sum(a * b for a, b in zip(vec[i], vec[j]))
+                    / math.sqrt(n2[i] * n2[j]) * 1e6
+                )
+                maxsim = c if maxsim is None else max(maxsim, c)
+                if c >= thr and (dup is None or j < dup):
+                    dup = j
+        out[i] = (cells[i], maxsim, dup, dup is None)
+    return out
+
+
+def _run(spark, rows, centroids, thr):
+    from sparkx.ops.dedup import semdedup
+
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    return {
+        r["vec_id"]: (
+            r["ivf_cell"], r["max_prior_sim_e6"], r["dup_of"], r["is_kept"]
+        )
+        for r in semdedup(df, centroids=centroids, threshold_e6=thr).collect()
+    }
+
+
+def test_semdedup_order_based_not_greedy(spark):
+    """The paper's rule is order-based: c is dropped because of b EVEN
+    THOUGH b was itself dropped (greedy-against-kept would keep c, since
+    its only kept prior mate a is below threshold).  Unit vectors at
+    0/25/50 degrees, threshold cos(30 deg) ~= 866025."""
+    a = [1.0, 0.0]
+    b = [math.cos(math.radians(25)), math.sin(math.radians(25))]
+    c = [math.cos(math.radians(50)), math.sin(math.radians(50))]
+    rows = [(1, a), (2, b), (3, c)]
+    cents = [[1.0, 0.0]]
+    got = _run(spark, rows, cents, 866_025)
+    assert got == _mirror(rows, cents, 866_025)
+    assert got[1][3] is True and got[1][2] is None
+    assert got[2] == (0, math.floor(math.cos(math.radians(25)) * 1e6), 1, False)
+    # the pin: dup_of = 2 (the dropped b), and a's cosine stayed below thr
+    assert got[3][2] == 2 and got[3][3] is False
+    assert math.floor(math.cos(math.radians(50)) * 1e6) < 866_025
+
+
+def test_semdedup_guards(spark):
+    """Zero vector (0/0 = NaN without the guard) scores NULL against
+    everything and is kept; ragged-dim and NULL vectors get a NULL cell
+    and are kept; an exact duplicate is dropped with dup_of = the lower
+    id."""
+    rows = [
+        (0, [1.0, 0.0]),          # cell 0 — the zero vector's cell-mate
+        (1, [3.0, 4.0]),          # cell 1
+        (2, [3.0, 4.0]),          # exact dup of 1
+        (3, [0.0, 0.0]),          # zero norm — ties to cell 0, pairs with
+                                  # id 0, NULL score under the guard, kept
+        (4, [1.0, 2.0, 3.0]),     # ragged dim — NULL cell, kept
+        (5, None),                # NULL vector — NULL cell, kept
+    ]
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got = _run(spark, rows, cents, 990_000)
+    assert got == _mirror(rows, cents, 990_000)
+    assert got[2][2] == 1 and got[2][3] is False
+    assert got[2][1] >= 999_999  # grid cosine of an exact dup
+    assert got[3] == (0, None, None, True)  # paired but NULL-scored
+    assert got[4] == (None, None, None, True)
+    assert got[5] == (None, None, None, True)
+
+
+def test_semdedup_cells_bound_pairs(spark):
+    """Vectors in DIFFERENT cells never pair: two antipodal groups under a
+    2-centroid quantizer each dedup internally but see no cross-cell
+    similarity (max_prior_sim_e6 comes only from cell-mates)."""
+    rows = [
+        (1, [1.0, 0.05]), (2, [1.0, 0.06]),
+        (3, [0.05, 1.0]), (4, [0.06, 1.0]),
+    ]
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got = _run(spark, rows, cents, 999_000)
+    assert got == _mirror(rows, cents, 999_000)
+    assert got[1][0] == 0 and got[3][0] == 1
+    assert got[1][1] is None and got[3][1] is None  # no prior cell-mate
+    assert got[2][2] == 1 and got[4][2] == 3
+
+
+def test_semdedup_mirror_frozen_artifact(spark):
+    """Full mirror on 60 seeded random 64-dim vectors against the REAL
+    frozen production centroids, threshold low enough to drop some."""
+    import random
+
+    from sparkx.ops.similarity import load_frozen_centroids
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)
+    ]
+    cents = load_frozen_centroids()
+    got = _run(spark, rows, cents, 150_000)
+    mir = _mirror(rows, cents, 150_000)
+    assert got == mir
+    kept = sum(1 for v in got.values() if v[3])
+    assert 0 < kept < 60  # both branches exercised
+
+
+def test_semdedup_default_artifact_and_threshold(spark):
+    """centroids=None loads the frozen artifact; the default threshold is
+    the paper's 0.95."""
+    from sparkx.ops.dedup import semdedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["is_kept"] for r in semdedup(df).collect()}
+    assert got == {1: True, 2: False}

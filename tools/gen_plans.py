@@ -1135,6 +1135,35 @@ def main() -> int:
         )
     )
 
+    sd_plan = fmt(E.queries()["dedup_semdedup"](spark, sf))
+    assert "CartesianProduct" not in sd_plan
+    assert "MapInPandas" not in sd_plan and "BatchEvalPython" not in sd_plan
+    n_agg = len(re.findall(r"^\s*\(\d+\)\s+HashAggregate", sd_plan, re.M))
+    assert n_agg == 2, \
+        f"semdedup wants partial+final HashAggregate (map-side combine), saw {n_agg}"
+    # the pair self-join must key on the cell (bounded quadratic), never a
+    # cross product; AQE may pick BHJ (small side local) or SMJ (at scale).
+    # NB: the join TYPE appears only on the TREE line — the detail header
+    # is the bare node name (the r5 cur_drift lesson) — so this existence
+    # check matches the tree, not a `(N) Node` header.
+    assert re.search(
+        r"\b(BroadcastHashJoin|SortMergeJoin) Inner\b", sd_plan
+    ), "semdedup pair join missing"
+    assert "ivf_cell" in sd_plan
+    sections.append(
+        (
+            "SemDeDup (cell-bounded pair join, map-side combine)",
+            sd_plan,
+            "What to check (asserted): the within-cell self-join is an\n"
+            "equi-join on ivf_cell (never CartesianProduct) — the cell\n"
+            "count bounds the quadratic blowup, the paper's design; the\n"
+            "per-id aggregate has a PARTIAL HashAggregate below its\n"
+            "Exchange (pair rows combine map-side before shuffling); the\n"
+            "assignment argmax is a map over the scan (frozen-literal\n"
+            "affinities, no fit).  Zero Python.",
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plan audit (explain formatted)\n\n"
