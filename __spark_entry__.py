@@ -2473,6 +2473,23 @@ def _q_dedup_semdedup(spark, sf_dir):
     return D.semdedup(_emb(spark, sf_dir), threshold_e6=400_000)
 
 
+def _q_cur_embed_decontam(spark, sf_dir):
+    """Semantic decontamination (similarity.embedding_decontaminate):
+    eval benchmark = every vec_id ≡ 0 (mod 20) — the stand-in for a
+    held-out eval set's embeddings — train = the rest; flag any train
+    vector whose max grid-cosine to an eval vector reaches 0.40 (the
+    synthetic corpus has no true near-dups — max cross-sim ~0.51 — so
+    0.40 exercises both is_contaminated branches; production default is
+    0.90).  Oracle re-spells the guarded grid cosine, the max, and the
+    cos·2³²−id argmax key verbatim."""
+    emb = _emb(spark, sf_dir)
+    return S.embedding_decontaminate(
+        emb.filter(F.col("vec_id") % 20 != 0),
+        emb.filter(F.col("vec_id") % 20 == 0),
+        threshold_e6=400_000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE ordering is load-bearing: the driver's CORRECTNESS file records the
     # FIRST 50 entries of this dict per round (observed r3: exactly positions
@@ -2555,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_interleave": _q_cur_interleave,
         # r5 final batch 5 — mirror-gated (past position 49)
         "dedup_semdedup": _q_dedup_semdedup,
+        "cur_embed_decontam": _q_cur_embed_decontam,
         # r3-green refresh fill (ta_lang_agg and dedup_exact displaced past
         # position 49 by the two entries above; both have green
         # {rows,schema,hash} rows in CORRECTNESS_r01–r03)
@@ -4638,6 +4656,33 @@ GROUP BY 1"""
         "ann_knn_batch": _knn_join_oracle_sql(query_where="WHERE vec_id < 8"),
         "ann_ivf": _ivf_oracle_sql(k=10, nprobe=2),
         "dedup_semdedup": _semdedup_oracle_sql(threshold_e6=400_000),
+        # Semantic decontamination: guarded grid cosine (dim + zero-norm —
+        # NaN would ERROR in CAST(floor())), max + cos*2^32-id argmax key
+        # (ties to LOWEST eval id), coalesce(False) when nothing scorable.
+        "cur_embed_decontam": """
+            WITH t AS (
+              SELECT vec_id, embedding,
+                list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+              FROM embeddings WHERE vec_id % 20 != 0),
+            e AS (
+              SELECT vec_id AS eid, embedding AS ev,
+                list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS en2
+              FROM embeddings WHERE vec_id % 20 = 0),
+            p AS (
+              SELECT t.vec_id, e.eid,
+                CASE WHEN len(t.embedding) = len(e.ev)
+                          AND t.n2 > 0 AND e.en2 > 0
+                     THEN CAST(floor(
+                       list_dot_product(t.embedding::DOUBLE[], e.ev::DOUBLE[])
+                       / sqrt(t.n2 * e.en2) * 1000000.0) AS BIGINT)
+                END AS cos_e6
+              FROM t CROSS JOIN e)
+            SELECT vec_id,
+              max(cos_e6) AS max_eval_sim_e6,
+              max(cos_e6) * 4294967296
+                - max(cos_e6 * 4294967296 - eid) AS nearest_eval_id,
+              coalesce(max(cos_e6) >= 400000, FALSE) AS is_contaminated
+            FROM p GROUP BY vec_id""",
         "ann_pq": _pq_oracle_sql(k=10),
         "ann_ivfpq": _ivfpq_oracle_sql(k=10, nprobe=2),
         "ann_pq_recall": _pq_recall_oracle_sql(n_queries=8, k=10),

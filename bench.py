@@ -248,8 +248,9 @@ def main() -> int:
         "ta_rule_ablation", "cur_dup_by_source", "cur_mix_plan",
         # r5 final batch 4: proportional source interleaving
         "cur_interleave",
-        # r5 final batch 5: SemDeDup (cell-bounded embedding dedup)
-        "dedup_semdedup",
+        # r5 final batch 5: SemDeDup (cell-bounded embedding dedup) +
+        # semantic decontamination (broadcast eval set)
+        "dedup_semdedup", "cur_embed_decontam",
     ]
     for name in suite:
         timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))

@@ -1601,3 +1601,80 @@ def filtered_topk(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def embedding_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    threshold_e6: int = 900_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic decontamination: flag every training vector whose cosine
+    to ANY eval-benchmark vector reaches ``threshold_e6`` (×10⁻⁶) — the
+    embedding-space complement of the exact/n-gram/Bloom decontamination
+    family (textstats.decontaminate / bloom_decontaminate), which
+    paraphrased or translated benchmark leaks evade (the contamination
+    mode documented by Yang et al. 2023, arXiv:2311.04850 — "rephrased
+    samples" defeat n-gram overlap).
+
+    Scale shape: the eval set is SMALL by definition (benchmarks are
+    10²–10⁵ rows) and broadcasts; scoring is a map-side
+    BroadcastNestedLoopJoin over the training scan — zero shuffle until
+    the per-train-vector aggregate, which combines map-side (partial
+    max).  At 100 TB this is one corpus pass, the same shape the Bloom
+    variant uses for token sets.  Norms are hoisted per-row on BOTH
+    sides before the join (knn_join lesson: per-PAIR work must be the
+    one dot traversal).
+
+    Parity: grid cosine ``floor(dot/(sqrt(n2a·n2b))·1e6)``, NULL-guarded
+    for zero norms (0/0 = NaN ERRORS in a SQL mirror's CAST, the
+    quantize_int8 lesson) and for dim mismatches (zip_with NULL-pads in
+    Spark, a fixed-dim SQL dot errors — the frozen-vector-ops lesson);
+    such pairs contribute nothing.  ``nearest_eval_id`` rides the exact
+    int64 key ``cos_e6·2³² − eval_id`` (argmax with ties to the LOWEST
+    eval id, no struct-max dependence, no second aggregate pass):
+    ``cos_e6 ≤ 10⁶`` so the key is ≤ ~4.6×10¹⁵ — overflow-safe while
+    eval ids < 2³², asserted in the oracle mirror by construction.
+
+    Returns one row per train vector: ``(id, max_eval_sim_e6 — NULL if
+    no eval pair was scorable, nearest_eval_id, is_contaminated —
+    False when nothing scorable)``.  Precondition: a non-empty eval set
+    (an EMPTY benchmark returns an empty frame — the alternative is a
+    second corpus scan just to re-emit ids for a vacuous answer).
+    """
+    from sparkx.ops.dedup import _dot, _norm2
+
+    K = 2**32
+    t = train.select(
+        F.col(id_col), F.col(vec_col).alias("_tv")
+    ).withColumn("_tn2", _norm2("_tv"))
+    e = eval_set.select(
+        F.col(id_col).alias("_eid"), F.col(vec_col).alias("_ev")
+    ).withColumn("_en2", _norm2("_ev"))
+    cos_e6 = F.when(
+        (F.size("_tv") == F.size("_ev"))
+        & (F.col("_tn2") > 0) & (F.col("_en2") > 0),
+        F.floor(
+            _dot("_tv", "_ev") / F.sqrt(F.col("_tn2") * F.col("_en2"))
+            * F.lit(1_000_000.0)
+        ),
+    ).cast("long")
+    pairs = t.crossJoin(F.broadcast(e)).select(
+        id_col,
+        cos_e6.alias("cos_e6"),
+        (cos_e6 * F.lit(K) - F.col("_eid")).alias("_key"),
+    )
+    agg = pairs.groupBy(id_col).agg(
+        F.max("cos_e6").alias("max_eval_sim_e6"),
+        F.max("_key").alias("_maxkey"),
+    )
+    return agg.select(
+        id_col,
+        "max_eval_sim_e6",
+        (F.col("max_eval_sim_e6") * F.lit(K) - F.col("_maxkey"))
+        .alias("nearest_eval_id"),
+        F.coalesce(
+            F.col("max_eval_sim_e6") >= F.lit(threshold_e6), F.lit(False)
+        ).alias("is_contaminated"),
+    )

@@ -151,3 +151,96 @@ def test_semdedup_default_artifact_and_threshold(spark):
     )
     got = {r["vec_id"]: r["is_kept"] for r in semdedup(df).collect()}
     assert got == {1: True, 2: False}
+
+
+# ── embedding_decontaminate ──────────────────────────────────────────────
+
+
+def _decon_mirror(train, evals, thr):
+    out = {}
+    for i, tv in train:
+        best = None  # (cos, -eid) max
+        for eid, ev in evals:
+            if tv is None or ev is None or len(tv) != len(ev):
+                continue
+            n2t = sum(x * x for x in tv)
+            n2e = sum(x * x for x in ev)
+            if not (n2t > 0 and n2e > 0):
+                continue
+            c = math.floor(
+                sum(a * b for a, b in zip(tv, ev))
+                / math.sqrt(n2t * n2e) * 1e6
+            )
+            if best is None or (c, -eid) > best:
+                best = (c, -eid)
+        if best is None:
+            out[i] = (None, None, False)
+        else:
+            out[i] = (best[0], -best[1], best[0] >= thr)
+    return out
+
+
+def _decon_run(spark, train, evals, thr):
+    from sparkx.ops.similarity import embedding_decontaminate
+
+    schema = "vec_id long, embedding array<double>"
+    got = embedding_decontaminate(
+        spark.createDataFrame(train, schema),
+        spark.createDataFrame(evals, schema),
+        threshold_e6=thr,
+    ).collect()
+    return {
+        r["vec_id"]: (
+            r["max_eval_sim_e6"], r["nearest_eval_id"], r["is_contaminated"]
+        )
+        for r in got
+    }
+
+
+def test_embed_decontam_mirror_and_guards(spark):
+    """Loop mirror over adversarial fixtures: a clear leak, a clean doc,
+    a zero-norm train vector (NULL sim, not contaminated), a ragged-dim
+    eval vector (never scored), and a NULL eval vector."""
+    train = [
+        (1, [1.0, 0.0]),      # leaked: ~eval 10
+        (2, [-1.0, 0.02]),    # clean: negative cosine to both evals
+        (3, [0.0, 0.0]),      # zero norm — nothing scorable
+        (4, None),            # NULL vector — nothing scorable
+    ]
+    evals = [
+        (10, [0.999, 0.01]),
+        (11, [0.0, 1.0]),
+        (12, [1.0, 2.0, 3.0]),  # ragged — excluded pairwise by the guard
+        (13, None),             # NULL — excluded
+    ]
+    got = _decon_run(spark, train, evals, 900_000)
+    assert got == _decon_mirror(train, evals, 900_000)
+    assert got[1][2] is True and got[1][1] == 10
+    assert got[2][2] is False
+    assert got[3] == (None, None, False)
+    assert got[4] == (None, None, False)
+
+
+def test_embed_decontam_argmax_tie_lowest_eval_id(spark):
+    """Two eval vectors IDENTICAL to the train vector: nearest_eval_id
+    must be the LOWEST eval id (the cos*2^32 - id key's tiebreak)."""
+    train = [(1, [3.0, 4.0])]
+    evals = [(21, [3.0, 4.0]), (20, [3.0, 4.0]), (22, [0.0, 1.0])]
+    got = _decon_run(spark, train, evals, 1_000_001)
+    assert got == _decon_mirror(train, evals, 1_000_001)
+    assert got[1][1] == 20
+    assert got[1][0] >= 999_999
+    assert got[1][2] is False  # threshold above the grid max
+
+
+def test_embed_decontam_empty_eval_set(spark):
+    """Documented precondition: an empty benchmark returns an empty
+    frame (no second corpus scan for a vacuous answer)."""
+    from sparkx.ops.similarity import embedding_decontaminate
+
+    schema = "vec_id long, embedding array<double>"
+    out = embedding_decontaminate(
+        spark.createDataFrame([(1, [1.0, 0.0])], schema),
+        spark.createDataFrame([], schema),
+    )
+    assert out.count() == 0

@@ -1164,6 +1164,28 @@ def main() -> int:
         )
     )
 
+    ed_plan = fmt(E.queries()["cur_embed_decontam"](spark, sf))
+    assert "MapInPandas" not in ed_plan and "BatchEvalPython" not in ed_plan
+    n_bnlj = len(re.findall(
+        r"^\s*\(\d+\)\s+BroadcastNestedLoopJoin", ed_plan, re.M))
+    assert n_bnlj == 1, f"decontam wants ONE broadcast eval-set join, saw {n_bnlj}"
+    n_ex = len(re.findall(r"^\s*\(\d+\)\s+Exchange\b", ed_plan, re.M))
+    assert n_ex == 1, f"decontam wants exactly the agg shuffle, saw {n_ex}"
+    n_agg = len(re.findall(r"^\s*\(\d+\)\s+HashAggregate", ed_plan, re.M))
+    assert n_agg == 2, f"decontam wants partial+final HashAggregate, saw {n_agg}"
+    sections.append(
+        (
+            "Semantic decontamination (broadcast eval set, one-pass corpus scan)",
+            ed_plan,
+            "What to check (asserted): the eval benchmark broadcasts\n"
+            "(BroadcastNestedLoopJoin BuildRight) so scoring is a map over\n"
+            "the single training-corpus scan; the per-vector max combines\n"
+            "MAP-SIDE (partial HashAggregate below the plan's ONLY\n"
+            "Exchange).  At 100 TB: one corpus pass, shuffle carries one\n"
+            "row per training vector.  Zero Python.",
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plan audit (explain formatted)\n\n"
