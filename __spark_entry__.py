@@ -2490,6 +2490,23 @@ def _q_cur_embed_decontam(spark, sf_dir):
     )
 
 
+def _q_ann_assign_table(spark, sf_dir):
+    """Centroid-TABLE IVF assignment (similarity.ivf_assign_join) — the
+    scale form of the frozen-literal path: a production coarse quantizer
+    has 50k–110k centroids, which must arrive as a broadcast DataFrame,
+    not an expression tree.  Demo centroid table = the embeddings rows
+    with vec_id < 8 (cell = vec_id); every vector is assigned by the
+    same floor-1e6 grid affinity / lowest-cell tiebreak as the frozen
+    path (the two paths are pinned bit-identical in pytest).  The raw
+    embedding array is projected OUT of the gated output (engine float
+    representation is not part of the contract)."""
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    return S.ivf_assign_join(emb, cents).select("vec_id", "label", "ivf_cell")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE ordering is load-bearing: the driver's CORRECTNESS file records the
     # FIRST 50 entries of this dict per round (observed r3: exactly positions
@@ -2573,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 final batch 5 — mirror-gated (past position 49)
         "dedup_semdedup": _q_dedup_semdedup,
         "cur_embed_decontam": _q_cur_embed_decontam,
+        "ann_assign_table": _q_ann_assign_table,
         # r3-green refresh fill (ta_lang_agg and dedup_exact displaced past
         # position 49 by the two entries above; both have green
         # {rows,schema,hash} rows in CORRECTNESS_r01–r03)
@@ -4683,6 +4701,31 @@ GROUP BY 1"""
                 - max(cos_e6 * 4294967296 - eid) AS nearest_eval_id,
               coalesce(max(cos_e6) >= 400000, FALSE) AS is_contaminated
             FROM p GROUP BY vec_id""",
+        # Centroid-table assignment: same grid affinity / tiebreak as the
+        # frozen path, centroids from a subquery instead of literals; the
+        # dim guard is the JOIN predicate (len = len), zero-norm centroids
+        # dropped eagerly, unmatched vectors re-enter with a NULL cell.
+        "ann_assign_table": """
+            WITH c AS (
+              SELECT vec_id AS cell, embedding AS cv,
+                sqrt(list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[])) AS cn
+              FROM embeddings WHERE vec_id < 8),
+            c2 AS (SELECT * FROM c WHERE cn > 0),
+            p AS (
+              SELECT e.vec_id, c2.cell,
+                CAST(floor(list_dot_product(e.embedding::DOUBLE[],
+                                            c2.cv::DOUBLE[])
+                           / c2.cn * 1000000.0) AS BIGINT) AS aff
+              FROM embeddings e JOIN c2 ON len(e.embedding) = len(c2.cv)),
+            a AS (
+              SELECT vec_id, cell
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY aff DESC, cell ASC) AS rn
+                    FROM p)
+              WHERE rn = 1)
+            SELECT e.vec_id, e.label, a.cell AS ivf_cell
+            FROM embeddings e LEFT JOIN a ON e.vec_id = a.vec_id""",
         "ann_pq": _pq_oracle_sql(k=10),
         "ann_ivfpq": _ivfpq_oracle_sql(k=10, nprobe=2),
         "ann_pq_recall": _pq_recall_oracle_sql(n_queries=8, k=10),

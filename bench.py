@@ -60,6 +60,21 @@ def _count(df) -> int:
     return df.count()
 
 
+def _force_count(df) -> int:
+    """count() that cannot be column-pruned past expensive branches.
+
+    A bare count() lets Catalyst prune every aggregate expression the
+    count doesn't reference — for an op shaped `base LEFT JOIN (pairs
+    groupBy agg)` (semdedup, embed-decontam) that prunes the ENTIRE pair
+    branch and the bench would time a no-op (caught live in r5: semdedup
+    at 1M vectors "ran" 4.2G pairs in 2.3 s).  Aggregating a hash of
+    every column forces full evaluation while staying driver-cheap."""
+    from pyspark.sql import functions as F
+
+    df.agg(F.max(F.xxhash64(F.struct(*df.columns)))).collect()
+    return df.count()
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -251,9 +266,16 @@ def main() -> int:
         # r5 final batch 5: SemDeDup (cell-bounded embedding dedup) +
         # semantic decontamination (broadcast eval set)
         "dedup_semdedup", "cur_embed_decontam",
+        # r5 final batch 5c: broadcast centroid-table assignment
+        "ann_assign_table",
     ]
+    # ops whose expensive branch feeds ONLY columns a bare count() prunes
+    # (left-joined aggregates) — must force evaluation or the timing is a
+    # no-op (see _force_count)
+    FORCE = {"dedup_semdedup", "cur_embed_decontam", "ann_assign_table"}
     for name in suite:
-        timed(name, lambda n=name: _count(qs[n](spark, SF_DIR)))
+        fn = _force_count if name in FORCE else _count
+        timed(name, lambda n=name, f=fn: f(qs[n](spark, SF_DIR)))
 
     # the scale-default sketch paths (mergeable approx_percentile / HLL++) —
     # quantiles_by_lang / cur_distinct_stats above time the exact oracle-gate

@@ -129,6 +129,34 @@ def ensure_docs(n_docs: int, dup_frac: float = 0.1) -> str:
     return path
 
 
+def ensure_vectors(n_vecs: int, dim: int = 8) -> str:
+    """Synthetic embedding table for the semdedup scaling leg: seeded
+    normal dim-8 vectors (dim 8, not 64, so the interpreted per-pair dot
+    is cheap enough to size the PAIR count as the dominant cost — the
+    quantity whose scaling is under test).  The 128 scaling centroids are
+    drawn in the runner from a fixed seed; cell sizes spread ~3.6× (real
+    Voronoi volume variance — the skew a production SemDeDup shuffle
+    actually sees)."""
+    path = _shm(f"vecs_{n_vecs}x{dim}")
+    if os.path.isdir(path):
+        return path
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    v = rng.normal(size=(n_vecs, dim)).astype(np.float64)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n_vecs), type=pa.int64()),
+        "embedding": pa.array(v.tolist(), type=pa.list_(pa.float64())),
+    })
+    os.makedirs(path, exist_ok=True)
+    # 64 row groups — see the edges writer note
+    pq.write_table(tbl, f"{path}/vecs.parquet",
+                   row_group_size=max(4096, n_vecs // 64))
+    return path
+
+
 # ── per-op runner (child process, pinned, warm + timed pass in one JVM) ────
 
 RUNNER = """
@@ -167,6 +195,19 @@ def work():
         from sparkx.ops.dedup import minhash_lsh_pairs
         d = spark.read.parquet(path + "/docs.parquet")
         return minhash_lsh_pairs(d, n=3, threshold=0.5).count()
+    if op == "semdedup":
+        import numpy as np
+        from pyspark.sql import functions as F
+        from sparkx.ops.dedup import semdedup
+        rng = np.random.RandomState(11)
+        cents = rng.normal(size=(128, 8))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        e = spark.read.parquet(path + "/vecs.parquet")
+        sd = semdedup(e, centroids=cents.tolist(), threshold_e6=990_000)
+        # a bare count() lets Catalyst prune the ENTIRE pair branch of the
+        # left-joined aggregate (caught live in r5: 4.2G pairs "in" 2.3 s);
+        # filtering on is_kept forces the aggregate
+        return sd.filter(~F.col("is_kept")).count()
     raise SystemExit(f"unknown op {{op}}")
 
 work()                        # warm pass (scan cache, codegen, Python workers)
@@ -258,13 +299,17 @@ def main() -> int:
     turns = int(os.environ.get("SPARKX_SCALING_OPS_TURNS", 3_200_000))
     nodes = int(os.environ.get("SPARKX_SCALING_OPS_NODES", 2_000_000))
     docs = int(os.environ.get("SPARKX_SCALING_OPS_DOCS", 400_000))
+    vecs = int(os.environ.get("SPARKX_SCALING_OPS_VECS", 200_000))
     trials = int(os.environ.get("SPARKX_SCALING_OPS_TRIALS", 5))
-    only = sys.argv[1:] or ["funnel_gopher", "pagerank", "minhash_pairs"]
+    only = sys.argv[1:] or ["funnel_gopher", "pagerank", "minhash_pairs",
+                            "semdedup"]
 
     inputs = {
         "funnel_gopher": (lambda: ensure_transcripts(turns), f"{turns:,} turns"),
         "pagerank": (lambda: ensure_edges(nodes), f"{nodes:,} nodes × deg 8, 5 iters"),
         "minhash_pairs": (lambda: ensure_docs(docs), f"{docs:,} docs, 10% near-dup"),
+        "semdedup": (lambda: ensure_vectors(vecs),
+                     f"{vecs:,} dim-8 vectors, 128 cells (~156M pairs)"),
     }
     results = []
     t0 = time.time()

@@ -1678,3 +1678,61 @@ def embedding_decontaminate(
             F.col("max_eval_sim_e6") >= F.lit(threshold_e6), F.lit(False)
         ).alias("is_contaminated"),
     )
+
+
+def ivf_assign_join(
+    emb: DataFrame,
+    centroids_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    cvec_col: str = "centroid",
+) -> DataFrame:
+    """Nearest-centroid assignment against a centroid TABLE — the scale
+    form of :func:`ivf_assign_frozen`.  Inlined literals stop scaling at
+    ~hundreds of centroids (the expression tree grows linearly and every
+    task re-interprets it); a production IVF / SemDeDup coarse quantizer
+    has 50k–110k centroids, which must arrive as data: a small DataFrame
+    BROADCAST into a nested-loop join, per-(vector, centroid) affinities
+    scored map-side, and the argmax taken by a per-vector aggregate with
+    map-side combine.  One corpus pass, one shuffle row per vector.
+
+    Exactly the same integer-grid affinity as the frozen path —
+    ``floor(dot(c, v)/||c||·1e6)`` as a long, argmax with ties to the
+    LOWEST cell id via ``max(struct(aff, -cell))`` — so the two paths are
+    bit-identical on the same centroids (pinned by pytest: frozen
+    artifact as literals vs the same rows through this join).  ||c|| is
+    hoisted to a per-row column on the broadcast side (never recomputed
+    per pair).
+
+    Guards: dim-mismatched (vector, centroid) pairs are excluded by the
+    join predicate — a vector matching NO centroid dimension gets a NULL
+    cell through the final left join, mirroring the frozen path's dim
+    guard; zero-norm centroids are dropped eagerly (affinity would be
+    ±Inf/NaN — a zero centroid is a fit bug, not an assignable cell) and
+    NULL vectors never pair.  Returns ``emb`` + ``ivf_cell``.
+    """
+    from sparkx.ops.dedup import _dot, _norm2
+
+    c = (
+        centroids_df.select(
+            F.col(cell_col).alias("_cell"), F.col(cvec_col).alias("_cv")
+        )
+        .withColumn("_cn", F.sqrt(_norm2("_cv")))
+        .filter(F.col("_cn") > 0)
+    )
+    pairs = emb.select(F.col(id_col), F.col(vec_col)).join(
+        F.broadcast(c), F.size(F.col(vec_col)) == F.size(F.col("_cv"))
+    )
+    aff = F.floor(
+        _dot(vec_col, "_cv") / F.col("_cn") * F.lit(1_000_000.0)
+    ).cast("long")
+    best = pairs.groupBy(id_col).agg(
+        F.max(
+            F.struct(aff.alias("aff"), (-F.col("_cell")).alias("negcell"))
+        ).alias("_b")
+    )
+    return emb.join(best, id_col, "left").select(
+        *[F.col(x) for x in emb.columns],
+        (-F.col("_b.negcell")).alias("ivf_cell"),
+    )

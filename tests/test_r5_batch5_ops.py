@@ -244,3 +244,59 @@ def test_embed_decontam_empty_eval_set(spark):
         spark.createDataFrame([], schema),
     )
     assert out.count() == 0
+
+
+# ── ivf_assign_join (centroid table vs frozen literals) ──────────────────
+
+
+def test_assign_join_bit_identical_to_frozen(spark):
+    """The broadcast-table path must assign EXACTLY as the frozen-literal
+    path on the same centroids — same grid affinity, same lowest-cell
+    tiebreak — on 80 seeded random vectors plus a ragged and a NULL
+    vector (both: NULL cell on both paths)."""
+    import random
+
+    from sparkx.ops.similarity import (
+        ivf_assign_frozen,
+        ivf_assign_join,
+        load_frozen_centroids,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(80)]
+    rows += [(80, [1.0, 2.0]), (81, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = load_frozen_centroids()
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell long, centroid array<double>",
+    )
+    frozen = {
+        r["vec_id"]: r["ivf_cell"] for r in ivf_assign_frozen(df, cents).collect()
+    }
+    joined = {
+        r["vec_id"]: r["ivf_cell"] for r in ivf_assign_join(df, cdf).collect()
+    }
+    assert joined == frozen
+    assert joined[80] is None and joined[81] is None
+    assert sum(1 for v in joined.values() if v is not None) == 80
+
+
+def test_assign_join_drops_zero_norm_centroid_ties_lowest(spark):
+    """A zero-norm centroid is dropped eagerly (never assignable); an
+    exact affinity tie goes to the LOWEST cell id."""
+    from sparkx.ops.similarity import ivf_assign_join
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    cdf = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),   # zero norm — dropped
+            (7, [1.0, 0.0]),   # same affinity to (1,1) as cell 3
+            (3, [0.0, 1.0]),
+        ],
+        "cell long, centroid array<double>",
+    )
+    got = ivf_assign_join(df, cdf).collect()
+    assert got[0]["ivf_cell"] == 3

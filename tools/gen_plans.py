@@ -1186,6 +1186,31 @@ def main() -> int:
         )
     )
 
+    at_plan = fmt(E.queries()["ann_assign_table"](spark, sf))
+    assert "CartesianProduct" not in at_plan
+    assert "BroadcastNestedLoopJoin" not in at_plan, \
+        "size-equality join should plan as a BHJ on the computed size key"
+    assert "MapInPandas" not in at_plan and "BatchEvalPython" not in at_plan
+    assert re.search(r"\bBroadcastHashJoin Inner\b", at_plan), \
+        "centroid table must broadcast"
+    n_sagg = len(re.findall(r"^\s*\(\d+\)\s+SortAggregate", at_plan, re.M))
+    assert n_sagg == 2, \
+        f"assign-join wants partial+final struct-max SortAggregate, saw {n_sagg}"
+    sections.append(
+        (
+            "Centroid-table IVF assignment (broadcast quantizer, struct-max argmax)",
+            at_plan,
+            "What to check (asserted): the centroid table BROADCASTS and\n"
+            "the dim guard (size(v) = size(c)) plans as the BHJ's equi-key\n"
+            "— not a BroadcastNestedLoopJoin, not a Cartesian; the argmax\n"
+            "is max(struct(aff, -cell)) with a PARTIAL SortAggregate below\n"
+            "the exchange (per-(vector,centroid) affinity rows combine\n"
+            "map-side; one shuffle row per vector).  This is the 50k-\n"
+            "centroid scale path the frozen-literal variant cannot reach.\n"
+            "Zero Python.",
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plan audit (explain formatted)\n\n"
