@@ -2467,10 +2467,12 @@ def _q_dedup_semdedup(spark, sf_dir):
     verbatim.  The synthetic embeddings carry no true near-dups (max
     within-cell prior cosine at sf0.01 is 0.513), so the gated demo runs
     at threshold 0.40 to exercise BOTH is_kept branches; the function's
-    default stays the paper's production 0.95."""
+    default stays the paper's production 0.95.  n_blocks=4 runs the
+    fragment-replicate blocked join, so the hash gate also proves the
+    blocked layout's pair enumeration ≡ the oracle's plain self-join."""
     from sparkx.ops import dedup as D
 
-    return D.semdedup(_emb(spark, sf_dir), threshold_e6=400_000)
+    return D.semdedup(_emb(spark, sf_dir), threshold_e6=400_000, n_blocks=4)
 
 
 def _q_cur_embed_decontam(spark, sf_dir):
@@ -2505,6 +2507,15 @@ def _q_ann_assign_table(spark, sf_dir):
         F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
     )
     return S.ivf_assign_join(emb, cents).select("vec_id", "label", "ivf_cell")
+
+
+def _q_ann_mutual_knn(spark, sf_dir):
+    """Mutual top-3 neighbor pairs (similarity.mutual_knn_pairs) — the
+    symmetric relation bitext mining / graph-dedup builds on; composes
+    knn_join's banded-LSH candidates with a checkpointed mutual
+    self-join.  Same probe geometry as ann_knn_join, so the oracle is
+    the shared ranked CTEs + the symmetric join."""
+    return S.mutual_knn_pairs(_emb(spark, sf_dir), k=3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2591,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semdedup": _q_dedup_semdedup,
         "cur_embed_decontam": _q_cur_embed_decontam,
         "ann_assign_table": _q_ann_assign_table,
+        "ann_mutual_knn": _q_ann_mutual_knn,
         # r3-green refresh fill (ta_lang_agg and dedup_exact displaced past
         # position 49 by the two entries above; both have green
         # {rows,schema,hash} rows in CORRECTNESS_r01–r03)
@@ -3147,11 +3159,11 @@ _BM25_ORACLE_SQL = """
             ORDER BY bm25 DESC, doc_id ASC LIMIT 10"""
 
 
-def _knn_join_oracle_sql(query_where: str = "") -> str:
-    """kNN join oracle (mirrors similarity.knn_join probe geometry: 8-bit
-    sign bucket + Hamming-1 probes, per-query top-3).  ``query_where``
-    restricts the query side — '' is the self-join (ann_knn_join), a
-    vec_id predicate is the incremental-batch mode (ann_knn_batch)."""
+def _knn_ranked_ctes(query_where: str = "") -> str:
+    """Shared WITH-body for the kNN-join oracle family (mirrors
+    similarity.knn_join probe geometry: 8-bit sign bucket + Hamming-1
+    probes): buckets → probe explode → DISTINCT scored candidates →
+    per-query rank.  ``query_where`` restricts the query side."""
     xors = ", ".join(f"xor(bucket, {1 << i})" for i in range(8))
     return f"""
             WITH b AS (
@@ -3170,8 +3182,36 @@ def _knn_join_oracle_sql(query_where: str = "") -> str:
             ranked AS (
               SELECT q_id, vec_id, cosine,
                 row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
-              FROM pairs)
+              FROM pairs)"""
+
+
+def _knn_join_oracle_sql(query_where: str = "") -> str:
+    """kNN join oracle — '' is the self-join (ann_knn_join), a vec_id
+    predicate is the incremental-batch mode (ann_knn_batch)."""
+    return (
+        _knn_ranked_ctes(query_where)
+        + """
             SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3"""
+    )
+
+
+def _mutual_knn_oracle_sql(k: int = 3) -> str:
+    """Mutual top-k oracle — the knn_join ranked CTEs feeding a
+    symmetric self-join: keep (a, b) iff rank(a→b) <= k AND
+    rank(b→a) <= k, one row per unordered pair (a_id < b_id).  The
+    cosine is read from the a→b direction; the b→a score is the same
+    rounded double by construction (same dot, same norm product)."""
+    return (
+        _knn_ranked_ctes()
+        + f""",
+            top AS (
+              SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k})
+            SELECT a.q_id AS a_id, a.vec_id AS b_id, a.cosine,
+              a.rank AS rank_ab, b.rank AS rank_ba
+            FROM top a JOIN top b
+              ON a.q_id = b.vec_id AND a.vec_id = b.q_id
+            WHERE a.q_id < a.vec_id"""
+    )
 
 
 def _ivf_oracle_sql(k: int = 10, nprobe: int = 2) -> str:
@@ -4671,6 +4711,7 @@ GROUP BY 1"""
             WHERE a.vec_id != 0
             ORDER BY cosine DESC, a.vec_id ASC LIMIT 10""",
         "ann_knn_join": _knn_join_oracle_sql(),
+        "ann_mutual_knn": _mutual_knn_oracle_sql(k=3),
         "ann_knn_batch": _knn_join_oracle_sql(query_where="WHERE vec_id < 8"),
         "ann_ivf": _ivf_oracle_sql(k=10, nprobe=2),
         "dedup_semdedup": _semdedup_oracle_sql(threshold_e6=400_000),

@@ -268,6 +268,9 @@ def main() -> int:
         "dedup_semdedup", "cur_embed_decontam",
         # r5 final batch 5c: broadcast centroid-table assignment
         "ann_assign_table",
+        # r5 final batch 5d: mutual top-k pairs (checkpointed self-join —
+        # count() forces it: the join output IS the expensive part)
+        "ann_mutual_knn",
     ]
     # ops whose expensive branch feeds ONLY columns a bare count() prunes
     # (left-joined aggregates) — must force evaluation or the timing is a

@@ -203,7 +203,10 @@ def work():
         cents = rng.normal(size=(128, 8))
         cents /= np.linalg.norm(cents, axis=1, keepdims=True)
         e = spark.read.parquet(path + "/vecs.parquet")
-        sd = semdedup(e, centroids=cents.tolist(), threshold_e6=990_000)
+        # SPARKX_SEMDEDUP_BLOCKS=1 measures the plain cell-keyed join (the
+        # granularity-capped layout); >1 the fragment-replicate blocked join
+        sd = semdedup(e, centroids=cents.tolist(), threshold_e6=990_000,
+                      n_blocks=int(os.environ.get("SPARKX_SEMDEDUP_BLOCKS", "8")))
         # a bare count() lets Catalyst prune the ENTIRE pair branch of the
         # left-joined aggregate (caught live in r5: 4.2G pairs "in" 2.3 s);
         # filtering on is_kept forces the aggregate

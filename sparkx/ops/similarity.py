@@ -1736,3 +1736,55 @@ def ivf_assign_join(
         *[F.col(x) for x in emb.columns],
         (-F.col("_b.negcell")).alias("ivf_cell"),
     )
+
+
+def mutual_knn_pairs(
+    emb: DataFrame,
+    k: int = 3,
+    nbits: int = 8,
+    probe_hamming: int = 1,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Mutual top-k neighbor pairs: ``(a, b)`` such that b is in a's
+    top-``k`` cosine neighbors AND a is in b's — the symmetric relation
+    margin-based bitext mining (Artetxe & Schwenk, ACL 2019) and
+    graph-based semantic dedup build on: one-directional nearness keeps
+    hub vectors (a hub is top-1 of thousands; almost none are top-k of
+    the hub), mutuality prunes them structurally.
+
+    Built ON :func:`knn_join` (the banded sign-LSH candidate path — same
+    probe geometry, same quantized scores), so recall characteristics
+    and the 100 TB story are knn_join's: bucketed candidates, never
+    all-pairs.  The top-``k`` frame (n·k rows) is lazily checkpointed
+    before the mutual self-join — without it the join's two branches
+    re-evaluate the whole LSH candidate stage twice (the unrolled-loop
+    lesson, CLAUDE.md); pass ``checkpoint=False`` only to keep a pure
+    plan for explain/tests.
+
+    Output: one row per unordered mutual pair, ``a_id < b_id``:
+    ``(a_id, b_id, cosine — identical in both directions (same dot, same
+    norm product, same round), rank_ab — b's rank in a's list, rank_ba —
+    a's rank in b's)``.
+    """
+    top = knn_join(emb, k=k, nbits=nbits, probe_hamming=probe_hamming)
+    if checkpoint:
+        top = top.localCheckpoint(eager=False)
+    a = top.select(
+        F.col("q_id").alias("a_id"),
+        F.col("vec_id").alias("b_id"),
+        "cosine",
+        F.col("rank").alias("rank_ab"),
+    )
+    b = top.select(
+        F.col("q_id").alias("_bq"),
+        F.col("vec_id").alias("_bv"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a_id") == F.col("_bv")) & (F.col("b_id") == F.col("_bq")),
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "cosine", "rank_ab", "rank_ba")
+    )

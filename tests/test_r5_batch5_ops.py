@@ -300,3 +300,88 @@ def test_assign_join_drops_zero_norm_centroid_ties_lowest(spark):
     )
     got = ivf_assign_join(df, cdf).collect()
     assert got[0]["ivf_cell"] == 3
+
+
+# ── mutual_knn_pairs ─────────────────────────────────────────────────────
+
+
+def test_mutual_knn_prunes_hub(spark):
+    """The hub pathology mutuality exists to prune: vectors 1..4 all have
+    the hub (0) as a near neighbor, but the hub's OWN top-1 list holds
+    only its single nearest — so with k=1 only (0, nearest) survives,
+    while every knn_join edge INTO the hub from the others is dropped."""
+    from sparkx.ops.similarity import knn_join, mutual_knn_pairs
+
+    # 2-D vectors, one LSH band of 2 bits — all in bucket 3 (both dims
+    # positive): candidates are all-pairs, so this tests the MUTUAL rule,
+    # not recall
+    rows = [
+        (0, [1.0, 1.0]),            # hub
+        (1, [1.0, 0.9]),            # hub's nearest
+        (2, [1.0, 0.5]),
+        (3, [0.5, 1.0]),
+        (4, [0.9, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = mutual_knn_pairs(df, k=1, nbits=2).collect()
+    knn = knn_join(df, k=1, nbits=2).collect()
+    into_hub = [r for r in knn if r["vec_id"] == 0]
+    assert len(into_hub) >= 2          # several vectors point AT the hub
+    assert len(got) == 1               # ...but only one mutual pair
+    r = got[0]
+    assert (r["a_id"], r["b_id"]) == (0, 1)
+    assert r["rank_ab"] == 1 and r["rank_ba"] == 1
+
+
+def test_mutual_knn_subset_and_symmetry(spark):
+    """On 40 seeded vectors: every mutual pair appears in knn_join's
+    top-k in BOTH directions with matching ranks and the same rounded
+    cosine; and every knn_join edge whose reverse edge exists is
+    reported exactly once (a_id < b_id)."""
+    import random
+
+    from sparkx.ops.similarity import knn_join, mutual_knn_pairs
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k = 3
+    top = {
+        (r["q_id"], r["vec_id"]): (r["rank"], r["cosine"])
+        for r in knn_join(df, k=k).collect()
+    }
+    expected = {
+        (a, b): (top[(a, b)][0], top[(b, a)][0], top[(a, b)][1])
+        for (a, b) in top
+        if a < b and (b, a) in top
+    }
+    got = {
+        (r["a_id"], r["b_id"]): (r["rank_ab"], r["rank_ba"], r["cosine"])
+        for r in mutual_knn_pairs(df, k=k).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_semdedup_blocked_identical_to_unblocked(spark):
+    """Fragment-replicate blocking is a pure execution-layout change:
+    n_blocks=3 must produce byte-identical output to the default on the
+    frozen-artifact fixture (every pair still scored exactly once)."""
+    import random
+
+    from sparkx.ops.dedup import semdedup
+    from sparkx.ops.similarity import load_frozen_centroids
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = load_frozen_centroids()
+    key = lambda r: (r["vec_id"],)
+    plain = sorted(
+        semdedup(df, centroids=cents, threshold_e6=150_000).collect(), key=key
+    )
+    blocked = sorted(
+        semdedup(df, centroids=cents, threshold_e6=150_000, n_blocks=3).collect(),
+        key=key,
+    )
+    assert [r.asDict() for r in plain] == [r.asDict() for r in blocked]

@@ -1155,8 +1155,11 @@ def main() -> int:
             "SemDeDup (cell-bounded pair join, map-side combine)",
             sd_plan,
             "What to check (asserted): the within-cell self-join is an\n"
-            "equi-join on ivf_cell (never CartesianProduct) — the cell\n"
-            "count bounds the quadratic blowup, the paper's design; the\n"
+            "equi-join on (ivf_cell, block) — never CartesianProduct; the\n"
+            "cell bounds the quadratic blowup (the paper's design) and the\n"
+            "fragment-replicate block key (n_blocks=4 in the gated query)\n"
+            "multiplies shuffle granularity so few uneven cells cannot cap\n"
+            "parallelism (the r5 scaling finding: 0.53 -> see BASELINE.md);\n"
             "per-id aggregate has a PARTIAL HashAggregate below its\n"
             "Exchange (pair rows combine map-side before shuffling); the\n"
             "assignment argmax is a map over the scan (frozen-literal\n"
