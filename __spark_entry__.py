@@ -2518,6 +2518,66 @@ def _q_ann_mutual_knn(spark, sf_dir):
     return S.mutual_knn_pairs(_emb(spark, sf_dir), k=3)
 
 
+def _q_cur_tool_latency(spark, sf_dir):
+    """Per-tool invocation timing (corpus.tool_latency_stats): time-to-first
+    call and inter-call gaps per tool, whole-second integer arithmetic.
+    The derived table's single 'search' tool is diversified by turn_idx
+    (cur_tool_chains' trick) and its constant 50 s cadence jittered ±45 s
+    on the turn_idx² mod 7 cycle (cur_session_splits' trick), so both the
+    TTF distribution and the gap distribution are non-degenerate.  Output
+    ≤ |tools| rows at any corpus size."""
+    from sparkx.ops import corpus as C
+
+    t = (
+        transcripts_from_documents(spark, sf_dir)
+        .withColumn(
+            "tool",
+            F.when(
+                F.col("role") == "tool",
+                F.element_at(
+                    F.array(F.lit("search"), F.lit("browse"), F.lit("exec")),
+                    (F.col("turn_idx") % 3 + 1).cast("int"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.col("ts").cast("long")
+                + ((F.col("turn_idx") * F.col("turn_idx")) % 7 - 3) * 15
+            ),
+        )
+    )
+    return C.tool_latency_stats(t)
+
+
+def _q_dedup_prefix(spark, sf_dir):
+    """Shared-prefix canonical collapse (dedup.prefix_dedup) at
+    prefix_chars=16: documents whose first 16 characters agree keep the
+    longest member (min-id tie).  The synthetic corpus's generated texts
+    share short lead-ins heavily at 16 chars, so groups are real
+    (group_size > 1) and the longest-wins pick is exercised; the md5
+    group key shuffles 16 bytes regardless of prefix length."""
+    from sparkx.ops import dedup as D
+
+    return D.prefix_dedup(_docs(spark, sf_dir), prefix_chars=16)
+
+
+def _q_cur_budget_truncate(spark, sf_dir):
+    """Context-budget truncation audit (corpus.budget_truncate) at
+    budget=600 whitespace tokens keeping the most recent turns.  The
+    derived transcripts mix short ('ok') and long (lorem-repeat) turns,
+    so conversations genuinely split into fully-kept and truncated — and
+    fam-2 turns alone exceed the budget, exercising the turn-atomic
+    drop-even-the-last-turn edge.  One descending cumsum window per
+    conversation; per-conversation summary rows."""
+    from sparkx.ops import corpus as C
+
+    return C.budget_truncate(
+        transcripts_from_documents(spark, sf_dir), budget_tokens=600
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE ordering is load-bearing: the driver's CORRECTNESS file records the
     # FIRST 50 entries of this dict per round (observed r3: exactly positions
@@ -2603,6 +2663,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_embed_decontam": _q_cur_embed_decontam,
         "ann_assign_table": _q_ann_assign_table,
         "ann_mutual_knn": _q_ann_mutual_knn,
+        # r5 continuation batch 6 — mirror-gated (past position 49)
+        "cur_tool_latency": _q_cur_tool_latency,
+        "dedup_prefix": _q_dedup_prefix,
+        "cur_budget_truncate": _q_cur_budget_truncate,
         # r3-green refresh fill (ta_lang_agg and dedup_exact displaced past
         # position 49 by the two entries above; both have green
         # {rows,schema,hash} rows in CORRECTNESS_r01–r03)
@@ -4767,6 +4831,84 @@ GROUP BY 1"""
               WHERE rn = 1)
             SELECT e.vec_id, e.label, a.cell AS ivf_cell
             FROM embeddings e LEFT JOIN a ON e.vec_id = a.vec_id""",
+        # per-tool TTF + inter-call gaps on whole epoch seconds; ep rebuilt
+        # arithmetically (1767225600 + doc_id + jitter) — never epoch(ts),
+        # the session_splits idiom — and the tool diversification is
+        # cur_tool_chains' turn_idx%3 CASE verbatim
+        "cur_tool_latency": TRANSCRIPTS_SQL_CTE + """,
+            j AS (
+              SELECT conv_id, turn_idx, role,
+                CAST(1767225600 + doc_id
+                     + ((turn_idx * turn_idx) % 7 - 3) * 15 AS BIGINT) AS ep
+              FROM transcripts),
+            cs AS (
+              SELECT conv_id, min(ep) AS conv_start FROM j GROUP BY conv_id),
+            tt AS (
+              SELECT j.conv_id, j.turn_idx, j.ep, cs.conv_start,
+                CASE CAST(j.turn_idx % 3 AS INT)
+                  WHEN 0 THEN 'search' WHEN 1 THEN 'browse' ELSE 'exec'
+                END AS tool
+              FROM j JOIN cs USING (conv_id) WHERE j.role = 'tool'),
+            g AS (
+              SELECT conv_id, tool,
+                ep - conv_start AS ttf,
+                ep - lag(ep) OVER (
+                  PARTITION BY conv_id, tool ORDER BY turn_idx) AS gap,
+                row_number() OVER (
+                  PARTITION BY conv_id, tool ORDER BY turn_idx) = 1 AS is_first
+              FROM tt)
+            SELECT tool,
+              CAST(count(*) AS BIGINT) AS n_calls,
+              CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+              CAST(min(CASE WHEN is_first THEN ttf END) AS BIGINT) AS min_ttf_s,
+              CAST(max(CASE WHEN is_first THEN ttf END) AS BIGINT) AS max_ttf_s,
+              CAST(sum(CASE WHEN is_first THEN ttf END) AS BIGINT) AS sum_ttf_s,
+              CAST(count(gap) AS BIGINT) AS n_gaps,
+              CAST(max(gap) AS BIGINT) AS max_gap_s,
+              CAST(sum(gap) AS BIGINT) AS sum_gap_s
+            FROM g GROUP BY tool""",
+        # longest-wins prefix collapse; the rn=1 row_number mirror of the
+        # engine's combinable max(struct(len, −id)) pick (quality_canonical
+        # idiom); md5 of a 16-char substr both engines
+        "dedup_prefix": """
+            WITH base AS (
+              SELECT doc_id,
+                md5(substr(coalesce(text, ''), 1, 16)) AS prefix_key,
+                CAST(length(coalesce(text, '')) AS BIGINT) AS text_len
+              FROM documents),
+            best AS (
+              SELECT prefix_key, doc_id AS keep_doc_id, group_size FROM (
+                SELECT prefix_key, doc_id,
+                  row_number() OVER (PARTITION BY prefix_key
+                                     ORDER BY text_len DESC, doc_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY prefix_key) AS group_size
+                FROM base) WHERE rn = 1)
+            SELECT b.doc_id, b.prefix_key, b.text_len, s.keep_doc_id,
+              CAST(s.group_size AS BIGINT) AS group_size,
+              b.doc_id = s.keep_doc_id AS is_kept
+            FROM base b JOIN best s USING (prefix_key)""",
+        # keep-most-recent truncation: descending cumsum window (unique
+        # turn_idx makes ROWS vs RANGE moot), canonical whitespace tokens
+        "cur_budget_truncate": TRANSCRIPTS_SQL_CTE + f""",
+            tk AS (
+              SELECT conv_id, turn_idx,
+                CAST({_TA_TOKENS} AS BIGINT) AS tok
+              FROM transcripts),
+            c AS (
+              SELECT conv_id, turn_idx, tok,
+                sum(tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                               ROWS UNBOUNDED PRECEDING) AS cum
+              FROM tk)
+            SELECT conv_id,
+              CAST(count(*) AS BIGINT) AS n_turns,
+              CAST(sum(tok) AS BIGINT) AS total_tokens,
+              CAST(sum(CASE WHEN cum <= 600 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              CAST(sum(CASE WHEN cum <= 600 THEN tok ELSE 0 END) AS BIGINT)
+                AS tokens_kept,
+              sum(CASE WHEN cum <= 600 THEN 1 ELSE 0 END) < count(*)
+                AS truncated
+            FROM c GROUP BY conv_id""",
         "ann_pq": _pq_oracle_sql(k=10),
         "ann_ivfpq": _ivfpq_oracle_sql(k=10, nprobe=2),
         "ann_pq_recall": _pq_recall_oracle_sql(n_queries=8, k=10),

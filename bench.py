@@ -271,11 +271,16 @@ def main() -> int:
         # r5 final batch 5d: mutual top-k pairs (checkpointed self-join —
         # count() forces it: the join output IS the expensive part)
         "ann_mutual_knn",
+        # r5 batch 6: per-tool invocation timing, shared-prefix collapse,
+        # context-budget truncation audit
+        "cur_tool_latency", "dedup_prefix", "cur_budget_truncate",
     ]
     # ops whose expensive branch feeds ONLY columns a bare count() prunes
-    # (left-joined aggregates) — must force evaluation or the timing is a
-    # no-op (see _force_count)
-    FORCE = {"dedup_semdedup", "cur_embed_decontam", "ann_assign_table"}
+    # (left-joined aggregates; budget_truncate's window + latency/prefix agg
+    # expressions prune the same way) — must force evaluation or the timing
+    # is a no-op (see _force_count)
+    FORCE = {"dedup_semdedup", "cur_embed_decontam", "ann_assign_table",
+             "cur_tool_latency", "dedup_prefix", "cur_budget_truncate"}
     for name in suite:
         fn = _force_count if name in FORCE else _count
         timed(name, lambda n=name, f=fn: f(qs[n](spark, SF_DIR)))

@@ -2072,3 +2072,134 @@ def interleave_order(
         "key_e12",
         (F.col("_off") + F.col("_pos")).cast("long").alias("global_pos"),
     )
+
+
+def tool_latency_stats(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-tool invocation timing over agent transcripts — the latency
+    companion to :func:`tool_chain_stats`' transition table: for each tool,
+    how long conversations run before its FIRST call (time-to-first,
+    seconds from the conversation's first turn) and how far apart repeat
+    calls sit (inter-call gap between consecutive same-tool turns in one
+    conversation).  An agent-pipeline owner reads this to spot tools that
+    only appear deep into long interactions or that get hammered in tight
+    retry loops — both curation signals (sample by workflow tempo) and
+    serving signals (prefetch/caching).
+
+    All arithmetic on whole epoch seconds (``unix_timestamp`` /
+    ``floor(epoch())`` — exact integers both engines), sums/extrema only —
+    no float division anywhere, so the output is hash-gateable.
+
+    Execution: the frame narrows to (conv, idx, tool, epoch) metadata
+    width FIRST, then one unordered min-window per conversation (conv
+    start) over the full cadence, a filter to tool turns, one lag window
+    per (conversation, tool) over the much smaller filtered frame, and a
+    map-side-combinable final aggregate of ≤ |tools| rows.  Two
+    metadata-width exchanges total — never the corpus text.  ``idx_col``
+    must be unique per conversation (the stable-turn-ordering invariant).
+    Rows with NULL/empty ``tool_col`` are cadence-only (they anchor conv
+    start but emit no tool rows).
+
+    Returns ``(tool, n_calls, n_convs, min_ttf_s, max_ttf_s, sum_ttf_s,
+    n_gaps, max_gap_s, sum_gap_s)``; gap columns are NULL for tools never
+    called twice in one conversation.
+    """
+    from pyspark.sql import Window
+
+    narrow = transcripts.select(
+        F.col(conv_col).alias("_c"),
+        F.col(idx_col).alias("_i"),
+        F.col(tool_col).alias("_t"),
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("_ep"),
+    )
+    w_conv = Window.partitionBy("_c")
+    anchored = narrow.withColumn("_conv_start", F.min("_ep").over(w_conv))
+    calls = anchored.filter(F.col("_t").isNotNull() & (F.col("_t") != ""))
+    w_tool = Window.partitionBy("_c", "_t").orderBy("_i")
+    g = calls.select(
+        "_c",
+        "_t",
+        (F.col("_ep") - F.col("_conv_start")).alias("_ttf"),
+        (F.col("_ep") - F.lag("_ep").over(w_tool)).alias("_gap"),
+        (F.row_number().over(w_tool) == 1).alias("_first"),
+    )
+    first_ttf = F.when(F.col("_first"), F.col("_ttf"))
+    return g.groupBy(F.col("_t").alias("tool")).agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.countDistinct("_c").alias("n_convs"),
+        F.min(first_ttf).alias("min_ttf_s"),
+        F.max(first_ttf).alias("max_ttf_s"),
+        F.sum(first_ttf).alias("sum_ttf_s"),
+        F.count("_gap").alias("n_gaps"),
+        F.max("_gap").alias("max_gap_s"),
+        F.sum("_gap").alias("sum_gap_s"),
+    )
+
+
+def budget_truncate(
+    turns: DataFrame,
+    budget_tokens: int = 256,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-budget truncation audit — what a fixed context window does
+    to each conversation when the serving/training stack keeps the MOST
+    RECENT turns: walking backward from the last turn, a turn survives iff
+    the running token total through it still fits ``budget_tokens``
+    (turn-atomic, the standard chat-truncation rule; a final turn larger
+    than the whole budget is itself dropped — pinned by test).  The output
+    quantifies truncation pressure per conversation so a budget can be
+    chosen from data rather than folklore, and pairs with
+    :func:`pack_efficiency` (which audits the packing direction).
+
+    Tokens come from the ONE canonical whitespace tokenizer
+    (:func:`sparkx.ops.textstats.token_count`) on the NULL-coalesced text
+    — an inline re-spelling could silently diverge from every other token
+    stat in the suite.  Counts and sums are exact longs; no floats.
+
+    Execution: narrow to (conv, idx, tok) metadata width, ONE
+    descending-ordered running-sum window per conversation (the
+    inherently sequential unit, bounded by conversation length), then a
+    map-side-combinable per-conversation aggregate.  One metadata-width
+    exchange; the corpus text never shuffles.  ``idx_col`` must be unique
+    per conversation (unique ordering makes the RANGE/ROWS window-frame
+    distinction moot cross-engine).
+
+    Returns ``(conv_col, n_turns, total_tokens, n_kept, tokens_kept,
+    truncated)``.
+    """
+    from pyspark.sql import Window
+    from sparkx.ops.textstats import token_count
+
+    w = Window.partitionBy(conv_col).orderBy(F.col(idx_col).desc())
+    t = turns.select(
+        conv_col,
+        F.col(idx_col),
+        token_count(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("_tok"),
+    ).withColumn("_cum", F.sum("_tok").over(w))
+    kept = F.col("_cum") <= F.lit(int(budget_tokens))
+    return (
+        t.groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("_tok").alias("total_tokens"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("_tok")).otherwise(F.lit(0))).alias(
+                "tokens_kept"
+            ),
+        )
+        .select(
+            conv_col,
+            "n_turns",
+            "total_tokens",
+            "n_kept",
+            "tokens_kept",
+            (F.col("n_kept") < F.col("n_turns")).alias("truncated"),
+        )
+    )

@@ -1541,3 +1541,74 @@ def semdedup(
             F.col("dup_of").isNull().alias("is_kept"),
         )
     )
+
+
+def prefix_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_chars: int = 64,
+) -> DataFrame:
+    """Shared-prefix canonical collapse — the crawl/transcript analog of
+    "these are the same template": documents whose first ``prefix_chars``
+    characters agree form one group (boilerplate system prompts, mirrored
+    article lead-ins, re-posted announcements), and the group keeps its
+    LONGEST member (most content preserved), ties broken by min id.
+    Exact dedup (:func:`exact_dedup`) only collapses byte-identical
+    bodies; prefix dedup is the cheap first pass that catches
+    truncated/extended variants of one template before the n-gram
+    machinery runs.
+
+    The group key is ``md5(substr(text, 1, prefix_chars))`` — constant
+    16-byte width however large ``prefix_chars`` is, so the shuffle
+    carries (key, len, id) metadata, never the corpus text.  The
+    canonical pick is a map-side-combinable ``max(struct(len, −id))``
+    groupBy — NOT a per-key window: a hot template prefix (millions of
+    members at crawl scale) would serialize into one window sort, while
+    the combinable agg reduces it on the map side.  One metadata-width
+    shuffle for the agg + one bounded join back (best frame is
+    |distinct prefixes| rows).
+
+    ``id_col`` MUST be numeric (the −id tiebreak — same precondition and
+    eager check as :func:`cluster_canonical`).  NULL text groups with
+    empty text (one stratum).  Both engines hash the UTF-8 bytes of a
+    codepoint-counted substring, so the key is cross-engine stable.
+
+    Returns ``(id_col, prefix_key, text_len, keep_doc_id, group_size,
+    is_kept)``.
+    """
+    _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    id_type = dict(docs.dtypes).get(id_col)
+    if id_type not in _NUMERIC and not str(id_type).startswith("decimal"):
+        raise ValueError(
+            f"prefix_dedup requires a numeric id_col for the -id tiebreak; "
+            f"got {id_col}: {id_type}. Hash string ids to a long first."
+        )
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    base = docs.select(
+        F.col(id_col),
+        F.md5(F.substring(txt, 1, prefix_chars)).alias("prefix_key"),
+        F.length(txt).cast("long").alias("text_len"),
+    )
+    best = (
+        base.groupBy("prefix_key")
+        .agg(
+            F.max(
+                F.struct(F.col("text_len"), (-F.col(id_col)).alias("_nid"))
+            ).alias("b"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select(
+            "prefix_key",
+            (-F.col("b._nid")).alias("keep_doc_id"),
+            "group_size",
+        )
+    )
+    return base.join(best, "prefix_key").select(
+        id_col,
+        "prefix_key",
+        "text_len",
+        "keep_doc_id",
+        "group_size",
+        (F.col(id_col) == F.col("keep_doc_id")).alias("is_kept"),
+    )
