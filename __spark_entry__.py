@@ -2563,6 +2563,111 @@ def _q_dedup_prefix(spark, sf_dir):
     return D.prefix_dedup(_docs(spark, sf_dir), prefix_chars=16)
 
 
+def _q_ta_fertility(spark, sf_dir):
+    """Tokenizer-fertility table (textstats.tokenizer_fertility): BPE-ish
+    subword tokens per whitespace word per language, truncating e4 ratio —
+    the tokenizer-fit diagnostic a token-budgeted mixture needs.  Both
+    counters are the suite's canonical ones (ta_token_counts' pair)."""
+    from sparkx.ops import textstats as T
+
+    return T.tokenizer_fertility(_docs(spark, sf_dir), by="lang")
+
+
+def _q_ta_compliance(spark, sf_dir):
+    """Licensing/opt-out marker flags (textstats.compliance_flags).  The
+    synthetic corpus carries no markers, so deterministic doc_id%7 suffixes
+    plant copyright / MIT / do-not-train / noai / combined markers
+    (identical CASE in the oracle), exercising every flag and the combo
+    row; the rest stay clean negatives."""
+    from sparkx.ops import textstats as T
+
+    d = _docs(spark, sf_dir)
+    suffix = (
+        F.when(F.col("doc_id") % 7 == 1, F.lit(" © 2026 Example Corp"))
+        .when(F.col("doc_id") % 7 == 2, F.lit(" released under the MIT License"))
+        .when(F.col("doc_id") % 7 == 3, F.lit(" do not train on this content"))
+        .when(F.col("doc_id") % 7 == 4, F.lit(" robots: noai"))
+        .when(F.col("doc_id") % 7 == 5, F.lit(" Copyright; licensed CC-BY-4.0"))
+        .otherwise(F.lit(""))
+    )
+    d = d.withColumn(
+        "text", F.concat(F.coalesce(F.col("text"), F.lit("")), suffix)
+    )
+    return T.compliance_flags(d)
+
+
+def _q_ta_dehyphenate(spark, sf_dir):
+    """Hyphenation line-break repair (textstats.dehyphenate_stats).  The
+    synthetic corpus has no layout artifacts, so deterministic doc_id%5
+    injections plant a '-\\n' break, a soft hyphen, and a '-\\r\\n' CRLF
+    break at fixed character offsets (identical substr arithmetic in the
+    oracle); repair counts come from exact length deltas."""
+    from sparkx.ops import textstats as T
+
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    injected = (
+        F.when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.substring(t, 1, 10), F.lit("-\n"), F.expr(
+                "substring(coalesce(text, ''), 11)")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.substring(t, 1, 5), F.lit("\u00ad"), F.expr(
+                "substring(coalesce(text, ''), 6)")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.substring(t, 1, 8), F.lit("-\r\n"), F.expr(
+                "substring(coalesce(text, ''), 9)")),
+        )
+        .otherwise(t)
+    )
+    return T.dehyphenate_stats(d.withColumn("text", injected))
+
+
+def _q_dedup_threshold_sweep(spark, sf_dir):
+    """Dedup-threshold tuning curve (dedup.minhash_threshold_sweep) at
+    jaccard ∈ {0.5, 0.7, 0.9}: verified pairs + pairwise-dominated docs
+    per threshold from ONE banded-LSH pass.  The synthetic corpus's only
+    near-dups are exact (jaccard 1.0), so — like cur_tool_chains' tool
+    diversification — each doc gains two deterministic prefix-truncated
+    variants (60% and 85% of characters, integer div both engines),
+    giving the sweep a real shoulder to measure instead of a flat line."""
+    from sparkx.ops import dedup as D
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    va = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, CAST((length(text) * 6) DIV 10 AS INT))"
+        ).alias("text"),
+    )
+    vb = d.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, CAST((length(text) * 17) DIV 20 AS INT))"
+        ).alias("text"),
+    )
+    return D.minhash_threshold_sweep(
+        d.unionByName(va).unionByName(vb),
+        thresholds_e4=(5000, 7000, 9000),
+    )
+
+
+def _q_ann_probe_curve(spark, sf_dir):
+    """Recall-vs-nprobe tuning curve (similarity.ivf_probe_curve): per
+    (query, nprobe∈{1,2,4}) overlap@10 between the frozen-quantizer probe
+    ranking and the exact cosine brute force, built from ONE tagged
+    candidate pass (nested probe sets).  The knob-sweep companion to
+    ann_ivf_recall's single point; monotone in nprobe by construction."""
+    return S.ivf_probe_curve(
+        _emb(spark, sf_dir), S.load_frozen_centroids(), n_queries=8, k=10,
+        probes=(1, 2, 4),
+    )
+
+
 def _q_cur_budget_truncate(spark, sf_dir):
     """Context-budget truncation audit (corpus.budget_truncate) at
     budget=600 whitespace tokens keeping the most recent turns.  The
@@ -2667,6 +2772,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_tool_latency": _q_cur_tool_latency,
         "dedup_prefix": _q_dedup_prefix,
         "cur_budget_truncate": _q_cur_budget_truncate,
+        "ann_probe_curve": _q_ann_probe_curve,
+        "dedup_threshold_sweep": _q_dedup_threshold_sweep,
+        # r5 continuation batch 7 — mirror-gated (past position 49)
+        "ta_fertility": _q_ta_fertility,
+        "ta_compliance": _q_ta_compliance,
+        "ta_dehyphenate": _q_ta_dehyphenate,
         # r3-green refresh fill (ta_lang_agg and dedup_exact displaced past
         # position 49 by the two entries above; both have green
         # {rows,schema,hash} rows in CORRECTNESS_r01–r03)
@@ -3602,6 +3713,90 @@ def _ivf_recall_oracle_sql(
               GROUP BY e.q_id)
             SELECT q.q_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap
             FROM q LEFT JOIN ov ON q.q_id = ov.q_id"""
+
+
+def _ivf_probe_curve_oracle_sql(
+    n_queries: int = 8, k: int = 10, probes: tuple = (1, 2, 4)
+) -> str:
+    """SQL mirror of similarity.ivf_probe_curve: the recall-report CTEs
+    with the probe rank kept through the candidate join, then one top-k
+    per (query, nprobe) via a probes spine on cell_rank <= nprobe —
+    nested probe sets from ONE candidate build, exactly like the engine."""
+    from sparkx.ops.similarity import load_frozen_centroids
+
+    cents = load_frozen_centroids()
+    dim = len(cents[0])
+    max_p = max(probes)
+    probes_list = ", ".join(str(p) for p in sorted(set(probes)))
+    cells = ", ".join(str(i) for i in range(len(cents)))
+    arrays = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
+        for c in cents
+    )
+    norms = ", ".join(repr(sum(x * x for x in c) ** 0.5) for c in cents)
+    return f"""
+            WITH cent AS (
+              SELECT unnest([{cells}]) AS cell,
+                     unnest([{arrays}]) AS centroid,
+                     unnest([{norms}]::DOUBLE[]) AS cnorm),
+            base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS emb,
+                     list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[]) AS n2
+              FROM embeddings WHERE len(embedding) = {dim}),
+            q AS (
+              SELECT vec_id AS q_id, emb AS q_emb, n2 AS q_n2 FROM base
+              WHERE vec_id < {n_queries}),
+            scored AS (
+              SELECT q.q_id, b.vec_id,
+                CAST(floor(list_dot_product(b.emb, q.q_emb)
+                           / sqrt(b.n2 * q.q_n2) * 1000000.0) AS BIGINT) AS ip
+              FROM base b CROSS JOIN q WHERE b.vec_id != q.q_id),
+            exact_top AS (
+              SELECT q_id, vec_id FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY q_id ORDER BY ip DESC, vec_id ASC) AS rn
+                FROM scored) WHERE rn <= {k}),
+            aff AS (
+              SELECT b.vec_id, c.cell,
+                CAST(floor(list_dot_product(b.emb, c.centroid)
+                           / c.cnorm * 1000000.0) AS BIGINT) AS aff
+              FROM base b CROSS JOIN cent c),
+            assigned AS (
+              SELECT vec_id, cell FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY aff DESC, cell ASC) AS rn
+                FROM aff) WHERE rn = 1),
+            probe AS (
+              SELECT a.vec_id AS q_id, a.cell, a.rn AS cell_rank FROM (
+                SELECT vec_id, cell, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY aff DESC, cell ASC) AS rn
+                FROM aff) a JOIN q ON a.vec_id = q.q_id
+              WHERE a.rn <= {max_p}),
+            cand AS (
+              SELECT p.q_id, s.vec_id, p.cell_rank, sc.ip
+              FROM assigned s
+              JOIN probe p ON s.cell = p.cell
+              JOIN scored sc ON sc.q_id = p.q_id AND sc.vec_id = s.vec_id
+              WHERE s.vec_id != p.q_id),
+            pr AS (SELECT unnest([{probes_list}]) AS nprobe),
+            ivf_top AS (
+              SELECT q_id, nprobe, vec_id FROM (
+                SELECT c.q_id, pr.nprobe, c.vec_id,
+                  row_number() OVER (
+                    PARTITION BY c.q_id, pr.nprobe
+                    ORDER BY c.ip DESC, c.vec_id ASC) AS rn
+                FROM cand c JOIN pr ON c.cell_rank <= pr.nprobe)
+              WHERE rn <= {k}),
+            ov AS (
+              SELECT i.q_id, i.nprobe, count(*) AS n_overlap
+              FROM ivf_top i JOIN exact_top e
+                ON e.q_id = i.q_id AND e.vec_id = i.vec_id
+              GROUP BY i.q_id, i.nprobe)
+            SELECT q.q_id, CAST(pr.nprobe AS INT) AS nprobe,
+                   CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+            FROM q CROSS JOIN pr
+            LEFT JOIN ov ON ov.q_id = q.q_id AND ov.nprobe = pr.nprobe"""
 
 
 def _ivfpq_oracle_sql(k: int = 10, nprobe: int = 2) -> str:
@@ -4887,13 +5082,129 @@ GROUP BY 1"""
               CAST(s.group_size AS BIGINT) AS group_size,
               b.doc_id = s.keep_doc_id AS is_kept
             FROM base b JOIN best s USING (prefix_key)""",
+        # threshold sweep over ONE verified LSH pair pass (the 60%/85%
+        # prefix-truncated variants give real curve shoulders); LEFT JOIN
+        # ON TRUE keeps zero rows per threshold when no pair passes —
+        # mirroring the engine's right-join spine
+        "dedup_threshold_sweep": (
+            "WITH swdocs AS ("
+            "  SELECT doc_id, text FROM documents"
+            "  UNION ALL SELECT doc_id + 100000,"
+            "    substr(text, 1, CAST((length(text) * 6) // 10 AS INT))"
+            "  FROM documents"
+            "  UNION ALL SELECT doc_id + 200000,"
+            "    substr(text, 1, CAST((length(text) * 17) // 20 AS INT))"
+            "  FROM documents"
+            "), " + _minhash_pairs_ctes(0.5, src="swdocs") + """,
+            spine AS (SELECT unnest([5000, 7000, 9000]) AS threshold_e4),
+            p2 AS (
+              SELECT b_id, CAST(round(jaccard * 10000) AS BIGINT) AS jac_e4
+              FROM mh_pairs)
+            SELECT CAST(s.threshold_e4 AS INT) AS threshold_e4,
+              CAST(sum(CASE WHEN p2.jac_e4 >= s.threshold_e4
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+              CAST(count(DISTINCT CASE WHEN p2.jac_e4 >= s.threshold_e4
+                                       THEN p2.b_id END) AS BIGINT)
+                AS n_docs_flagged
+            FROM spine s LEFT JOIN p2 ON TRUE
+            GROUP BY s.threshold_e4"""
+        ),
+        # fertility: the two canonical token counters (coalesced text —
+        # the budget_truncate NULL lesson), truncating e4 integer ratio
+        "ta_fertility": f"""
+            WITH t0 AS (
+              SELECT lang, coalesce(text, '') AS text FROM documents),
+            t AS (
+              SELECT lang,
+                CAST({_TA_TOKENS} AS BIGINT) AS ws,
+                CAST(len(regexp_extract_all(text,
+                    '[0-9A-Za-z_]+|[^0-9A-Za-z_ \\t\\n\\x0b\\f\\r]'))
+                  AS BIGINT) AS bpe
+              FROM t0)
+            SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(ws) AS BIGINT) AS ws_tokens,
+              CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+              CAST((sum(bpe) * 10000) // greatest(sum(ws), 1) AS BIGINT)
+                AS fertility_e4
+            FROM t GROUP BY lang""",
+        # compliance markers: identical doc_id%7 suffix CASE, regex
+        # literals shared with the engine (textstats.COPYRIGHT_RE family)
+        "ta_compliance": """
+            WITH d AS (
+              SELECT doc_id, lower(coalesce(text, '') ||
+                CASE CAST(doc_id % 7 AS INT)
+                  WHEN 1 THEN ' © 2026 Example Corp'
+                  WHEN 2 THEN ' released under the MIT License'
+                  WHEN 3 THEN ' do not train on this content'
+                  WHEN 4 THEN ' robots: noai'
+                  WHEN 5 THEN ' Copyright; licensed CC-BY-4.0'
+                  ELSE '' END) AS low
+              FROM documents)
+            SELECT doc_id,
+              regexp_matches(low, '©|copyright|all rights reserved')
+                AS has_copyright,
+              regexp_matches(low,
+                'do not train|noai|no-ai|opt.?out of.{0,20}training')
+                AS has_noai,
+              regexp_matches(low,
+                'creative commons|cc-by|cc0|apache license|mit license|gpl')
+                AS has_license,
+              (regexp_matches(low, '©|copyright|all rights reserved')
+               OR regexp_matches(low,
+                 'do not train|noai|no-ai|opt.?out of.{0,20}training')
+               OR regexp_matches(low,
+                 'creative commons|cc-by|cc0|apache license|mit license|gpl'))
+                AS needs_review
+            FROM d""",
+        # dehyphenation: identical injection arithmetic, then the repair
+        # chain with \\1\\2 + 'g' (RE2 replacement dialect) and exact
+        # length-delta counts
+        "ta_dehyphenate": """
+            WITH d AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 5 AS INT)
+                  WHEN 1 THEN substr(coalesce(text, ''), 1, 10) || '-'
+                    || chr(10) || substr(coalesce(text, ''), 11)
+                  WHEN 2 THEN substr(coalesce(text, ''), 1, 5) || chr(173)
+                    || substr(coalesce(text, ''), 6)
+                  WHEN 3 THEN substr(coalesce(text, ''), 1, 8) || '-'
+                    || chr(13) || chr(10) || substr(coalesce(text, ''), 9)
+                  ELSE coalesce(text, '') END AS txt
+              FROM documents),
+            r AS (
+              SELECT doc_id, txt,
+                regexp_replace(txt, chr(173), '', 'g') AS no_soft
+              FROM d),
+            r2 AS (
+              SELECT doc_id, txt, no_soft,
+                regexp_replace(no_soft, chr(13) || chr(10), chr(10), 'g')
+                  AS norm
+              FROM r),
+            r3 AS (
+              SELECT doc_id, txt, no_soft, norm,
+                regexp_replace(norm,
+                  '([0-9A-Za-z])-' || chr(10) || '([0-9A-Za-z])',
+                  '\\1\\2', 'g') AS joined
+              FROM r2)
+            SELECT doc_id,
+              CAST(length(txt) - length(no_soft) AS BIGINT)
+                AS n_soft_hyphens,
+              CAST(length(no_soft) - length(norm) AS BIGINT) AS n_crlf,
+              CAST((length(norm) - length(joined)) // 2 AS BIGINT)
+                AS n_hyphen_breaks,
+              joined AS text_repaired
+            FROM r3""",
         # keep-most-recent truncation: descending cumsum window (unique
         # turn_idx makes ROWS vs RANGE moot), canonical whitespace tokens
         "cur_budget_truncate": TRANSCRIPTS_SQL_CTE + f""",
+            t0 AS (
+              SELECT conv_id, turn_idx, coalesce(text, '') AS text
+              FROM transcripts),
             tk AS (
               SELECT conv_id, turn_idx,
                 CAST({_TA_TOKENS} AS BIGINT) AS tok
-              FROM transcripts),
+              FROM t0),
             c AS (
               SELECT conv_id, turn_idx, tok,
                 sum(tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
@@ -4913,6 +5224,9 @@ GROUP BY 1"""
         "ann_ivfpq": _ivfpq_oracle_sql(k=10, nprobe=2),
         "ann_pq_recall": _pq_recall_oracle_sql(n_queries=8, k=10),
         "ann_ivf_recall": _ivf_recall_oracle_sql(n_queries=8, k=10, nprobe=2),
+        "ann_probe_curve": _ivf_probe_curve_oracle_sql(
+            n_queries=8, k=10, probes=(1, 2, 4)
+        ),
         "ann_bm25": _BM25_ORACLE_SQL,
         # BM25 from the prebuilt inverted index is value-identical to the
         # inline build (a query term's df over the full postings table IS

@@ -272,8 +272,13 @@ def main() -> int:
         # count() forces it: the join output IS the expensive part)
         "ann_mutual_knn",
         # r5 batch 6: per-tool invocation timing, shared-prefix collapse,
-        # context-budget truncation audit
+        # context-budget truncation audit, recall-vs-nprobe curve,
+        # dedup threshold sweep
         "cur_tool_latency", "dedup_prefix", "cur_budget_truncate",
+        "ann_probe_curve", "dedup_threshold_sweep",
+        # r5 batch 7: tokenizer fertility, compliance markers,
+        # dehyphenation repair
+        "ta_fertility", "ta_compliance", "ta_dehyphenate",
     ]
     # ops whose expensive branch feeds ONLY columns a bare count() prunes
     # (left-joined aggregates; budget_truncate's window + latency/prefix agg

@@ -2120,7 +2120,12 @@ def tool_latency_stats(
     w_conv = Window.partitionBy("_c")
     anchored = narrow.withColumn("_conv_start", F.min("_ep").over(w_conv))
     calls = anchored.filter(F.col("_t").isNotNull() & (F.col("_t") != ""))
-    w_tool = Window.partitionBy("_c", "_t").orderBy("_i")
+    # NULLS LAST pinned: Spark's asc default is NULLS FIRST where
+    # DuckDB/ANSI is NULLS LAST (shard_assign's lesson); a NULL idx row
+    # in a multi-call group would otherwise order differently per engine
+    w_tool = Window.partitionBy("_c", "_t").orderBy(
+        F.col("_i").asc_nulls_last()
+    )
     g = calls.select(
         "_c",
         "_t",

@@ -1612,3 +1612,62 @@ def prefix_dedup(
         "group_size",
         (F.col(id_col) == F.col("keep_doc_id")).alias("is_kept"),
     )
+
+
+def minhash_threshold_sweep(
+    docs: DataFrame,
+    n: int = 3,
+    thresholds_e4: tuple[int, ...] = (5000, 7000, 9000),
+) -> DataFrame:
+    """Dedup-threshold tuning curve — the near-dup analog of the ANN
+    recall-vs-nprobe sweep: how many verified pairs and how many
+    pairwise-dominated docs each candidate Jaccard threshold would flag,
+    so the dedup threshold is chosen from data rather than folklore.  One
+    banded-LSH candidate pass verified at the sweep's LOWEST threshold
+    (thresholds only ever tighten a verified pair set — the same
+    nested-set observation as :func:`~sparkx.ops.similarity.
+    ivf_probe_curve`'s probe cells), then every curve point is an
+    aggregate over that one frame; the shingle machinery never re-runs
+    per point.
+
+    ``n_docs_flagged`` counts distinct higher-ids of passing pairs — the
+    greedy remove-the-larger-id upper bound a sweep wants for sizing;
+    cluster-atomic removal at the chosen threshold is
+    :func:`cluster_canonical`'s job afterwards.  Thresholds ride the e4
+    integer grid (``jaccard`` is already round(·,4), so ×10⁴ re-rounds to
+    an EXACT long both engines agree on — never a raw-double ≥ compare
+    at the grid boundary).
+
+    Execution: the |thresholds| spine broadcasts against the pair frame
+    (3× pair rows, metadata width), then one map-side-combinable
+    two-phase distinct aggregate; output is ≤ |thresholds| rows at any
+    corpus size.  Returns ``(threshold_e4, n_pairs, n_docs_flagged)``.
+    """
+    lo = min(thresholds_e4) / 10_000.0
+    pairs = minhash_lsh_pairs(docs, n=n, threshold=lo).select(
+        "b_id",
+        F.round(F.col("jaccard") * 10_000).cast("long").alias("_jac_e4"),
+    )
+    spark = docs.sparkSession
+    spine = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(int(t)).cast("int") for t in sorted(thresholds_e4)])
+        ).alias("threshold_e4")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(spine))
+        .filter(F.col("_jac_e4") >= F.col("threshold_e4"))
+        .groupBy("threshold_e4")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("b_id").alias("n_docs_flagged"),
+        )
+        .join(spine, "threshold_e4", "right")
+        .select(
+            "threshold_e4",
+            F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+            F.coalesce("n_docs_flagged", F.lit(0).cast("long")).alias(
+                "n_docs_flagged"
+            ),
+        )
+    )

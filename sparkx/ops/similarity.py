@@ -1788,3 +1788,118 @@ def mutual_knn_pairs(
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", "cosine", "rank_ab", "rank_ba")
     )
+
+
+def ivf_probe_curve(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    n_queries: int = 8,
+    k: int = 10,
+    probes: tuple[int, ...] = (1, 2, 4),
+) -> DataFrame:
+    """Recall-vs-nprobe tuning curve for the frozen-quantizer IVF index —
+    the one table an ANN deployment reads to pick its scan fraction:
+    :func:`ivf_recall_report` answers "what is recall at THIS nprobe";
+    this op sweeps the whole knob in ONE candidate pass.  Probe sets are
+    nested (the top-1 cell ⊂ top-2 cells ⊂ …), so candidates are built
+    once at ``max(probes)`` with each candidate tagged by its cell's probe
+    rank, and the curve point for nprobe=p is simply the top-k over
+    candidates with ``cell_rank ≤ p`` — the index is scanned once, not
+    once per curve point (at 100 TB the candidate fetch IS the cost; the
+    per-p re-rank touches ≤ n_queries·|candidates| bounded rows).
+
+    The scored candidate frame is eagerly localCheckpoint'd before the
+    per-p top-k loop — an unrolled k-frame loop over a lazy plan would
+    re-evaluate the assignment join once per curve point (the ann_mmr
+    lesson); the frame is bounded by the query sample, never the corpus.
+
+    Same integer-grid cosine (floor 1e6, ties vec_id asc) and dim guard
+    as the recall report, so the whole curve is value-hash gateable.
+    Returns ``(q_id, nprobe, n_overlap)`` — n_queries·|probes| rows,
+    monotone nondecreasing in nprobe per query (pinned by test).
+    """
+    from pyspark.sql import Window
+
+    from sparkx.ops.dedup import _dot, _norm2
+
+    probes = tuple(sorted(set(int(p) for p in probes)))
+    max_p = probes[-1]
+    dim = len(centroids[0])
+    base = (
+        emb.filter(F.size("embedding") == dim)
+        .select("vec_id", "embedding")
+        .withColumn("_n2", _norm2("embedding"))
+    )
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("_n2").alias("_qn2"),
+    )
+    grid_ip = F.floor(
+        _dot("embedding", "q_embedding")
+        / F.sqrt(F.col("_n2") * F.col("_qn2"))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    w = Window.partitionBy("q_id").orderBy(F.desc("_ip"), F.asc("vec_id"))
+    exact_top = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", grid_ip.alias("_ip"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", "vec_id")
+    )
+    # probe cells with their rank (1-based), kept through the candidate
+    # join so every curve point reads the same tagged frame
+    affs = F.array(
+        *[
+            F.struct(
+                _frozen_affinity("q_embedding", c).alias("aff"),
+                F.lit(-i).alias("negcell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probe = q.select(
+        "q_id",
+        F.posexplode(F.slice(F.reverse(F.array_sort(affs)), 1, max_p)),
+    ).select(
+        "q_id",
+        (F.col("pos") + 1).alias("cell_rank"),
+        (-F.col("col.negcell")).alias("ivf_cell"),
+    )
+    assigned = ivf_assign_frozen(base, centroids)
+    cand = (
+        assigned.join(F.broadcast(probe), "ivf_cell")
+        .join(F.broadcast(q.select("q_id", "q_embedding", "_qn2")), "q_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "cell_rank", grid_ip.alias("_ip"))
+        .localCheckpoint(eager=True)
+    )
+    spark = emb.sparkSession
+    curves = None
+    for p in probes:
+        top_p = (
+            cand.filter(F.col("cell_rank") <= p)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("q_id", F.lit(p).cast("int").alias("nprobe"), "vec_id")
+        )
+        curves = top_p if curves is None else curves.unionByName(top_p)
+    overlap = (
+        curves.join(exact_top, ["q_id", "vec_id"])
+        .groupBy("q_id", "nprobe")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    spine = q.select("q_id").crossJoin(
+        spark.range(1).select(
+            F.explode(
+                F.array(*[F.lit(p).cast("int") for p in probes])
+            ).alias("nprobe")
+        )
+    )
+    return spine.join(overlap, ["q_id", "nprobe"], "left").select(
+        "q_id",
+        "nprobe",
+        F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+    )

@@ -1496,3 +1496,135 @@ def rule_ablation(docs: DataFrame, **gopher_params) -> DataFrame:
         F.col("s.n_unique_reject").alias("n_unique_reject"),
         F.col("_n").cast("long").alias("n_docs"),
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    by: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-fertility table per group — the number every multilingual
+    corpus owner reads before committing to a tokenizer: BPE-ish subword
+    tokens per whitespace word (:func:`bpe_ish_token_count` /
+    :func:`token_count`, the suite's two canonical counters — never inline
+    re-spellings).  A language whose fertility is far above the corpus
+    median is paying more context budget per word (the tokenizer is
+    poorly fit to it), which silently skews any token-budgeted mixture
+    (:func:`~sparkx.ops.corpus.mix_plan` allocates tokens, users consume
+    words).
+
+    ``fertility_e4`` is the truncating integer ratio ``bpe·10⁴ div ws``
+    (nonnegative numerator — the negative-division engine divergence
+    can't arise), exact on the e4 grid both engines; totals ride along so
+    any other ratio is one division away.
+
+    Execution: one narrow map (two regexp counts in a single codegen
+    span) + one map-side-combinable aggregate; ≤ |groups| output rows,
+    zero shuffle beyond the ≤|groups| exchange at any corpus size.
+    Returns ``(by, n_docs, ws_tokens, bpe_tokens, fertility_e4)``.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    t = docs.select(
+        F.col(by),
+        token_count(txt).cast("long").alias("_ws"),
+        bpe_ish_token_count(text_col).cast("long").alias("_bpe"),
+    )
+    return (
+        t.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ws").alias("ws_tokens"),
+            F.sum("_bpe").alias("bpe_tokens"),
+        )
+        .select(
+            by,
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            F.expr(
+                "CAST((bpe_tokens * 10000) DIV greatest(ws_tokens, 1) "
+                "AS BIGINT)"
+            ).alias("fertility_e4"),
+        )
+    )
+
+
+# literal alternations (no char classes, so Java regex and RE2 agree by
+# construction — the MOJIBAKE_RE idiom); lowercased text is the input
+COPYRIGHT_RE = "©|copyright|all rights reserved"
+NOAI_RE = "do not train|noai|no-ai|opt.?out of.{0,20}training"
+LICENSE_RE = "creative commons|cc-by|cc0|apache license|mit license|gpl"
+
+
+def compliance_flags(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Licensing / opt-out surface-marker flags — the compliance screen a
+    training-corpus build runs before mixing a source in: per document,
+    does the text carry a copyright assertion (:data:`COPYRIGHT_RE`), an
+    AI-training opt-out marker (:data:`NOAI_RE` — the noai/"do not
+    train" repertoire), or an explicit license name
+    (:data:`LICENSE_RE`)?  Surface markers are evidence for a HUMAN
+    review queue and for per-source rollups (a source where 40% of docs
+    assert opt-out needs a policy decision, not a regex) — the flags
+    gate routing, they are not legal conclusions, and the patterns are
+    high-precision literals by design (the encoding_flags philosophy:
+    exactly countable, no thresholds).
+
+    Map-only: three regexp matches over lowercased text in one codegen
+    span, zero shuffle at any scale — run it with the Gopher battery.
+    NULL text flags nothing.  Returns ``(id_col, has_copyright,
+    has_noai, has_license, needs_review)``.
+    """
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    has_c = F.regexp_count(low, F.lit(COPYRIGHT_RE)) > 0
+    has_n = F.regexp_count(low, F.lit(NOAI_RE)) > 0
+    has_l = F.regexp_count(low, F.lit(LICENSE_RE)) > 0
+    return docs.select(
+        id_col,
+        has_c.alias("has_copyright"),
+        has_n.alias("has_noai"),
+        has_l.alias("has_license"),
+        (has_c | has_n | has_l).alias("needs_review"),
+    )
+
+
+def dehyphenate_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hyphenation line-break repair — the classic PDF/OCR extraction
+    artifact (reference parser family: text blocks arrive with words
+    split "exam-\\nple" at the original layout's line ends, plus
+    invisible soft hyphens U+00AD): strip soft hyphens, normalize CRLF,
+    then rejoin alphanumeric words split by ``-`` + newline.  Counts are
+    derived from EXACT length deltas, not a second regexp count — the
+    join pattern consumes its boundary characters, so leftmost
+    non-overlapping match counts would undercount "a-\\nb-\\nc" chains;
+    the length arithmetic is exact instead because each normalization
+    step removes a fixed char count (soft hyphen 1, CRLF→LF 1, rejoined
+    break 2).
+
+    Replacement syntax differs per engine ($1 Java, \\\\1 RE2 + the 'g'
+    flag DuckDB needs for replace-ALL) but the repertoire (captures,
+    literal classes) is common — the oracle mirrors it verbatim.
+    Map-only: three regexp_replace passes in one codegen span, zero
+    shuffle at any scale.  Returns ``(id_col, n_soft_hyphens, n_crlf,
+    n_hyphen_breaks, text_repaired)``.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    no_soft = F.regexp_replace(txt, "\u00ad", "")
+    norm = F.regexp_replace(no_soft, r"\r\n", "\n")
+    joined = F.regexp_replace(
+        norm, r"([0-9A-Za-z])-\n([0-9A-Za-z])", r"$1$2"
+    )
+    return docs.select(
+        id_col,
+        (F.length(txt) - F.length(no_soft)).cast("long").alias(
+            "n_soft_hyphens"
+        ),
+        (F.length(no_soft) - F.length(norm)).cast("long").alias("n_crlf"),
+        F.floor(
+            (F.length(norm) - F.length(joined)) / 2
+        ).cast("long").alias("n_hyphen_breaks"),
+        joined.alias("text_repaired"),
+    )

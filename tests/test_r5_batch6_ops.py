@@ -153,3 +153,145 @@ def test_budget_truncate_null_text_counts_like_empty(spark):
     # coalesce(NULL,'') tokenizes to 1 (the suite-wide empty-split rule)
     out = _truncate(spark, [("c", 0, None), ("c", 1, "x y")], budget=3)
     assert out["c"] == (2, 3, 2, 3, False)
+
+
+# ── ivf_probe_curve ───────────────────────────────────────────────────
+
+
+def test_probe_curve_monotone_and_exact_at_full_probe(spark):
+    """Recall is nondecreasing in nprobe per query, and probing EVERY cell
+    recovers the exact top-k (overlap == k) — plus agreement with
+    ivf_recall_report at the shared point."""
+    import random
+
+    from sparkx.ops.similarity import (
+        ivf_probe_curve, ivf_recall_report, load_frozen_centroids,
+    )
+
+    cents = load_frozen_centroids()
+    dim, n_cells = len(cents[0]), len(cents)
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k = 5
+    curve = {
+        (r["q_id"], r["nprobe"]): r["n_overlap"]
+        for r in ivf_probe_curve(
+            df, cents, n_queries=4, k=k, probes=(1, 2, n_cells)
+        ).collect()
+    }
+    assert len(curve) == 4 * 3
+    for q in range(4):
+        assert curve[(q, 1)] <= curve[(q, 2)] <= curve[(q, n_cells)]
+        assert curve[(q, n_cells)] == k  # all cells probed == brute force
+    single = {
+        r["q_id"]: r["n_overlap"]
+        for r in ivf_recall_report(
+            df, cents, n_queries=4, k=k, nprobe=2
+        ).collect()
+    }
+    assert all(curve[(q, 2)] == single[q] for q in range(4))
+
+
+# ── minhash_threshold_sweep ───────────────────────────────────────────
+
+
+def test_threshold_sweep_monotone_and_zero_floor(spark):
+    """Counts are nonincreasing as the threshold tightens; thresholds no
+    pair reaches report explicit zeros (spine semantics); agreement with
+    a direct minhash_lsh_pairs run at each threshold."""
+    from sparkx.ops.dedup import minhash_lsh_pairs, minhash_threshold_sweep
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup of 1
+        (3, base + " lambda mu nu"),                 # high-jaccard variant
+        (4, "totally different words entirely here unrelated content"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sweep = {
+        r["threshold_e4"]: (r["n_pairs"], r["n_docs_flagged"])
+        for r in minhash_threshold_sweep(
+            df, thresholds_e4=(3000, 6000, 9990)
+        ).collect()
+    }
+    assert set(sweep) == {3000, 6000, 9990}
+    assert sweep[3000][0] >= sweep[6000][0] >= sweep[9990][0]
+    assert sweep[3000][1] >= sweep[6000][1] >= sweep[9990][1]
+    assert sweep[9990] == (1, 1)  # only the exact dup survives 0.999
+    # each curve point equals an independent single-threshold run
+    for t in (3000, 6000, 9990):
+        pairs = minhash_lsh_pairs(df, threshold=t / 10_000.0).collect()
+        assert sweep[t][0] == len(pairs)
+        assert sweep[t][1] == len({p["b_id"] for p in pairs})
+
+
+# ── batch 7: fertility / compliance / dehyphenation ───────────────────
+
+
+def test_tokenizer_fertility_exact_counts(spark):
+    from sparkx.ops.textstats import tokenizer_fertility
+
+    rows = [
+        (1, "en", "hello, world!"),      # ws 2; bpe: hello , world ! = 4
+        (2, "en", "plain words here"),   # ws 3; bpe 3
+        (3, "de", None),                  # NULL → ws 1 (empty-split rule), bpe 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["lang"]: r for r in tokenizer_fertility(df).collect()}
+    en = out["en"]
+    assert (en["n_docs"], en["ws_tokens"], en["bpe_tokens"]) == (2, 5, 7)
+    assert en["fertility_e4"] == 7 * 10000 // 5
+    de = out["de"]
+    assert (de["ws_tokens"], de["bpe_tokens"], de["fertility_e4"]) == (1, 0, 0)
+
+
+def test_compliance_flags_precision(spark):
+    from sparkx.ops.textstats import compliance_flags
+
+    rows = [
+        (1, "© 2026 Someone"),
+        (2, "we opt out of model training entirely"),
+        (3, "licensed under the Apache License 2.0"),
+        (4, "paranoia is not an opt-out marker"),   # no false 'noai' hit
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (
+            r["has_copyright"], r["has_noai"], r["has_license"],
+            r["needs_review"],
+        )
+        for r in compliance_flags(df).collect()
+    }
+    assert out[1] == (True, False, False, True)
+    assert out[2] == (False, True, False, True)
+    assert out[3] == (False, False, True, True)
+    assert out[4] == (False, False, False, False)
+    assert out[5] == (False, False, False, False)
+
+
+def test_dehyphenate_repairs_and_counts(spark):
+    from sparkx.ops.textstats import dehyphenate_stats
+
+    rows = [
+        (1, "exam-\nple of a hyphen-\nbreak"),      # two LF breaks
+        (2, "soft­hyphen and cr-\r\nlf break"),  # soft + CRLF break
+        (3, "list item -\n not a word break"),       # space boundary: kept
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (
+            r["n_soft_hyphens"], r["n_crlf"], r["n_hyphen_breaks"],
+            r["text_repaired"],
+        )
+        for r in dehyphenate_stats(df).collect()
+    }
+    assert out[1] == (0, 0, 2, "example of a hyphenbreak")
+    assert out[2] == (1, 1, 1, "softhyphen and crlf break")
+    assert out[3] == (0, 0, 0, "list item -\n not a word break")
+    assert out[4] == (0, 0, 0, "")
