@@ -2627,6 +2627,17 @@ def _q_ta_dehyphenate(spark, sf_dir):
     return T.dehyphenate_stats(d.withColumn("text", injected))
 
 
+def _q_ta_calibration(spark, sf_dir):
+    """Quality-scorer calibration vs the Gopher battery
+    (textstats.quality_calibration): per score decile, the battery's pass
+    rate in truncating basis points — whether the cheap score predicts
+    the expensive filter on THIS corpus.  Same signal SQL as
+    ta_gopher_rules, same e4 score grid as cur_scorecard."""
+    from sparkx.ops import textstats as T
+
+    return T.quality_calibration(_docs(spark, sf_dir), n_buckets=10)
+
+
 def _q_dedup_threshold_sweep(spark, sf_dir):
     """Dedup-threshold tuning curve (dedup.minhash_threshold_sweep) at
     jaccard ∈ {0.5, 0.7, 0.9}: verified pairs + pairwise-dominated docs
@@ -2778,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_fertility": _q_ta_fertility,
         "ta_compliance": _q_ta_compliance,
         "ta_dehyphenate": _q_ta_dehyphenate,
+        "ta_calibration": _q_ta_calibration,
         # r3-green refresh fill (ta_lang_agg and dedup_exact displaced past
         # position 49 by the two entries above; both have green
         # {rows,schema,hash} rows in CORRECTNESS_r01–r03)
@@ -5108,6 +5120,30 @@ GROUP BY 1"""
                 AS n_docs_flagged
             FROM spine s LEFT JOIN p2 ON TRUE
             GROUP BY s.threshold_e4"""
+        ),
+        # scorer↔battery calibration: the ta_gopher_rules signal CTEs +
+        # the cur_scorecard e4 score grid; NULL score → -1 sentinel bucket
+        "ta_calibration": (
+            "WITH " + _gopher_signals_ctes() + f""",
+            k AS (
+              SELECT doc_id,
+                ({" AND ".join(_GOPHER_SQL_PASS.values())}) AS keep
+              FROM m),
+            qv AS (
+              SELECT doc_id, round(({_TA_QUALITY}) * 10000) AS q_e4
+              FROM documents),
+            b AS (
+              SELECT k.doc_id,
+                CASE WHEN qv.q_e4 IS NULL THEN -1
+                     ELSE CAST(least(CAST(qv.q_e4 AS BIGINT) // 1000, 9)
+                               AS INT) END AS bucket,
+                CAST(k.keep AS INT) AS kp
+              FROM k JOIN qv USING (doc_id))
+            SELECT bucket,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(kp) AS BIGINT) AS n_pass,
+              CAST((sum(kp) * 10000) // count(*) AS BIGINT) AS pass_bp
+            FROM b GROUP BY bucket"""
         ),
         # fertility: the two canonical token counters (coalesced text —
         # the budget_truncate NULL lesson), truncating e4 integer ratio

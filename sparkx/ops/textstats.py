@@ -1628,3 +1628,70 @@ def dehyphenate_stats(
         ).cast("long").alias("n_hyphen_breaks"),
         joined.alias("text_repaired"),
     )
+
+
+def quality_calibration(
+    docs: DataFrame,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **gopher_params,
+) -> DataFrame:
+    """Calibration table for the cheap quality scorer against the Gopher
+    rule battery — the question a corpus build answers before trusting
+    :func:`quality_score` as a sampling weight: within each score bucket,
+    what fraction of documents does the expensive battery
+    (:func:`gopher_rules`) actually keep?  A well-calibrated scorer shows
+    a monotone pass-rate curve; a flat one means the score is noise for
+    this corpus and the mixture should weight on something else.  This is
+    the scorer↔battery analog of :func:`rule_ablation`'s per-rule
+    marginal table.
+
+    Buckets are ``score·10⁴ div (10⁴/n_buckets)`` capped at the top
+    bucket (exact integer arithmetic on the e4 grid the scorer already
+    lives on); NULL-text documents (NULL score) land in the ``-1``
+    sentinel bucket rather than vanishing.  ``pass_bp`` is the
+    truncating basis-point rate ``n_pass·10⁴ div n_docs`` (nonnegative
+    numerator — the engine-divergence-free form).
+
+    Execution: gopher_rules' single map-only signal pass with
+    ``select_all=True`` (no self-join — the funnel idiom) plus the score
+    expression in the same projection, then one map-side-combinable
+    aggregate of ≤ ``n_buckets+1`` rows.  Zero extra shuffle at any
+    corpus size.  Returns ``(bucket, n_docs, n_pass, pass_bp)``.
+    """
+    if 10_000 % n_buckets != 0:
+        raise ValueError("n_buckets must divide 10000")
+    width = 10_000 // n_buckets
+    g = gopher_rules(
+        docs, select_all=True, text_col=text_col, id_col=id_col,
+        **gopher_params,
+    )
+    t = g.select(
+        F.round(quality_score(text_col) * 10_000).cast("long").alias("_q"),
+        F.col("keep").cast("long").alias("_k"),
+    )
+    bucket = (
+        F.when(F.col("_q").isNull(), F.lit(-1).cast("int"))
+        .otherwise(
+            F.least(
+                F.expr(f"_q div {width}"), F.lit(n_buckets - 1)
+            ).cast("int")
+        )
+    )
+    return (
+        t.select(bucket.alias("bucket"), "_k")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_k").alias("n_pass"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_pass",
+            F.expr("CAST((n_pass * 10000) DIV n_docs AS BIGINT)").alias(
+                "pass_bp"
+            ),
+        )
+    )

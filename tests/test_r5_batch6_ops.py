@@ -295,3 +295,39 @@ def test_dehyphenate_repairs_and_counts(spark):
     assert out[2] == (1, 1, 1, "softhyphen and crlf break")
     assert out[3] == (0, 0, 0, "list item -\n not a word break")
     assert out[4] == (0, 0, 0, "")
+
+
+def test_quality_calibration_buckets_and_sentinel(spark):
+    from sparkx.ops.textstats import (
+        gopher_rules, quality_calibration, quality_score,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, None),                                    # NULL → -1 sentinel
+        (2, "tiny"),                                  # low score, gopher fail
+        (3, " ".join(f"the and of have with w{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["bucket"]: (r["n_docs"], r["n_pass"], r["pass_bp"])
+        for r in quality_calibration(df).collect()
+    }
+    assert out[-1] == (1, 0, 0)  # NULL text: counted, never passing
+    assert sum(v[0] for v in out.values()) == 3
+    # cross-check bucket placement + pass flags against the components
+    comp = df.select(
+        "doc_id",
+        F.round(quality_score("text") * 10000).cast("long").alias("q"),
+    ).collect()
+    keeps = {
+        r["doc_id"]: r["keep"] for r in gopher_rules(df).collect()
+    }
+    for r in comp:
+        if r["q"] is None:
+            continue
+        b = min(r["q"] // 1000, 9)
+        assert b in out
+        assert out[b][1] <= out[b][0]
+        if keeps[r["doc_id"]]:
+            assert out[b][1] >= 1
