@@ -1214,6 +1214,71 @@ def main() -> int:
         )
     )
 
+    pc_plan = fmt(E.queries()["ann_probe_curve"](spark, sf))
+    assert "MapInPandas" not in pc_plan and "BatchEvalPython" not in pc_plan
+    n_ckpt = len(re.findall(r"^\s*\(\d+\)\s+Scan ExistingRDD", pc_plan, re.M))
+    assert n_ckpt == 3, \
+        f"probe curve wants 3 checkpoint scans (one per nprobe), saw {n_ckpt}"
+    n_wgl = len(re.findall(r"^\s*\(\d+\)\s+WindowGroupLimit", pc_plan, re.M))
+    assert n_wgl == 8, \
+        f"probe curve wants partial+final WindowGroupLimit x4 top-ks, saw {n_wgl}"
+    sections.append(
+        (
+            "Recall-vs-nprobe curve (one checkpointed candidate pass)",
+            pc_plan,
+            "What to check (asserted): every per-nprobe branch reads the\n"
+            "EAGERLY CHECKPOINTED candidate frame (3x Scan ExistingRDD) —\n"
+            "the assignment/probe join is materialized ONCE, never\n"
+            "re-derived per curve point (the ann_mmr unrolled-loop\n"
+            "lesson); all four top-ks (exact + 3 probe points) are\n"
+            "WindowGroupLimit-bounded (partial below the exchange); zero\n"
+            "Python anywhere.",
+        )
+    )
+
+    sw_plan = fmt(E.queries()["dedup_threshold_sweep"](spark, sf))
+    assert "MapInPandas" not in sw_plan and "BatchEvalPython" not in sw_plan
+    n_bnlj = len(
+        re.findall(r"^\s*\(\d+\)\s+BroadcastNestedLoopJoin", sw_plan, re.M)
+    )
+    assert n_bnlj == 1, \
+        f"sweep wants exactly the 3-row spine cross join, saw {n_bnlj} BNLJs"
+    sections.append(
+        (
+            "Dedup threshold sweep (one LSH pass, spine cross join)",
+            sw_plan,
+            "What to check (asserted): ONE BroadcastNestedLoopJoin — the\n"
+            "3-row threshold spine against the verified pair frame (a\n"
+            "deliberate constant-factor fan-out, not an accidental\n"
+            "Cartesian); the MinHash band/verify machinery appears once,\n"
+            "shared by every curve point; the final per-threshold distinct\n"
+            "count is the two-phase combinable aggregate.  Zero Python.",
+        )
+    )
+
+    cal_plan = fmt(E.queries()["ta_calibration"](spark, sf))
+    assert "MapInPandas" not in cal_plan and "BatchEvalPython" not in cal_plan
+    assert not re.search(r"^\s*\(\d+\)\s+\w*Join", cal_plan, re.M), \
+        "calibration must be join-free (select_all signal pass, no self-join)"
+    n_cex = len(re.findall(r"^\s*\(\d+\)\s+Exchange", cal_plan, re.M))
+    assert n_cex == 1, f"calibration wants one <=11-row agg exchange, saw {n_cex}"
+    n_gen = len(re.findall(r"^\s*\(\d+\)\s+Generate", cal_plan, re.M))
+    assert n_gen == 2, \
+        f"calibration wants the two explode(array()) CollapseProject barriers, saw {n_gen}"
+    sections.append(
+        (
+            "Quality-scorer calibration vs Gopher battery (join-free)",
+            cal_plan,
+            "What to check (asserted): the battery + score compute in ONE\n"
+            "map-only projection (select_all — no self-join back to docs);\n"
+            "the token/line arrays are bound through the two\n"
+            "explode(array()) Generate barriers so CollapseProject cannot\n"
+            "inline the regex splits into every signal lambda (the\n"
+            "with_shingles O(tokens^2) trap); the only exchange ships the\n"
+            "<= n_buckets+1 aggregate rows.  Zero Python.",
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plan audit (explain formatted)\n\n"
