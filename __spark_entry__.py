@@ -3034,7 +3034,7 @@ def _simhash_pairs_ctes(max_hamming: int = 3) -> str:
     )
     ham = "bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi))"
     return f"""toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
   FROM documents
 ), hashed AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_lo,
@@ -3071,7 +3071,7 @@ def _minhash_pairs_ctes(threshold: float, src: str = "documents",
     4-band LSH near-dup pairs in DuckDB, mirrored from with_minhash/lsh_bands.
     Parametrized so it composes over any (id, text) source (documents, the
     blocks CTE, funnel canonicals)."""
-    split = f"regexp_split_to_array(lower(trim({text_col})), '[ \\t\\n\\x0b\\f\\r]+')"
+    split = f"regexp_split_to_array(lower(trim({text_col}, ' ')), '[ \\t\\n\\x0b\\f\\r]+')"
     return f"""mh_sh AS (
   SELECT {id_col} AS mh_id, list_distinct(
     CASE WHEN len({split}) < 3 THEN []
@@ -3131,7 +3131,7 @@ def _winnow_fps_ctes(n: int = 3, window: int = 4) -> str:
     shingle = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
     return f"""wn_t AS (
   SELECT doc_id,
-    regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
+    regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+') AS toks
   FROM documents),
 wn_sh AS (
   SELECT doc_id, CAST(i - 1 AS INT) AS pos, {shingle} AS sh
@@ -3169,7 +3169,7 @@ def _gopher_signals_ctes(src: str = "documents") -> str:
     can feed a mutated-text subquery through the SAME signal SQL."""
     return f"""base AS (
               SELECT doc_id, coalesce(text, '') AS t,
-                list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+'),
+                list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''), ' ')), '[ \\t\\n\\x0b\\f\\r]+'),
                             x -> x != '') AS toks,
                 list_filter(string_split(coalesce(text, ''), chr(10)), x -> x != '') AS lines
               FROM {src}),
@@ -3264,9 +3264,9 @@ from sparkx.ops.textstats import PHONE_RE as _PHONE_RE
 # salt 's0', SAMPLE_BUCKETS 10000)
 _HASH_GATE = "(('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)"
 
-_TA_TOKENS = "len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))"
+_TA_TOKENS = "len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+'))"
 _TA_EN = (
-    "len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),"
+    "len(list_filter(regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+'),"
     " t -> t IN ('the','a','and','of','to','is')))"
 )
 _TA_PUNCT = "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)"
@@ -3285,7 +3285,7 @@ def _langid_sql() -> str:
         "es": "('el','los','las','y','es','una')",
     }
     cnt = {
-        k: f"len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), t -> t IN {v}))"
+        k: f"len(list_filter(regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+'), t -> t IN {v}))"
         for k, v in sets.items()
     }
     best = f"greatest({cnt['en']}, {cnt['de']}, {cnt['fr']}, {cnt['es']})"
@@ -3323,7 +3323,7 @@ _COS = (
 _BM25_ORACLE_SQL = """
             WITH toks AS (
               SELECT doc_id,
-                unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS term
+                unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')) AS term
               FROM documents),
             toks2 AS (SELECT * FROM toks WHERE term != ''),
             dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
@@ -3902,7 +3902,7 @@ def _ivfpq_oracle_sql(k: int = 10, nprobe: int = 2) -> str:
 _HTML_RENDER_SQL = """
     WITH toks_t AS (
       SELECT doc_id, source,
-        list_filter(regexp_split_to_array(trim(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+'),
+        list_filter(regexp_split_to_array(trim(coalesce(text, ''), ' '), '[ \\t\\n\\x0b\\f\\r]+'),
                     x -> x != '') AS toks
       FROM documents),
     dims AS (
@@ -4126,7 +4126,7 @@ def oracle_sql() -> dict[str, str]:
                 list_distinct(list_transform(range(1, len(arr) - 1),
                   i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) END) AS sh
               FROM (SELECT doc_id,
-                      regexp_split_to_array(lower(trim(text)),
+                      regexp_split_to_array(lower(trim(text, ' ')),
                         '[ \\t\\n\\x0b\\f\\r]+') AS arr
                     FROM documents)),
             fps AS (SELECT doc_id,
@@ -4187,7 +4187,7 @@ def oracle_sql() -> dict[str, str]:
             WITH tk AS (
               SELECT doc_id, doc_id // 50 AS bucket,
                 unnest(list_filter(regexp_split_to_array(
-                  lower(trim(coalesce(text, ''))),
+                  lower(trim(coalesce(text, ''), ' ')),
                   '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS tok
               FROM documents),
             spine AS (
@@ -4398,7 +4398,7 @@ def oracle_sql() -> dict[str, str]:
         "cur_dialogue_windows": TRANSCRIPTS_SQL_CTE + """
             , tk AS (
               SELECT conv_id, turn_idx, role,
-                CAST(len(regexp_split_to_array(trim(text),
+                CAST(len(regexp_split_to_array(trim(text, ' '),
                   '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS tok
               FROM transcripts),
             c AS (
@@ -4434,7 +4434,7 @@ def oracle_sql() -> dict[str, str]:
                 list_distinct(list_transform(range(1, len(arr) - 1),
                   i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) END) AS sh
               FROM (SELECT doc_id,
-                      regexp_split_to_array(lower(trim(text)),
+                      regexp_split_to_array(lower(trim(text, ' ')),
                         '[ \\t\\n\\x0b\\f\\r]+') AS arr
                     FROM documents)),
             te AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
@@ -4488,7 +4488,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_bigram_logprob": """
             WITH toks AS (
               SELECT doc_id, list_filter(regexp_split_to_array(
-                lower(trim(coalesce(text, ''))),
+                lower(trim(coalesce(text, ''), ' ')),
                 '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS arr
               FROM documents),
             bg AS (
@@ -4517,7 +4517,7 @@ def oracle_sql() -> dict[str, str]:
         "cur_ccnet_buckets": """
             WITH toks AS (
               SELECT doc_id, unnest(list_filter(regexp_split_to_array(
-                lower(trim(coalesce(text, ''))),
+                lower(trim(coalesce(text, ''), ' ')),
                 '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS term
               FROM documents),
             tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
@@ -4579,7 +4579,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_novelty": """
             WITH t AS (
               SELECT doc_id,
-                regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                regexp_split_to_array(lower(trim(coalesce(text, ''), ' ')),
                   '[ \\t\\n\\x0b\\f\\r]+') AS toks
               FROM documents),
             sh AS (
@@ -4607,7 +4607,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_tfidf_keywords": """
             WITH toks AS (
               SELECT doc_id,
-                unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                unnest(regexp_split_to_array(lower(trim(coalesce(text, ''), ' ')),
                   '[ \\t\\n\\x0b\\f\\r]+')) AS term
               FROM documents),
             tf AS (
@@ -4662,10 +4662,10 @@ def oracle_sql() -> dict[str, str]:
                      THEN ls[len(ls) - 1] || '.' || ls[len(ls)]
                      ELSE host END AS domain,
                 host,
-                len(regexp_split_to_array(trim(text),
+                len(regexp_split_to_array(trim(text, ' '),
                   '[ \\t\\n\\x0b\\f\\r]+')) AS t,
                 md5(lower(trim(regexp_replace(text,
-                  '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp
+                  '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '))) AS fp
               FROM lab),
             agg AS (
               SELECT domain, count(*) AS n_docs,
@@ -4856,7 +4856,7 @@ def oracle_sql() -> dict[str, str]:
                    round({_TA_STOP}, 4) AS stopword_ratio,
                    {_TA_QUALITY} AS quality,
                    {_langid_sql()} AS lang_pred,
-                   md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp_md5
+                   md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '))) AS fp_md5
             FROM documents""",
         "ta_lang_agg": f"""
             SELECT lang, count(*) AS n_docs,
@@ -4865,7 +4865,7 @@ def oracle_sql() -> dict[str, str]:
                         // count(*) AS DOUBLE) / 10000.0 AS avg_quality
             FROM documents GROUP BY lang""",
         "dedup_exact": """
-            SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp,
+            SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '))) AS fp,
                    min(doc_id) AS keep_doc_id, count(*) AS group_size
             FROM documents GROUP BY 1""",
         "dedup_priority": """
@@ -4875,7 +4875,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id + 1000000, 'mirror', text FROM documents
               WHERE doc_id % 3 = 0),
             f AS (
-              SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp,
+              SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '))) AS fp,
                      doc_id, source,
                      CASE source WHEN 'mirror' THEN 0 WHEN 'src3' THEN 1
                           ELSE 2 END AS r
@@ -4891,11 +4891,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": f"""
 WITH sh AS (
   SELECT doc_id, list_distinct(
-    CASE WHEN len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) < 3 THEN []
-    ELSE list_transform(range(1, len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) - 1),
-      i -> regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')[i] || ' ' ||
-           regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')[i+1] || ' ' ||
-           regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')[i+2]) END) AS shingles
+    CASE WHEN len(regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')) < 3 THEN []
+    ELSE list_transform(range(1, len(regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')) - 1),
+      i -> regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')[i] || ' ' ||
+           regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')[i+1] || ' ' ||
+           regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')[i+2]) END) AS shingles
   FROM documents
 ), posting AS (
   SELECT doc_id, unnest(shingles) AS s FROM sh
@@ -5274,7 +5274,7 @@ GROUP BY 1"""
         "ann_rrf": """
             WITH toks AS (
               SELECT doc_id,
-                unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS term
+                unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')) AS term
               FROM documents),
             toks2 AS (SELECT * FROM toks WHERE term != ''),
             dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
@@ -5341,7 +5341,7 @@ GROUP BY 1"""
         # are base-invariant), diagonal run lengths, longest run + n-1
         "dedup_repeated_spans": """
             WITH base AS (
-              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS arr
+              SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+') AS arr
               FROM documents),
             sh AS (
               SELECT doc_id,
@@ -5369,8 +5369,8 @@ GROUP BY 1"""
         "dedup_cut_spans": """
             WITH base AS (
               SELECT doc_id,
-                regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+') AS larr,
-                regexp_split_to_array(trim(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+') AS arr
+                regexp_split_to_array(lower(trim(coalesce(text, ''), ' ')), '[ \\t\\n\\x0b\\f\\r]+') AS larr,
+                regexp_split_to_array(trim(coalesce(text, ''), ' '), '[ \\t\\n\\x0b\\f\\r]+') AS arr
               FROM documents),
             sh AS (
               SELECT doc_id,
@@ -5423,11 +5423,11 @@ GROUP BY 1"""
         "dedup_shared_ngrams": """
             WITH sh AS (
               SELECT doc_id, list_distinct(
-                CASE WHEN len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) < 3 THEN []
-                ELSE list_transform(range(1, len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) - 1),
-                  i -> regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')[i] || ' ' ||
-                       regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')[i+1] || ' ' ||
-                       regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')[i+2]) END) AS shingles
+                CASE WHEN len(regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')) < 3 THEN []
+                ELSE list_transform(range(1, len(regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')) - 1),
+                  i -> regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')[i] || ' ' ||
+                       regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')[i+1] || ' ' ||
+                       regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')[i+2]) END) AS shingles
               FROM documents),
             posting AS (
               SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -5446,7 +5446,7 @@ GROUP BY 1"""
         "ann_text_topk": """
             WITH toks AS (
               SELECT doc_id AS id,
-                     unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
+                     unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
               FROM documents),
             w AS (
               SELECT id, CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS INT) AS dim,
@@ -5524,7 +5524,7 @@ GROUP BY 1"""
         "u7_embed_weights": """
             WITH toks AS (
               SELECT doc_id AS id,
-                     unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
+                     unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
               FROM documents)
             SELECT id, CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS INT) AS dim,
                    CAST(SUM(CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
@@ -5695,7 +5695,7 @@ GROUP BY 1"""
               SELECT doc_id,
                      lang = 'en' AS is_tgt,
                      regexp_split_to_array(
-                       lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS arr
+                       lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+') AS arr
               FROM documents),
             feats AS (
               SELECT doc_id, is_tgt,
@@ -5773,7 +5773,7 @@ GROUP BY 1"""
         "ta_top_tokens": """
             WITH toks AS (
               SELECT unnest(regexp_split_to_array(
-                lower(trim(coalesce(text, ''))),
+                lower(trim(coalesce(text, ''), ' ')),
                 '[ \\t\\n\\x0b\\f\\r]+')) AS tok
               FROM documents)
             SELECT tok, CAST(count(*) AS BIGINT) AS n
@@ -5876,12 +5876,12 @@ GROUP BY 1"""
             FROM documents GROUP BY CUBE (lang, source)""",
         "dedup_incremental": """
             WITH dd_batch AS (
-              SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp,
+              SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '))) AS fp,
                      min(doc_id) AS doc_id,
                      CAST(count(*) - 1 AS BIGINT) AS batch_dups
               FROM documents WHERE doc_id % 3 = 0 GROUP BY 1),
             dd_seen AS (
-              SELECT DISTINCT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp
+              SELECT DISTINCT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '))) AS fp
               FROM documents WHERE doc_id % 2 = 0)
             SELECT b.fp, b.doc_id, b.batch_dups
             FROM dd_batch b ANTI JOIN dd_seen s ON b.fp = s.fp""",
@@ -5894,9 +5894,9 @@ GROUP BY 1"""
         "cur_chunks": """
             WITH t AS (
               SELECT doc_id,
-                regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks
+                regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+') AS toks
               FROM documents
-              WHERE text IS NOT NULL AND trim(text) != ''),
+              WHERE text IS NOT NULL AND trim(text, ' ') != ''),
             st AS (
               SELECT doc_id, toks,
                 unnest(range(0, len(toks), 48)) AS start_tok,
@@ -6094,7 +6094,7 @@ GROUP BY 1"""
               SELECT CAST(range AS BIGINT) AS bucket FROM range(16)),
             oldc AS (
               SELECT least(floor(CAST(len(regexp_split_to_array(
-                       trim(coalesce(text, '')), '[ \t\n\x0b\f\r]+')) AS DOUBLE) / 32), 15) AS bucket,
+                       trim(coalesce(text, ''), ' '), '[ \t\n\x0b\f\r]+')) AS DOUBLE) / 32), 15) AS bucket,
                      count(*) AS n_old
               FROM documents GROUP BY 1),
             newd AS (
@@ -6105,7 +6105,7 @@ GROUP BY 1"""
               FROM documents WHERE doc_id % 3 <> 0),
             newc AS (
               SELECT least(floor(CAST(len(regexp_split_to_array(
-                       trim(coalesce(text, '')), '[ \t\n\x0b\f\r]+')) AS DOUBLE) / 32), 15) AS bucket,
+                       trim(coalesce(text, ''), ' '), '[ \t\n\x0b\f\r]+')) AS DOUBLE) / 32), 15) AS bucket,
                      count(*) AS n_new
               FROM newd GROUP BY 1),
             j AS (
@@ -6126,7 +6126,7 @@ GROUP BY 1"""
         "cur_hll_batches": """
             WITH d AS (
               SELECT lang AS grp,
-                md5(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS fp
+                md5(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'), ' '))) AS fp
               FROM documents)
             SELECT grp,
                    CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_merged,
@@ -6141,11 +6141,11 @@ GROUP BY 1"""
               FROM documents d JOIN documents nx ON nx.doc_id = d.doc_id + 1),
             sh AS (
               SELECT doc_id, list_distinct(
-                CASE WHEN len(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) < 3 THEN []
-                ELSE list_transform(range(1, len(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) - 1),
-                  i -> regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')[i] || ' ' ||
-                       regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')[i+1] || ' ' ||
-                       regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')[i+2]) END) AS shingles
+                CASE WHEN len(regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\x0b\f\r]+')) < 3 THEN []
+                ELSE list_transform(range(1, len(regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\x0b\f\r]+')) - 1),
+                  i -> regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\x0b\f\r]+')[i] || ' ' ||
+                       regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\x0b\f\r]+')[i+1] || ' ' ||
+                       regexp_split_to_array(lower(trim(text, ' ')), '[ \t\n\x0b\f\r]+')[i+2]) END) AS shingles
               FROM base),
             sizes AS (
               SELECT doc_id, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0),
@@ -6164,7 +6164,7 @@ GROUP BY 1"""
         "stream_dedup": TRANSCRIPTS_SQL_CTE + """,
             dd_rows AS (
               SELECT
-                md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp,
+                md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '))) AS fp,
                 md5(conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS chunk_id,
                 conv_id, turn_idx
               FROM transcripts),
@@ -6190,7 +6190,7 @@ GROUP BY 1"""
         "cur_distinct_stats": """
             SELECT lang AS grp, count(*) AS n_docs,
                    count(DISTINCT md5(lower(trim(regexp_replace(text,
-                       '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))) AS n_distinct
+                       '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')))) AS n_distinct
             FROM documents GROUP BY lang""",
         "cur_pack": f"""
             WITH d AS (
@@ -6211,7 +6211,7 @@ GROUP BY 1"""
             ), flags AS (
               SELECT chunk_id,
                 row_number() OVER (
-                  PARTITION BY md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
+                  PARTITION BY md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')))
                   ORDER BY chunk_id) = 1 AS is_canonical,
                 ({_TA_TOKENS} >= 5 AND {_TA_TOKENS} <= 5000
                  AND {_TA_QUALITY} >= 0.0) AS passes_quality,
@@ -6229,7 +6229,7 @@ GROUP BY 1"""
         "ta_unigram_logprob": """
             WITH toks AS (
               SELECT doc_id,
-                unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+'),
+                unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''), ' ')), '[ \\t\\n\\x0b\\f\\r]+'),
                        x -> x != '')) AS term
               FROM documents),
             tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
@@ -6301,7 +6301,7 @@ GROUP BY 1"""
         "cur_scorecard": f"""
             WITH gb AS (
               SELECT doc_id, coalesce(text, '') AS t,
-                list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+'),
+                list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''), ' ')), '[ \\t\\n\\x0b\\f\\r]+'),
                             x -> x != '') AS toks,
                 list_filter(string_split(coalesce(text, ''), chr(10)), x -> x != '') AS lines
               FROM documents
@@ -6350,7 +6350,7 @@ GROUP BY 1"""
                 CAST(CASE WHEN gk.keep THEN 1 ELSE 0 END AS BIGINT) AS k,
                 CAST({_TA_TOKENS} AS BIGINT) AS t,
                 CAST(round({_TA_QUALITY} * 10000) AS BIGINT) AS q,
-                md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp
+                md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '))) AS fp
               FROM documents d JOIN gk USING (doc_id)),
             sagg AS (
               SELECT lang, source, count(*) AS n_docs,
@@ -6373,7 +6373,7 @@ GROUP BY 1"""
               WHERE status = 'accepted' AND chunk_type = 'text'
             ), gb AS (
               SELECT chunk_id, coalesce(text, '') AS t,
-                list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+'),
+                list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''), ' ')), '[ \\t\\n\\x0b\\f\\r]+'),
                             x -> x != '') AS toks,
                 list_filter(string_split(coalesce(text, ''), chr(10)), x -> x != '') AS lines
               FROM tb
@@ -6420,7 +6420,7 @@ GROUP BY 1"""
             ), flags AS (
               SELECT tb.chunk_id,
                 row_number() OVER (
-                  PARTITION BY md5(lower(trim(regexp_replace(tb.text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
+                  PARTITION BY md5(lower(trim(regexp_replace(tb.text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')))
                   ORDER BY tb.chunk_id) = 1 AS is_canonical,
                 gk.keep AS passes_quality,
                 ('0x' || substr(md5('corpus0|' || tb.chunk_id), 1, 8))::BIGINT % 10000
@@ -6439,7 +6439,7 @@ GROUP BY 1"""
               WHERE status = 'accepted' AND chunk_type = 'text'
             ), fps AS (
               SELECT chunk_id, text,
-                md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp
+                md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '))) AS fp
               FROM tb
             ), fcanon AS (
               SELECT fp, min(chunk_id) AS canon_id FROM fps GROUP BY fp
@@ -6678,7 +6678,7 @@ GROUP BY 1"""
         "ta_zipf_fit": """
             WITH toks AS (
               SELECT unnest(regexp_split_to_array(
-                lower(trim(coalesce(text, ''))),
+                lower(trim(coalesce(text, ''), ' ')),
                 '[ \\t\\n\\x0b\\f\\r]+')) AS tok
               FROM documents),
             freq AS (
@@ -6754,7 +6754,7 @@ GROUP BY 1"""
         "cur_epoch_repeats": f"""
             WITH d AS (
               SELECT doc_id,
-                CAST(len(regexp_split_to_array(trim(coalesce(text, '')),
+                CAST(len(regexp_split_to_array(trim(coalesce(text, ''), ' '),
                      '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS toks,
                 CAST(round(coalesce({_TA_QUALITY}, -1.0) * 10000)
                      AS BIGINT) AS q_e4
@@ -6931,11 +6931,11 @@ GROUP BY 1"""
               SELECT doc_id, trim(CASE WHEN doc_id % 97 = 0 THEN ''
                 WHEN doc_id % 3 = 0
                   THEN coalesce(text, '') || ' End. Really? Yes!'
-                ELSE coalesce(text, '') END) AS txt
+                ELSE coalesce(text, '') END, ' ') AS txt
               FROM documents),
             c AS (
               SELECT doc_id, txt = '' AS blank,
-                CAST(len(regexp_split_to_array(trim(txt),
+                CAST(len(regexp_split_to_array(trim(txt, ' '),
                   '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n_words,
                 CAST(greatest(len(regexp_extract_all(txt, '[.!?]+')), 1)
                   AS BIGINT) AS n_sents,
@@ -6967,7 +6967,7 @@ GROUP BY 1"""
               FROM documents),
             tok AS (
               SELECT doc_id, unnest(list_filter(
-                regexp_split_to_array(trim(txt), '[ \t\n\x0b\f\r]+'),
+                regexp_split_to_array(trim(txt, ' '), '[ \t\n\x0b\f\r]+'),
                 x -> x != '')) AS t
               FROM d),
             c AS (
@@ -7077,7 +7077,7 @@ GROUP BY 1"""
               FROM documents),
             fp AS (
               SELECT source,
-                md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp
+                md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '))) AS fp
               FROM d),
             ps AS (
               SELECT source, count(*) AS n_docs,
@@ -7102,7 +7102,7 @@ GROUP BY 1"""
         "cur_mix_plan": f"""
             WITH a AS (
               SELECT source,
-                CAST(sum(len(regexp_split_to_array(trim(coalesce(text, '')),
+                CAST(sum(len(regexp_split_to_array(trim(coalesce(text, ''), ' '),
                   '[ \\t\\n\\x0b\\f\\r]+'))) AS BIGINT) AS avail_tokens
               FROM documents GROUP BY 1),
             w AS (

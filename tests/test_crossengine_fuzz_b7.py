@@ -1,0 +1,138 @@
+"""Seeded cross-engine fuzz for the batch-7 regex ops: dehyphenate_stats,
+compliance_flags, and the fertility counters run over ~300 generated strings
+of hyphen/CRLF/soft-hyphen/marker/unicode-whitespace soup in ONE Spark job,
+compared column-for-column against the DuckDB spelling of the same chain —
+regex dialect (replacement syntax, 'g' flag, char classes) is exactly where
+engines drift, and fixed fixtures cannot cover the combination space."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+
+_PIECES = [
+    "exam", "ple", "-", "\n", "\r\n", "­", " ", "a-", "-\nb",
+    "X-\r\nY", "©", "copyright", "noai", "opt out of training",
+    "MIT License", "Ã©", "�", "word ", "123", "_", "!", "…", "　",
+    "\xa0", "-\n-", "--\n\n-", "do not ", "train", "cc-by", "GPL",
+]
+
+_EDGES = [
+    None, "", "-\n", "a-\n", "-\nb", "a-\r\nb", "­­",
+    "a-\n-\nb", "a-\nb-\nc", "x-\r\n\r\ny", "©©", "nonoai", "paranoia",
+]
+
+
+def _texts():
+    rng = random.Random(1234)
+    out = [
+        "".join(rng.choice(_PIECES) for _ in range(rng.randint(0, 12)))
+        for _ in range(300)
+    ]
+    return out + _EDGES
+
+
+def _duck(pdf: pd.DataFrame, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def _pdf(texts):
+    return pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": pd.array(texts, dtype=object)}
+    )
+
+
+def _spark_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_dehyphenate_crossengine_fuzz(spark):
+    from sparkx.ops.textstats import dehyphenate_stats
+
+    texts = _texts()
+    got = (
+        dehyphenate_stats(_spark_df(spark, texts))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _duck(_pdf(texts), """
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents),
+        r AS (SELECT doc_id, txt,
+                regexp_replace(txt, chr(173), '', 'g') AS no_soft FROM d),
+        r2 AS (SELECT *, regexp_replace(no_soft, chr(13) || chr(10),
+                 chr(10), 'g') AS norm FROM r),
+        r3 AS (SELECT *, regexp_replace(norm,
+                 '([0-9A-Za-z])-' || chr(10) || '([0-9A-Za-z])',
+                 '\\1\\2', 'g') AS joined FROM r2)
+        SELECT doc_id,
+          CAST(length(txt) - length(no_soft) AS BIGINT) AS n_soft_hyphens,
+          CAST(length(no_soft) - length(norm) AS BIGINT) AS n_crlf,
+          CAST((length(norm) - length(joined)) // 2 AS BIGINT)
+            AS n_hyphen_breaks,
+          joined AS text_repaired
+        FROM r3 ORDER BY doc_id""")
+    for c in ["n_soft_hyphens", "n_crlf", "n_hyphen_breaks"]:
+        assert got[c].tolist() == want[c].tolist(), c
+    assert got["text_repaired"].tolist() == want["text_repaired"].tolist()
+
+
+def test_compliance_crossengine_fuzz(spark):
+    from sparkx.ops.textstats import (
+        COPYRIGHT_RE, LICENSE_RE, NOAI_RE, compliance_flags,
+    )
+
+    texts = _texts()
+    got = (
+        compliance_flags(_spark_df(spark, texts))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _duck(_pdf(texts), f"""
+        WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS low
+                   FROM documents)
+        SELECT doc_id,
+          regexp_matches(low, '{COPYRIGHT_RE}') AS has_copyright,
+          regexp_matches(low, '{NOAI_RE}') AS has_noai,
+          regexp_matches(low, '{LICENSE_RE}') AS has_license
+        FROM d ORDER BY doc_id""")
+    for c in ["has_copyright", "has_noai", "has_license"]:
+        assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_fertility_counters_crossengine_fuzz(spark):
+    from pyspark.sql import functions as F
+
+    from sparkx.ops.textstats import bpe_ish_token_count, token_count
+
+    texts = _texts()
+    df = _spark_df(spark, texts)
+    got = (
+        df.select(
+            "doc_id",
+            token_count(F.coalesce(F.col("text"), F.lit(""))).alias("ws"),
+            bpe_ish_token_count("text").alias("bpe"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _duck(_pdf(texts), r"""
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+        SELECT doc_id,
+          len(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS ws,
+          len(regexp_extract_all(text,
+              '[0-9A-Za-z_]+|[^0-9A-Za-z_ \t\n\x0b\f\r]')) AS bpe
+        FROM d ORDER BY doc_id""")
+    assert got["ws"].tolist() == want["ws"].tolist()
+    assert got["bpe"].tolist() == want["bpe"].tolist()
