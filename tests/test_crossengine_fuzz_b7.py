@@ -136,3 +136,26 @@ def test_fertility_counters_crossengine_fuzz(spark):
         FROM d ORDER BY doc_id""")
     assert got["ws"].tolist() == want["ws"].tolist()
     assert got["bpe"].tolist() == want["bpe"].tolist()
+
+
+def test_lower_dialect_divergence_is_known_and_bounded(spark):
+    """DOCUMENTING test: Spark (Java) lower() applies full Unicode case
+    mapping — İ (U+0130) → 'i' + combining dot, Greek capital sigma gets
+    the context-sensitive final form — while DuckDB (utf8proc) applies
+    simple 1:1 mapping.  This CANNOT be mirrored in oracle SQL, so it is
+    a documented parity limitation (CLAUDE.md / parity memory): gate
+    fixtures must avoid İ and word-final Σ in lower()-path columns.  If
+    either engine changes behavior, this test tells us to re-audit."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, "İ"), (2, "ΣΑΣ")]
+    df = spark.createDataFrame(rows, "i long, t string")
+    sp = {r["i"]: r["l"] for r in df.select("i", F.lower("t").alias("l")).collect()}
+    assert sp[1] == "i̇"      # Java full mapping
+    assert sp[2] == "σας"          # context-sensitive final sigma
+    con = duckdb.connect()
+    try:
+        assert con.execute("SELECT lower('İ')").fetchone()[0] == "i"
+        assert con.execute("SELECT lower('ΣΑΣ')").fetchone()[0] == "σασ"
+    finally:
+        con.close()
