@@ -47,7 +47,8 @@ COPY (
     (11, 'nbsp' || chr(160) || 'and' || chr(12288) || 'ideographic space the of to is words', 'en', 'src9', 44),
     (12, 'contact real.user+tag@mail.example.org or call +44 20 7946 0958 now the a of', 'en', 'src10', 60),
     (13, 'line one' || chr(10) || 'line one' || chr(10) || 'line two repeated lines the of to', 'en', 'src10', 40),
-    (14, chr(160) || 'leading and trailing nbsp the a of to is around this text' || chr(160), 'en', 'src11', 60)
+    (14, chr(160) || 'leading and trailing nbsp the a of to is around this text' || chr(160), 'en', 'src11', 60),
+    (15, '😀 astral emoji 👩‍👩‍👧‍👦 zwj family and 𝔘𝔫𝔦 math letters the a of to is here', 'en', 'src11', 70)
   ) t(doc_id, text, lang, source, n_chars)
 ) TO 'DEST/documents.parquet' (FORMAT PARQUET)""".replace("DEST", str(adv))
     )
