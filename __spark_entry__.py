@@ -2563,6 +2563,26 @@ def _q_dedup_prefix(spark, sf_dir):
     return D.prefix_dedup(_docs(spark, sf_dir), prefix_chars=16)
 
 
+def _q_diag_scan_parallelism(spark, sf_dir):
+    """Scan-parallelism advisor (diag.scan_parallelism_report) over a file
+    listing derived from documents: bytes = n_chars·1000 (spanning both
+    sides of the 64 KB slice target), n_row_groups = 1 + doc_id%4 — so the
+    listing genuinely mixes row-group-bound and byte-bound files and both
+    CASE branches are exercised.  Pure integer ceil arithmetic, map-only
+    over a metadata-scale listing."""
+    from sparkx.ops import diag as DG
+
+    d = _docs(spark, sf_dir)
+    files = d.select(
+        F.concat(
+            F.lit("part-"), F.lpad(F.col("doc_id").cast("string"), 8, "0")
+        ).alias("path"),
+        (F.col("n_chars").cast("long") * 1000).alias("bytes"),
+        (F.col("doc_id") % 4 + 1).cast("int").alias("n_row_groups"),
+    )
+    return DG.scan_parallelism_report(files, max_partition_bytes=64 * 1024)
+
+
 def _q_ta_fertility(spark, sf_dir):
     """Tokenizer-fertility table (textstats.tokenizer_fertility): BPE-ish
     subword tokens per whitespace word per language, truncating e4 ratio —
@@ -2790,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_compliance": _q_ta_compliance,
         "ta_dehyphenate": _q_ta_dehyphenate,
         "ta_calibration": _q_ta_calibration,
+        "diag_scan_parallelism": _q_diag_scan_parallelism,
         # r3-green refresh fill (ta_lang_agg and dedup_exact displaced past
         # position 49 by the two entries above; both have green
         # {rows,schema,hash} rows in CORRECTNESS_r01–r03)
@@ -5121,6 +5142,25 @@ GROUP BY 1"""
             FROM spine s LEFT JOIN p2 ON TRUE
             GROUP BY s.threshold_e4"""
         ),
+        # scan-parallelism advisor: pure integer ceil arithmetic over the
+        # derived listing; least/greatest + nonneg div mirror exactly
+        "diag_scan_parallelism": """
+            WITH f AS (
+              SELECT 'part-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS path,
+                CAST(n_chars AS BIGINT) * 1000 AS bytes,
+                CAST(doc_id % 4 + 1 AS INT) AS n_row_groups
+              FROM documents),
+            c AS (
+              SELECT path, bytes, n_row_groups,
+                greatest((bytes + 65536 - 1) // 65536, 1) AS byte_cap,
+                greatest(CAST(n_row_groups AS BIGINT), 1) AS rg_cap
+              FROM f)
+            SELECT path, bytes, CAST(n_row_groups AS BIGINT) AS n_row_groups,
+              CAST(least(rg_cap, byte_cap) AS BIGINT) AS est_tasks,
+              CASE WHEN rg_cap < byte_cap THEN 'row_groups'
+                   ELSE 'bytes' END AS bound,
+              CAST(byte_cap AS BIGINT) AS recommended_groups
+            FROM c""",
         # scorer↔battery calibration: the ta_gopher_rules signal CTEs +
         # the cur_scorecard e4 score grid; NULL score → -1 sentinel bucket
         "ta_calibration": (

@@ -279,8 +279,9 @@ def main() -> int:
         # r5 batch 7: tokenizer fertility, compliance markers,
         # dehyphenation repair
         "ta_fertility", "ta_compliance", "ta_dehyphenate",
-        # r5 batch 8: quality-scorer calibration vs the Gopher battery
-        "ta_calibration",
+        # r5 batch 8: quality-scorer calibration vs the Gopher battery,
+        # scan-parallelism advisor
+        "ta_calibration", "diag_scan_parallelism",
     ]
     # ops whose expensive branch feeds ONLY columns a bare count() prunes
     # (left-joined aggregates; budget_truncate's window + latency/prefix agg

@@ -186,3 +186,50 @@ def partition_prune_report(
             ).alias("scan_share_e6"),
         )
     )
+
+
+def scan_parallelism_report(
+    files: DataFrame,
+    max_partition_bytes: int = 128 * 1024 * 1024,
+    path_col: str = "path",
+    bytes_col: str = "bytes",
+    row_groups_col: str = "n_row_groups",
+) -> DataFrame:
+    """Scan-parallelism advisor — the codified form of this round's
+    hardest-won benchmark lesson (BENCH/BASELINE.md "minhash 0.271"):
+    Spark assigns one scan task per parquet ROW GROUP slice, so a
+    single-file table written with pyarrow's 1M-row default scans as ONE
+    task at any core count, and every map stage downstream of it
+    serializes no matter how many executors the job has.  Given a file
+    listing with per-file row-group counts, estimate the achievable task
+    count per file and name the binding constraint.
+
+    ``est_tasks = least(n_row_groups, ceil(bytes / max_partition_bytes))``
+    (at least 1): a file yields at most one task per row group, and at
+    most one per ``spark.sql.files.maxPartitionBytes`` slice.
+    ``bound = 'row_groups'`` marks files whose layout (not size) caps
+    parallelism — exactly the writer mistake to fix —
+    with ``recommended_groups`` the group count that lifts the cap to the
+    byte bound.  All pure integer arithmetic (``ceil`` via ``(b+m-1) div
+    m`` — nonnegative, engine-exact); a listing is metadata-scale, so the
+    op is map-only over ~|files| rows at any table size.
+
+    Returns ``(path, bytes, n_row_groups, est_tasks, bound,
+    recommended_groups)``.
+    """
+    m = int(max_partition_bytes)
+    byte_cap = F.expr(f"greatest(({bytes_col} + {m} - 1) div {m}, 1)").cast(
+        "long"
+    )
+    rg_cap = F.greatest(F.col(row_groups_col).cast("long"), F.lit(1))
+    est = F.least(rg_cap, byte_cap)
+    return files.select(
+        F.col(path_col).alias("path"),
+        F.col(bytes_col).cast("long").alias("bytes"),
+        F.col(row_groups_col).cast("long").alias("n_row_groups"),
+        est.alias("est_tasks"),
+        F.when(rg_cap < byte_cap, F.lit("row_groups"))
+        .otherwise(F.lit("bytes"))
+        .alias("bound"),
+        byte_cap.alias("recommended_groups"),
+    )

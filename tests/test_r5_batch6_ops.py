@@ -331,3 +331,29 @@ def test_quality_calibration_buckets_and_sentinel(spark):
         assert out[b][1] <= out[b][0]
         if keeps[r["doc_id"]]:
             assert out[b][1] >= 1
+
+
+def test_scan_parallelism_bounds(spark):
+    """The r5 row-group lesson as an op: a huge single-group file is
+    row-group-bound with est_tasks=1; a small many-group file is
+    byte-bound; recommended_groups lifts exactly to the byte cap."""
+    from sparkx.ops.diag import scan_parallelism_report
+
+    rows = [
+        ("one_group_huge", 10 * 128 * 1024 * 1024, 1),
+        ("many_groups_small", 1024, 64),
+        ("balanced", 2 * 128 * 1024 * 1024, 2),
+        ("zero_groups_listing_bug", 512, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "path string, bytes long, n_row_groups int"
+    )
+    out = {
+        r["path"]: (r["est_tasks"], r["bound"], r["recommended_groups"])
+        for r in scan_parallelism_report(df).collect()
+    }
+    assert out["one_group_huge"] == (1, "row_groups", 10)
+    assert out["many_groups_small"] == (1, "bytes", 1)
+    assert out["balanced"] == (2, "bytes", 2)
+    # caps tie at 1 → 'bytes' (a 512-byte file cannot parallelize anyway)
+    assert out["zero_groups_listing_bug"] == (1, "bytes", 1)
