@@ -286,9 +286,15 @@ def main() -> int:
     # ops whose expensive branch feeds ONLY columns a bare count() prunes
     # (left-joined aggregates; budget_truncate's window + latency/prefix agg
     # expressions prune the same way) — must force evaluation or the timing
-    # is a no-op (see _force_count)
+    # is a no-op (see _force_count).  The batch-7/8 map-only ops are forced
+    # too: a bare count() prunes their flag/repair/ratio expressions down
+    # to a scan floor (~0.17 s at sf0.1).  Pre-batch-6 map-only entries
+    # keep the historical bare-count convention so their ledger deltas stay
+    # comparable across rounds.
     FORCE = {"dedup_semdedup", "cur_embed_decontam", "ann_assign_table",
-             "cur_tool_latency", "dedup_prefix", "cur_budget_truncate"}
+             "cur_tool_latency", "dedup_prefix", "cur_budget_truncate",
+             "ta_fertility", "ta_compliance", "ta_dehyphenate",
+             "ta_calibration", "diag_scan_parallelism"}
     for name in suite:
         fn = _force_count if name in FORCE else _count
         timed(name, lambda n=name, f=fn: f(qs[n](spark, SF_DIR)))
