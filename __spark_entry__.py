@@ -2563,6 +2563,21 @@ def _q_dedup_prefix(spark, sf_dir):
     return D.prefix_dedup(_docs(spark, sf_dir), prefix_chars=16)
 
 
+def _q_cur_crawl_plan(spark, sf_dir):
+    """Acquisition capacity planner (corpus.crawl_plan): mix_plan run
+    backward through the funnel — per weighted source, tokens to crawl RAW
+    so the dedup-keep × Gopher-pass survival meets the mixture's demand
+    at a 10M-token budget.  Eight real sources at varied weights plus one
+    absent source ('src_missing') exercising the infeasible row."""
+    from sparkx.ops import corpus as C
+
+    weights = {f"src{i}": (i % 4) + 1 for i in range(8)}
+    weights["src_missing"] = 2
+    return C.crawl_plan(
+        _docs(spark, sf_dir), weights, budget_tokens=10_000_000
+    )
+
+
 def _q_diag_scan_parallelism(spark, sf_dir):
     """Scan-parallelism advisor (diag.scan_parallelism_report) over a file
     listing derived from documents: bytes = n_chars·1000 (spanning both
@@ -2811,6 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_dehyphenate": _q_ta_dehyphenate,
         "ta_calibration": _q_ta_calibration,
         "diag_scan_parallelism": _q_diag_scan_parallelism,
+        "cur_crawl_plan": _q_cur_crawl_plan,
         # r3-green refresh fill (ta_lang_agg and dedup_exact displaced past
         # position 49 by the two entries above; both have green
         # {rows,schema,hash} rows in CORRECTNESS_r01–r03)
@@ -5141,6 +5157,52 @@ GROUP BY 1"""
                 AS n_docs_flagged
             FROM spine s LEFT JOIN p2 ON TRUE
             GROUP BY s.threshold_e4"""
+        ),
+        # acquisition capacity planner: the Gopher battery CTEs + the
+        # canonical fingerprint/token mirrors rolled up per source, then
+        # pure integer closed forms (DIV demand split, ceil raw division);
+        # the absent weighted source rides the left join as the
+        # infeasible row
+        "cur_crawl_plan": (
+            "WITH " + _gopher_signals_ctes() + f""",
+            k AS (
+              SELECT doc_id,
+                ({" AND ".join(_GOPHER_SQL_PASS.values())}) AS keep
+              FROM m),
+            d0 AS (
+              SELECT doc_id, source, text, coalesce(text, '') AS ctext
+              FROM documents),
+            st AS (
+              SELECT d.source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(regexp_split_to_array(trim(ctext, ' '),
+                    '[ \\t\\n\\x0b\\f\\r]+'))) AS BIGINT) AS tokens_total,
+                CAST(count(DISTINCT md5(lower(trim(regexp_replace(d.text,
+                    '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '))))
+                  AS BIGINT) AS n_uniq,
+                CAST(sum(CAST(k.keep AS INT)) AS BIGINT) AS n_pass
+              FROM d0 d JOIN k USING (doc_id)
+              GROUP BY d.source),
+            w AS (
+              SELECT unnest(['src0','src1','src2','src3','src4','src5',
+                             'src6','src7','src_missing']) AS source,
+                     unnest([1,2,3,4,1,2,3,4,2]) AS weight),
+            j AS (
+              SELECT w.source, CAST(w.weight AS BIGINT) AS weight,
+                st.n_docs, st.tokens_total,
+                CAST((st.n_uniq * 10000) // st.n_docs AS BIGINT) AS keep_bp,
+                CAST((st.n_pass * 10000) // st.n_docs AS BIGINT) AS pass_bp,
+                CAST((w.weight * 10000000) // 22 AS BIGINT) AS demand_tokens
+              FROM w LEFT JOIN st USING (source))
+            SELECT source, weight, n_docs, tokens_total, keep_bp, pass_bp,
+              demand_tokens,
+              CASE WHEN keep_bp * pass_bp > 0
+                   THEN CAST((demand_tokens * 100000000
+                              + keep_bp * pass_bp - 1)
+                             // (keep_bp * pass_bp) AS BIGINT)
+                   END AS raw_tokens_needed,
+              coalesce(keep_bp * pass_bp > 0, FALSE) AS feasible
+            FROM j"""
         ),
         # scan-parallelism advisor: pure integer ceil arithmetic over the
         # derived listing; least/greatest + nonneg div mirror exactly

@@ -2208,3 +2208,101 @@ def budget_truncate(
             (F.col("n_kept") < F.col("n_turns")).alias("truncated"),
         )
     )
+
+
+def crawl_plan(
+    docs: DataFrame,
+    weights: dict[str, int],
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Acquisition capacity planner — :func:`mix_plan` run BACKWARD through
+    the cleaning funnel: mix_plan answers "given clean data, how much of
+    each source goes in the mixture"; this answers the question the crawl
+    team asks first — "how much RAW data must each source deliver so that
+    after exact dedup and the Gopher battery, the mixture's per-source
+    token demand is met?".  Per source, the funnel survival is measured
+    from the corpus itself (unique-fingerprint rate × battery pass rate,
+    both on the e4 grid), and the required raw volume is the ceiling
+    division ``demand·10⁸ / (keep_bp·pass_bp)``.
+
+    Estimation assumptions, stated because a planner is only honest about
+    what it assumes: dedup-keep and quality-pass are treated as
+    independent (measured marginally, multiplied), and document-level
+    rates proxy token-level rates.  Both biases are corpus-measurable and
+    the table carries the raw counts so a user can re-derive with their
+    own model.  ``demand_tokens`` is the truncating proportional split
+    ``weight·budget div Σweights`` (the mix_plan grid idiom).
+
+    Weighted sources ABSENT from the corpus surface as infeasible rows
+    (NULL rates, ``feasible`` false) rather than vanishing — the planner's
+    job is exactly to flag the source that cannot deliver.
+
+    Execution: ONE map-only pass (Gopher signals via
+    :func:`~sparkx.ops.textstats.gopher_rules` ``select_all`` + the
+    canonical fingerprint/token expressions in the same projection), one
+    combinable per-source aggregate (count-distinct two-phase), and the
+    ≤|sources|-row stats frame broadcast under the weights spine.  Output is
+    |weights| rows at any corpus size; every intermediate fits int64
+    (demand ≤ budget ≤ ~9·10¹⁰ → demand·10⁸ < 2⁶³).
+
+    Returns ``(source, weight, n_docs, tokens_total, keep_bp, pass_bp,
+    demand_tokens, raw_tokens_needed, feasible)``.
+    """
+    from sparkx.ops.textstats import fingerprint, gopher_rules, token_count
+
+    total_w = sum(int(w) for w in weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive total")
+    spark = docs.sparkSession
+    spine = spark.createDataFrame(
+        [(s, int(w)) for s, w in sorted(weights.items())],
+        "source string, weight long",
+    )
+    g = gopher_rules(docs, select_all=True, text_col=text_col)
+    stats = (
+        g.select(
+            F.col(source_col).alias("source"),
+            token_count(F.coalesce(F.col(text_col), F.lit("")))
+            .cast("long")
+            .alias("_tok"),
+            fingerprint(text_col).alias("_fp"),
+            F.col("keep").cast("long").alias("_k"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("tokens_total"),
+            F.countDistinct("_fp").alias("_uniq"),
+            F.sum("_k").alias("_pass"),
+        )
+    )
+    # broadcast the STATS side: the preserved (left) side of a left join
+    # cannot broadcast, and stats is equally bounded (≤|sources| rows)
+    j = spine.join(F.broadcast(stats), "source", "left")
+    keep_bp = F.expr("CAST((_uniq * 10000) DIV n_docs AS BIGINT)")
+    pass_bp = F.expr("CAST((_pass * 10000) DIV n_docs AS BIGINT)")
+    # integer DIV, never float-floor: weight*budget can exceed 2^53 where
+    # a double silently loses exactness
+    j = j.select(
+        "source",
+        "weight",
+        F.col("n_docs"),
+        "tokens_total",
+        keep_bp.alias("keep_bp"),
+        pass_bp.alias("pass_bp"),
+        F.expr(
+            f"CAST((weight * {int(budget_tokens)}) DIV {total_w} AS BIGINT)"
+        ).alias("demand_tokens"),
+    )
+    surv = F.col("keep_bp") * F.col("pass_bp")
+    raw = F.expr(
+        "CAST((demand_tokens * 100000000 + keep_bp * pass_bp - 1) "
+        "DIV (keep_bp * pass_bp) AS BIGINT)"
+    )
+    return j.select(
+        "*",
+        F.when(surv > 0, raw).alias("raw_tokens_needed"),
+        F.coalesce(surv > 0, F.lit(False)).alias("feasible"),
+    )

@@ -357,3 +357,40 @@ def test_scan_parallelism_bounds(spark):
     assert out["balanced"] == (2, "bytes", 2)
     # caps tie at 1 → 'bytes' (a 512-byte file cannot parallelize anyway)
     assert out["zero_groups_listing_bug"] == (1, "bytes", 1)
+
+
+def test_crawl_plan_closed_forms(spark):
+    """Demand is the truncating proportional split; raw volume is the exact
+    ceiling division by measured survival; an absent weighted source is an
+    infeasible row, not a missing one."""
+    import pytest as _pt
+
+    from sparkx.ops.corpus import crawl_plan
+
+    # passes gopher: >50 words, varied 2-grams, sane word lengths, stopwords
+    good = " ".join(
+        f"the alpha{i} and beta{i} of gamma{i} have delta{i} with eps{i}"
+        for i in range(15)
+    )
+    rows = (
+        [(i, "a", good + f" d{i}") for i in range(4)]       # 4 unique passing docs
+        + [(10, "b", good + " x"), (11, "b", good + " x")]  # b: exact dups (keep 1/2)
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["source"]: r
+        for r in crawl_plan(
+            df, {"a": 3, "b": 1, "ghost": 1}, budget_tokens=1000
+        ).collect()
+    }
+    a, b, g = out["a"], out["b"], out["ghost"]
+    assert a["demand_tokens"] == 3 * 1000 // 5 and b["demand_tokens"] == 200
+    assert a["keep_bp"] == 10000 and a["pass_bp"] == 10000
+    assert a["raw_tokens_needed"] == a["demand_tokens"]  # survival 1.0
+    assert b["keep_bp"] == 5000  # 1 unique of 2
+    surv = b["keep_bp"] * b["pass_bp"]
+    assert b["raw_tokens_needed"] == (b["demand_tokens"] * 10**8 + surv - 1) // surv
+    assert g["n_docs"] is None and g["raw_tokens_needed"] is None
+    assert g["feasible"] is False and a["feasible"] is True
+    with _pt.raises(ValueError, match="positive"):
+        crawl_plan(df, {"a": 0}, budget_tokens=10)
