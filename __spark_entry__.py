@@ -2563,6 +2563,45 @@ def _q_dedup_prefix(spark, sf_dir):
     return D.prefix_dedup(_docs(spark, sf_dir), prefix_chars=16)
 
 
+def _q_html_meta(spark, sf_dir):
+    """Head-metadata extraction (html_extract.page_meta): title, robots
+    noindex/nofollow directives, and the rel=canonical dedup hint.  Pages
+    are render_pages output with a deterministic synthetic head prepended
+    (title always; robots by doc_id%5 — none/noindex/noindex,nofollow/
+    nofollow; canonical by doc_id%4 — none/other-doc/self), so every flag
+    combination including the declares-duplicate case is exercised.  The
+    op is head-scoped, so the oracle reduces to the same doc_id CASE
+    arithmetic — body markup cannot leak in by construction."""
+    from sparkx.ops import html_extract as H
+
+    pages = H.render_pages(_docs(spark, sf_dir))
+    sid = F.col("doc_id").cast("string")
+    robots_tag = (
+        F.when(F.col("doc_id") % 5 == 1,
+               F.lit('<meta name="robots" content="noindex"/>'))
+        .when(F.col("doc_id") % 5 == 2,
+              F.lit('<meta name="robots" content="noindex,nofollow"/>'))
+        .when(F.col("doc_id") % 5 == 3,
+              F.lit('<meta name="robots" content="nofollow"/>'))
+        .otherwise(F.lit(""))
+    )
+    canon_tag = (
+        F.when(F.col("doc_id") % 4 == 1, F.concat(
+            F.lit('<link rel="canonical" href="/d'),
+            (F.col("doc_id") - 1).cast("string"), F.lit('"/>')))
+        .when(F.col("doc_id") % 4 == 2, F.concat(
+            F.lit('<link rel="canonical" href="/d'), sid, F.lit('"/>')))
+        .otherwise(F.lit(""))
+    )
+    head = F.concat(
+        F.lit("<head><title>Document "), sid, F.lit("</title>"),
+        robots_tag, canon_tag, F.lit("</head>"),
+    )
+    return H.page_meta(
+        pages.select("doc_id", F.concat(head, F.col("html")).alias("html"))
+    )
+
+
 def _q_cur_crawl_plan(spark, sf_dir):
     """Acquisition capacity planner (corpus.crawl_plan): mix_plan run
     backward through the funnel — per weighted source, tokens to crawl RAW
@@ -2827,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_calibration": _q_ta_calibration,
         "diag_scan_parallelism": _q_diag_scan_parallelism,
         "cur_crawl_plan": _q_cur_crawl_plan,
+        "html_meta": _q_html_meta,
         # r3-green refresh fill (ta_lang_agg and dedup_exact displaced past
         # position 49 by the two entries above; both have green
         # {rows,schema,hash} rows in CORRECTNESS_r01–r03)
@@ -5158,6 +5198,24 @@ GROUP BY 1"""
             FROM spine s LEFT JOIN p2 ON TRUE
             GROUP BY s.threshold_e4"""
         ),
+        # head metadata: the op is head-scoped and the head is pure
+        # doc_id arithmetic, so the oracle needs no page re-render
+        "html_meta": """
+            SELECT doc_id,
+              'Document ' || CAST(doc_id AS VARCHAR) AS title,
+              CASE CAST(doc_id % 5 AS INT)
+                WHEN 1 THEN 'noindex'
+                WHEN 2 THEN 'noindex,nofollow'
+                WHEN 3 THEN 'nofollow'
+                ELSE '' END AS robots,
+              CAST(doc_id % 5 AS INT) IN (1, 2) AS noindex,
+              CAST(doc_id % 5 AS INT) IN (2, 3) AS nofollow,
+              CASE CAST(doc_id % 4 AS INT)
+                WHEN 1 THEN '/d' || CAST(doc_id - 1 AS VARCHAR)
+                WHEN 2 THEN '/d' || CAST(doc_id AS VARCHAR)
+                END AS canonical_url,
+              CAST(doc_id % 4 AS INT) = 1 AS declares_duplicate
+            FROM documents""",
         # acquisition capacity planner: the Gopher battery CTEs + the
         # canonical fingerprint/token mirrors rolled up per source, then
         # pure integer closed forms (DIV demand split, ceil raw division);

@@ -280,8 +280,10 @@ def main() -> int:
         # dehyphenation repair
         "ta_fertility", "ta_compliance", "ta_dehyphenate",
         # r5 batch 8: quality-scorer calibration vs the Gopher battery,
-        # scan-parallelism advisor, acquisition capacity planner
+        # scan-parallelism advisor, acquisition capacity planner,
+        # head-metadata extraction
         "ta_calibration", "diag_scan_parallelism", "cur_crawl_plan",
+        "html_meta",
     ]
     # ops whose expensive branch feeds ONLY columns a bare count() prunes
     # (left-joined aggregates; budget_truncate's window + latency/prefix agg
@@ -294,7 +296,8 @@ def main() -> int:
     FORCE = {"dedup_semdedup", "cur_embed_decontam", "ann_assign_table",
              "cur_tool_latency", "dedup_prefix", "cur_budget_truncate",
              "ta_fertility", "ta_compliance", "ta_dehyphenate",
-             "ta_calibration", "diag_scan_parallelism", "cur_crawl_plan"}
+             "ta_calibration", "diag_scan_parallelism", "cur_crawl_plan",
+             "html_meta"}
     for name in suite:
         fn = _force_count if name in FORCE else _count
         timed(name, lambda n=name, f=fn: f(qs[n](spark, SF_DIR)))

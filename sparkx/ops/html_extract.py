@@ -417,3 +417,53 @@ def host_scorecard(
             "dup_frac"
         ),
     )
+
+
+def page_meta(
+    pages: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """Head-metadata extraction — the crawl-compliance companion to
+    :func:`main_content`'s body strip: per page, the ``<title>``, the
+    ``robots`` meta directives (``noindex`` — the page asked to be left
+    out of the index/corpus; ``nofollow`` — its links must not feed the
+    link graph), and the ``rel=canonical`` URL (the publisher's OWN
+    dedup hint — :func:`url_dedup` consolidates on it before any content
+    hashing runs, and a canonical pointing elsewhere marks this page a
+    declared duplicate).  ``noindex`` pairs with
+    :func:`~sparkx.ops.textstats.compliance_flags` as the machine-readable
+    side of the opt-out screen.
+
+    Extraction is HEAD-SCOPED: the ``<head>…</head>`` segment is cut
+    first (lazy quantifier, leading-anchored), and the tag patterns run
+    on it alone — body text that happens to contain metadata-shaped
+    markup (hostile or quoted pages) cannot leak into the result, and a
+    page without a head yields all-absent.  No-match yields '' in BOTH
+    Spark and DuckDB ``regexp_extract`` (the cross-engine convention this
+    op leans on), NULLed explicitly for absent title/canonical so
+    downstream aggregation counts are honest.  Map-only: four
+    regexp_extract in one codegen span, zero shuffle at any scale.
+
+    Returns ``(id_col, title, robots, noindex, nofollow, canonical_url,
+    declares_duplicate)``; ``declares_duplicate`` is true when a
+    canonical exists and differs from the page's own ``/d{id}`` URL.
+    """
+    h = F.regexp_extract(
+        F.coalesce(F.col(html_col), F.lit("")), "^<head>(.*?)</head>", 1
+    )
+    title = F.regexp_extract(h, "<title>([^<]*)</title>", 1)
+    robots = F.lower(
+        F.regexp_extract(h, '<meta name="robots" content="([^"]*)"', 1)
+    )
+    canonical = F.regexp_extract(h, '<link rel="canonical" href="([^"]*)"', 1)
+    self_url = F.concat(F.lit("/d"), F.col(id_col).cast("string"))
+    return pages.select(
+        F.col(id_col),
+        F.when(title != "", title).alias("title"),
+        robots.alias("robots"),
+        robots.contains("noindex").alias("noindex"),
+        robots.contains("nofollow").alias("nofollow"),
+        F.when(canonical != "", canonical).alias("canonical_url"),
+        ((canonical != "") & (canonical != self_url)).alias(
+            "declares_duplicate"
+        ),
+    )

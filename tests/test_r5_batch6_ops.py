@@ -394,3 +394,30 @@ def test_crawl_plan_closed_forms(spark):
     assert g["feasible"] is False and a["feasible"] is True
     with _pt.raises(ValueError, match="positive"):
         crawl_plan(df, {"a": 0}, budget_tokens=10)
+
+
+def test_page_meta_head_scoped(spark):
+    """Body-injected metadata-shaped markup cannot leak in; a headless
+    page yields all-absent; robots directives parse case-insensitively."""
+    from sparkx.ops.html_extract import page_meta
+
+    rows = [
+        (1, '<head><title>Real</title><meta name="robots" content="NOINDEX"/>'
+            '<link rel="canonical" href="/d9"/></head>'
+            '<p><title>fake</title><link rel="canonical" href="/evil"/></p>'),
+        (2, '<p>no head at all <title>body</title></p>'),
+        (3, '<head><title></title></head>body'),   # empty title → NULL
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {
+        r["doc_id"]: (
+            r["title"], r["robots"], r["noindex"], r["nofollow"],
+            r["canonical_url"], r["declares_duplicate"],
+        )
+        for r in page_meta(df).collect()
+    }
+    assert out[1] == ("Real", "noindex", True, False, "/d9", True)
+    assert out[2] == (None, "", False, False, None, False)
+    assert out[3] == (None, "", False, False, None, False)
+    assert out[4] == (None, "", False, False, None, False)
