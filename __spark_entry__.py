@@ -2563,6 +2563,56 @@ def _q_dedup_prefix(spark, sf_dir):
     return D.prefix_dedup(_docs(spark, sf_dir), prefix_chars=16)
 
 
+def _q_cur_agent_outcomes(spark, sf_dir):
+    """Heuristic outcome labeling (corpus.agent_outcomes): the LAST
+    assistant turn's closing statement classified error > apology > done >
+    unlabeled by high-precision literal markers.  Assistant turns gain
+    deterministic doc_id%7 marker suffixes (incl. a mixed
+    apology+failure text pinning the precedence) — identical CASE in the
+    oracle; the adversarial fixture's single-turn convs exercise
+    no_assistant."""
+    from sparkx.ops import corpus as C
+
+    t = transcripts_from_documents(spark, sf_dir)
+    # doc_id is recoverable from (conv, turn): doc_id = conv_num + 50*turn
+    doc_id = (
+        F.substring("conv_id", 6, 4).cast("long")
+        + F.col("turn_idx").cast("long") * 50
+    )
+    suffix = (
+        F.when(doc_id % 7 == 0,
+               F.lit(" unfortunately the tool failed with an error"))
+        .when(doc_id % 7 == 1, F.lit(" i apologize for the confusion"))
+        .when(doc_id % 7 == 2,
+              F.lit(" the task completed successfully. here is the result"))
+        .when(doc_id % 7 == 3, F.lit(" i am sorry but it failed"))
+        .otherwise(F.lit(""))
+    )
+    t = t.withColumn(
+        "text",
+        F.when(
+            F.col("role") == "assistant", F.concat(F.col("text"), suffix)
+        ).otherwise(F.col("text")),
+    )
+    return C.agent_outcomes(t)
+
+
+def _q_dedup_convs(spark, sf_dir):
+    """Conversation-level order-insensitive exact dedup (dedup.conv_dedup):
+    conv fingerprint = md5 of the sorted multiset of canonical turn
+    fingerprints.  Every 5th conversation is re-logged under a 'dup_'
+    prefix (same turn contents — conv_dedup ignores order, so no
+    reindexing needed), so real duplicate groups exist and min-id keeps
+    the original ('c' < 'd')."""
+    from sparkx.ops import dedup as D
+
+    t = transcripts_from_documents(spark, sf_dir).select("conv_id", "text")
+    dups = t.filter(
+        F.substring("conv_id", 6, 4).cast("int") % 5 == 0
+    ).select(F.concat(F.lit("dup_"), F.col("conv_id")).alias("conv_id"), "text")
+    return D.conv_dedup(t.unionByName(dups))
+
+
 def _q_html_meta(spark, sf_dir):
     """Head-metadata extraction (html_extract.page_meta): title, robots
     noindex/nofollow directives, and the rel=canonical dedup hint.  Pages
@@ -2867,6 +2917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_scan_parallelism": _q_diag_scan_parallelism,
         "cur_crawl_plan": _q_cur_crawl_plan,
         "html_meta": _q_html_meta,
+        # r5 continuation batch 9 — mirror-gated (past position 49)
+        "cur_agent_outcomes": _q_cur_agent_outcomes,
+        "dedup_convs": _q_dedup_convs,
         # r3-green refresh fill (ta_lang_agg and dedup_exact displaced past
         # position 49 by the two entries above; both have green
         # {rows,schema,hash} rows in CORRECTNESS_r01–r03)
@@ -5198,6 +5251,77 @@ GROUP BY 1"""
             FROM spine s LEFT JOIN p2 ON TRUE
             GROUP BY s.threshold_e4"""
         ),
+        # outcome labeling: arg_max closing turn + the marker regexes
+        # (apostrophe doubled for SQL); error > apology > done precedence
+        # re-spelled in the CASE
+        "cur_agent_outcomes": TRANSCRIPTS_SQL_CTE + """,
+            t2 AS (
+              SELECT conv_id, turn_idx, role,
+                CASE WHEN role = 'assistant' THEN text ||
+                  CASE CAST(doc_id % 7 AS INT)
+                    WHEN 0 THEN ' unfortunately the tool failed with an error'
+                    WHEN 1 THEN ' i apologize for the confusion'
+                    WHEN 2 THEN ' the task completed successfully. here is the result'
+                    WHEN 3 THEN ' i am sorry but it failed'
+                    ELSE '' END
+                ELSE text END AS text
+              FROM transcripts),
+            la AS (
+              SELECT conv_id, max(turn_idx) AS last_assistant_idx,
+                arg_max(text, turn_idx) AS t
+              FROM t2 WHERE role = 'assistant' GROUP BY conv_id),
+            sp AS (SELECT DISTINCT conv_id FROM t2),
+            j AS (
+              SELECT sp.conv_id, la.last_assistant_idx,
+                lower(coalesce(la.t, '')) AS low
+              FROM sp LEFT JOIN la USING (conv_id)),
+            fl AS (
+              SELECT conv_id, CAST(last_assistant_idx AS INT)
+                  AS last_assistant_idx,
+                regexp_matches(low,
+                  'error|exception|traceback|failed|failure|cannot |can''t |unable to')
+                  AS has_error,
+                regexp_matches(low,
+                  'i apologize|i''m sorry|i am sorry|unfortunately')
+                  AS has_apology,
+                regexp_matches(low,
+                  'done|completed|finished|here is|here are|successfully')
+                  AS has_done
+              FROM j)
+            SELECT conv_id, last_assistant_idx, has_error, has_apology,
+              has_done,
+              CASE WHEN last_assistant_idx IS NULL THEN 'no_assistant'
+                   WHEN has_error THEN 'error'
+                   WHEN has_apology THEN 'apology'
+                   WHEN has_done THEN 'done'
+                   ELSE 'unlabeled' END AS outcome
+            FROM fl""",
+        # conv-level order-insensitive dedup: sorted turn-fingerprint
+        # multiset md5 (list_sort/list the collect_list+array_sort mirror)
+        "dedup_convs": TRANSCRIPTS_SQL_CTE + """,
+            base AS (
+              SELECT conv_id, text FROM transcripts
+              UNION ALL
+              SELECT 'dup_' || conv_id, text FROM transcripts
+              WHERE CAST(substr(conv_id, 6, 4) AS INT) % 5 = 0),
+            fp AS (
+              SELECT conv_id,
+                coalesce(md5(lower(trim(regexp_replace(text,
+                    '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '))), md5(''))
+                  AS fp
+              FROM base),
+            convs AS (
+              SELECT conv_id,
+                md5(array_to_string(list_sort(list(fp)), ',')) AS conv_fp,
+                CAST(count(*) AS BIGINT) AS n_turns
+              FROM fp GROUP BY conv_id),
+            best AS (
+              SELECT conv_fp, min(conv_id) AS keep_conv_id,
+                CAST(count(*) AS BIGINT) AS group_size
+              FROM convs GROUP BY conv_fp)
+            SELECT c.conv_id, c.conv_fp, c.n_turns, b.keep_conv_id,
+              b.group_size, c.conv_id = b.keep_conv_id AS is_kept
+            FROM convs c JOIN best b USING (conv_fp)""",
         # head metadata: the op is head-scoped and the head is pure
         # doc_id arithmetic, so the oracle needs no page re-render
         "html_meta": """

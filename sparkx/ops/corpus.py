@@ -2306,3 +2306,76 @@ def crawl_plan(
         F.when(surv > 0, raw).alias("raw_tokens_needed"),
         F.coalesce(surv > 0, F.lit(False)).alias("feasible"),
     )
+
+
+# high-precision literal alternations (the MOJIBAKE_RE idiom: no char
+# classes, Java regex and RE2 read them identically); lowercased input
+OUTCOME_ERROR_RE = (
+    "error|exception|traceback|failed|failure|cannot |can't |unable to"
+)
+OUTCOME_APOLOGY_RE = (
+    "i apologize|i'm sorry|i am sorry|unfortunately"
+)
+OUTCOME_DONE_RE = (
+    "done|completed|finished|here is|here are|successfully"
+)
+
+
+def agent_outcomes(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heuristic outcome labeling of agent conversations — the triage pass
+    an RL/agent-data curation run does before anything model-based: the
+    conversation's LAST assistant turn is the agent's closing statement,
+    and high-precision literal markers classify it as ``error`` (failure
+    talk), ``apology`` (the model gave up politely), ``done`` (completion
+    talk), or ``unlabeled`` — with error > apology > done precedence, so
+    "I'm sorry, the tool failed" reads as the failure it is.  Labels are
+    routing evidence for a review queue and for outcome-stratified
+    sampling (:func:`stratified_sample` on ``outcome``), not ground
+    truth — the marker constants are module-level so a deployment tunes
+    them in one place.
+
+    A conversation with NO assistant turn gets ``outcome='no_assistant'``
+    (a malformed-format signal that pairs with :func:`conv_role_qa`)
+    rather than vanishing.  Flags ride along so the precedence can be
+    re-derived downstream.
+
+    Execution: filter to assistant turns, ONE map-side-combinable
+    ``max_by`` per conversation (no window, no sort — the
+    conv_role_qa endpoint idiom; ``idx_col`` must be unique per
+    conversation), a right join back to the distinct-conv spine, then
+    map-only regex flags on one short text per conversation.  Returns
+    ``(conv_col, last_assistant_idx, has_error, has_apology, has_done,
+    outcome)``.
+    """
+    a = transcripts.filter(F.col(role_col) == "assistant")
+    last = a.groupBy(conv_col).agg(
+        F.max(F.col(idx_col)).alias("last_assistant_idx"),
+        F.max_by(F.col(text_col), F.col(idx_col)).alias("_t"),
+    )
+    spine = transcripts.select(conv_col).distinct()
+    j = spine.join(last, conv_col, "left")
+    low = F.lower(F.coalesce(F.col("_t"), F.lit("")))
+    has_err = F.regexp_count(low, F.lit(OUTCOME_ERROR_RE)) > 0
+    has_apo = F.regexp_count(low, F.lit(OUTCOME_APOLOGY_RE)) > 0
+    has_done = F.regexp_count(low, F.lit(OUTCOME_DONE_RE)) > 0
+    outcome = (
+        F.when(F.col("last_assistant_idx").isNull(), F.lit("no_assistant"))
+        .when(has_err, F.lit("error"))
+        .when(has_apo, F.lit("apology"))
+        .when(has_done, F.lit("done"))
+        .otherwise(F.lit("unlabeled"))
+    )
+    return j.select(
+        conv_col,
+        "last_assistant_idx",
+        has_err.alias("has_error"),
+        has_apo.alias("has_apology"),
+        has_done.alias("has_done"),
+        outcome.alias("outcome"),
+    )

@@ -1671,3 +1671,62 @@ def minhash_threshold_sweep(
             ),
         )
     )
+
+
+def conv_dedup(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-level exact dedup under turn-order-insensitive content
+    equality — the re-logged-session case document-level dedup cannot
+    see: two captures of one agent session often differ only in turn
+    interleaving jitter (concurrent tool results landing in either
+    order), so the conversation fingerprint is the md5 of the SORTED
+    multiset of per-turn content fingerprints.  Same content + any
+    ordering → same fingerprint; one changed turn → different.  The
+    order-SENSITIVE variant is :func:`~sparkx.ops.corpus`'s prefix-tree
+    machinery (dedup_branches); this is the cheap whole-session exact
+    pass that runs first.
+
+    The per-turn fingerprint is the ONE canonical
+    :func:`~sparkx.ops.textstats.fingerprint` (whitespace-collapse +
+    md5); NULL-text turns fingerprint as the empty string's so they
+    count as turns, not holes.  Keeper is min ``conv_col`` per group
+    (lexicographic — conv ids are strings).
+
+    Execution: one metadata-width shuffle to assemble per-conversation
+    fingerprint arrays (``array_sort(collect_list(...))`` — the
+    line-dedup idiom: deterministic under any partitioning, unlike bare
+    collect_list), then the exact_dedup-shaped combinable groupBy on the
+    32-char conv fingerprint + a bounded join back.  The corpus text
+    never shuffles — only 16-byte turn hashes do.  Returns ``(conv_col,
+    conv_fp, n_turns, keep_conv_id, group_size, is_kept)``.
+    """
+    from sparkx.ops.textstats import fingerprint
+
+    # fingerprint md5s NULL text to NULL; coalesce AFTER so a NULL turn
+    # hashes exactly like an empty-content turn (md5('') — the normalized
+    # form of '' is itself '')
+    per_turn = transcripts.select(
+        F.col(conv_col),
+        F.coalesce(fingerprint(text_col), F.md5(F.lit(""))).alias("_fp"),
+    )
+    convs = per_turn.groupBy(conv_col).agg(
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("_fp")), ",")
+        ).alias("conv_fp"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+    best = convs.groupBy("conv_fp").agg(
+        F.min(conv_col).alias("keep_conv_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return convs.join(best, "conv_fp").select(
+        conv_col,
+        "conv_fp",
+        "n_turns",
+        "keep_conv_id",
+        "group_size",
+        (F.col(conv_col) == F.col("keep_conv_id")).alias("is_kept"),
+    )

@@ -421,3 +421,49 @@ def test_page_meta_head_scoped(spark):
     assert out[2] == (None, "", False, False, None, False)
     assert out[3] == (None, "", False, False, None, False)
     assert out[4] == (None, "", False, False, None, False)
+
+
+def test_agent_outcomes_precedence_and_no_assistant(spark):
+    from sparkx.ops.corpus import agent_outcomes
+
+    rows = [
+        ("c1", 0, "user", "please do the thing"),
+        ("c1", 1, "assistant", "working on it"),
+        # LAST assistant turn wins; mixed markers → error beats apology
+        ("c1", 2, "assistant", "I'm sorry, the tool FAILED badly"),
+        ("c2", 0, "assistant", "Done! here is the result"),
+        ("c3", 0, "user", "hello?"),
+        ("c3", 1, "tool", "noise"),
+        ("c4", 0, "assistant", "plain closing words"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {
+        r["conv_id"]: (r["last_assistant_idx"], r["outcome"])
+        for r in agent_outcomes(df).collect()
+    }
+    assert out["c1"] == (2, "error")
+    assert out["c2"] == (0, "done")
+    assert out["c3"] == (None, "no_assistant")
+    assert out["c4"] == (0, "unlabeled")
+
+
+def test_conv_dedup_order_insensitive(spark):
+    from sparkx.ops.dedup import conv_dedup
+
+    rows = [
+        ("a", "hello there"), ("a", "second turn"),
+        ("b", "second turn"), ("b", "hello there"),   # same multiset, reordered
+        ("c", "hello there"), ("c", "different turn"),
+        ("d", None), ("e", ""),                        # NULL ≡ empty turn
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, text string")
+    out = {
+        r["conv_id"]: (r["keep_conv_id"], r["group_size"], r["is_kept"])
+        for r in conv_dedup(df).collect()
+    }
+    assert out["a"] == ("a", 2, True)
+    assert out["b"] == ("a", 2, False)   # reordered re-log collapses
+    assert out["c"][1] == 1 and out["c"][2] is True
+    assert out["d"] == ("d", 2, True) and out["e"] == ("d", 2, False)
