@@ -159,3 +159,38 @@ def test_lower_dialect_divergence_is_known_and_bounded(spark):
         assert con.execute("SELECT lower('ΣΑΣ')").fetchone()[0] == "σασ"
     finally:
         con.close()
+
+
+def test_lower_divergence_census_is_complete(spark):
+    """Full BMP census: Spark (Java) and DuckDB (utf8proc) lower() differ
+    on EXACTLY these 14 codepoints (İ's full mapping + 13 recent-Unicode
+    letters Java's tables know and utf8proc's don't) — plus the
+    string-level final-sigma context rule pinned above.  If an engine
+    upgrade changes this set, oracle-affecting behavior changed: re-audit
+    every lower() site before trusting the gates."""
+    from pyspark.sql import functions as F
+
+    KNOWN = {
+        0x0130, 0x1C89, 0x2C2F, 0xA7C0, 0xA7C7, 0xA7C9, 0xA7CB, 0xA7CC,
+        0xA7D0, 0xA7D6, 0xA7D8, 0xA7DA, 0xA7DC, 0xA7F5,
+    }
+    chars = [
+        (cp, chr(cp))
+        for cp in range(0x20, 0x10000)
+        if not 0xD800 <= cp <= 0xDFFF
+    ]
+    df = spark.createDataFrame(chars, "cp long, c string")
+    sp = {r["cp"]: r["l"] for r in df.select("cp", F.lower("c").alias("l")).collect()}
+    pdf = _pdf([c for _, c in chars])
+    pdf["cp"] = [cp for cp, _ in chars]
+    con = duckdb.connect()
+    try:
+        con.register("t", pdf)
+        dk = dict(con.execute("SELECT cp, lower(text) FROM t").fetchall())
+    finally:
+        con.close()
+    divergent = {cp for cp, _ in chars if sp[cp] != dk[cp]}
+    assert divergent == KNOWN, (
+        f"lower() divergence set changed: +{sorted(map(hex, divergent - KNOWN))} "
+        f"-{sorted(map(hex, KNOWN - divergent))}"
+    )
