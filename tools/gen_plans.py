@@ -1279,6 +1279,29 @@ def main() -> int:
         )
     )
 
+    cp_plan = fmt(E.queries()["cur_crawl_plan"](spark, sf))
+    assert "MapInPandas" not in cp_plan and "BatchEvalPython" not in cp_plan
+    n_pq = len(re.findall(r"^\s*\(\d+\)\s+Scan parquet", cp_plan, re.M))
+    assert n_pq == 1, \
+        f"crawl plan wants ONE corpus scan (battery+fp+tokens fused), saw {n_pq}"
+    n_bhj = len(re.findall(r"^\s*\(\d+\)\s+BroadcastHashJoin", cp_plan, re.M))
+    assert n_bhj == 1, f"stats frame must broadcast under the spine, saw {n_bhj}"
+    n_cgen = len(re.findall(r"^\s*\(\d+\)\s+Generate", cp_plan, re.M))
+    assert n_cgen == 2, \
+        f"crawl plan wants the two gopher Generate barriers, saw {n_cgen}"
+    sections.append(
+        (
+            "Acquisition capacity planner (one fused corpus pass)",
+            cp_plan,
+            "What to check (asserted): ONE parquet scan — the Gopher\n"
+            "battery, the dedup fingerprint, and the token count compute\n"
+            "in a single fused projection (select_all, no self-joins);\n"
+            "the per-source stats (two-phase count-distinct, 4\n"
+            "HashAggregates) broadcast under the weights spine as the\n"
+            "only join.  Zero Python.",
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plan audit (explain formatted)\n\n"
