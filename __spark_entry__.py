@@ -2597,6 +2597,18 @@ def _q_cur_agent_outcomes(spark, sf_dir):
     return C.agent_outcomes(t)
 
 
+def _q_cur_lang_mix(spark, sf_dir):
+    """Per-conversation language-consistency audit (corpus.conv_lang_mix):
+    per-language turn counts from the canonical marker heuristic, dominant
+    language under lang_id's own tie precedence, share in truncating bp,
+    and adjacent-turn switch count.  Conversations interleave all ten
+    payload families (doc_id stride 50), so real language mixes and
+    switches occur at every sf."""
+    from sparkx.ops import corpus as C
+
+    return C.conv_lang_mix(transcripts_from_documents(spark, sf_dir))
+
+
 def _q_dedup_convs(spark, sf_dir):
     """Conversation-level order-insensitive exact dedup (dedup.conv_dedup):
     conv fingerprint = md5 of the sorted multiset of canonical turn
@@ -2920,6 +2932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 continuation batch 9 — mirror-gated (past position 49)
         "cur_agent_outcomes": _q_cur_agent_outcomes,
         "dedup_convs": _q_dedup_convs,
+        "cur_lang_mix": _q_cur_lang_mix,
         # r3-green refresh fill (ta_lang_agg and dedup_exact displaced past
         # position 49 by the two entries above; both have green
         # {rows,schema,hash} rows in CORRECTNESS_r01–r03)
@@ -5296,6 +5309,42 @@ GROUP BY 1"""
                    WHEN has_done THEN 'done'
                    ELSE 'unlabeled' END AS outcome
             FROM fl""",
+        # conv language mix: the per-turn langid CASE (shared builder),
+        # lag-window switch count, conditional sums + greatest/CASE argmax
+        "cur_lang_mix": TRANSCRIPTS_SQL_CTE + f""",
+            lt AS (
+              SELECT conv_id, turn_idx, {_langid_sql()} AS lg
+              FROM transcripts),
+            lt2 AS (
+              SELECT conv_id, lg,
+                lag(lg) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                  AS prev
+              FROM lt),
+            agg AS (
+              SELECT conv_id,
+                CAST(count(*) AS BIGINT) AS n_turns,
+                CAST(sum(CASE WHEN lg = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                CAST(sum(CASE WHEN lg = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+                CAST(sum(CASE WHEN lg = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+                CAST(sum(CASE WHEN lg = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+                CAST(sum(CASE WHEN lg = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und,
+                CAST(sum(CASE WHEN prev IS NOT NULL AND lg != prev
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+              FROM lt2 GROUP BY conv_id)
+            SELECT conv_id, n_turns, n_en, n_de, n_fr, n_es, n_und,
+              CASE WHEN n_en = greatest(n_en, n_de, n_fr, n_es, n_und)
+                     THEN 'en'
+                   WHEN n_de = greatest(n_en, n_de, n_fr, n_es, n_und)
+                     THEN 'de'
+                   WHEN n_fr = greatest(n_en, n_de, n_fr, n_es, n_und)
+                     THEN 'fr'
+                   WHEN n_es = greatest(n_en, n_de, n_fr, n_es, n_und)
+                     THEN 'es'
+                   ELSE 'und' END AS dominant_lang,
+              CAST((greatest(n_en, n_de, n_fr, n_es, n_und) * 10000)
+                   // n_turns AS BIGINT) AS dominant_bp,
+              n_switches
+            FROM agg""",
         # conv-level order-insensitive dedup: sorted turn-fingerprint
         # multiset md5 (list_sort/list the collect_list+array_sort mirror)
         "dedup_convs": TRANSCRIPTS_SQL_CTE + """,

@@ -284,8 +284,9 @@ def main() -> int:
         # head-metadata extraction
         "ta_calibration", "diag_scan_parallelism", "cur_crawl_plan",
         "html_meta",
-        # r5 batch 9: agent outcome labeling, conversation-level dedup
-        "cur_agent_outcomes", "dedup_convs",
+        # r5 batch 9: agent outcome labeling, conversation-level dedup,
+        # language-consistency audit
+        "cur_agent_outcomes", "dedup_convs", "cur_lang_mix",
     ]
     # ops whose expensive branch feeds ONLY columns a bare count() prunes
     # (left-joined aggregates; budget_truncate's window + latency/prefix agg
@@ -299,7 +300,8 @@ def main() -> int:
              "cur_tool_latency", "dedup_prefix", "cur_budget_truncate",
              "ta_fertility", "ta_compliance", "ta_dehyphenate",
              "ta_calibration", "diag_scan_parallelism", "cur_crawl_plan",
-             "html_meta", "cur_agent_outcomes", "dedup_convs"}
+             "html_meta", "cur_agent_outcomes", "dedup_convs",
+             "cur_lang_mix"}
     for name in suite:
         fn = _force_count if name in FORCE else _count
         timed(name, lambda n=name, f=fn: f(qs[n](spark, SF_DIR)))

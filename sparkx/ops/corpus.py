@@ -2379,3 +2379,76 @@ def agent_outcomes(
         has_done.alias("has_done"),
         outcome.alias("outcome"),
     )
+
+
+def conv_lang_mix(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation language-consistency audit — the multilingual
+    transcript curation gate: a conversation whose turns flip language
+    mid-stream is either genuine code-switching (keep, maybe upweight) or
+    a session-stitching bug (drop), and either way a chat-template render
+    wants to know.  Per conversation: per-language turn counts from the
+    ONE canonical marker heuristic (:func:`~sparkx.ops.textstats.
+    lang_id` — never an inline re-spelling), the dominant language under
+    the same fixed LANG_ORDER tie precedence lang_id itself uses (en >
+    de > fr > es > und), its share in truncating basis points, and the
+    number of adjacent-turn language switches (the code-switch tempo).
+
+    Because the language alphabet is CLOSED (LANG_ORDER + 'und'), the
+    dominant pick needs no per-group sort or second window: per-language
+    conditional sums ride ONE combinable aggregate and the argmax is a
+    greatest()+CASE over five columns — the lang_id idiom lifted to the
+    conversation level.  One metadata-width lag window per conversation
+    (unique ``idx_col``, the stable-turn-ordering invariant) + one
+    aggregate; the corpus text never shuffles.
+
+    Returns ``(conv_col, n_turns, n_en, n_de, n_fr, n_es, n_und,
+    dominant_lang, dominant_bp, n_switches)``.
+    """
+    from pyspark.sql import Window
+
+    from sparkx.ops.textstats import LANG_ORDER, lang_id
+
+    langs = list(LANG_ORDER) + ["und"]
+    w = Window.partitionBy(conv_col).orderBy(F.col(idx_col).asc_nulls_last())
+    t = turns.select(
+        conv_col,
+        F.col(idx_col),
+        lang_id(text_col).alias("_lang"),
+    ).withColumn("_prev", F.lag("_lang").over(w))
+    agg = t.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        *[
+            F.sum((F.col("_lang") == lg).cast("long")).alias(f"n_{lg}")
+            for lg in langs
+        ],
+        F.sum(
+            (
+                F.col("_prev").isNotNull() & (F.col("_lang") != F.col("_prev"))
+            ).cast("long")
+        ).alias("n_switches"),
+    )
+    best = F.greatest(*[F.col(f"n_{lg}") for lg in langs])
+    dom = F.lit("und")
+    for lg in reversed(langs[:-1]):  # earlier langs win ties → apply last
+        dom = F.when(F.col(f"n_{lg}") == best, F.lit(lg)).otherwise(dom)
+    return agg.select(
+        conv_col,
+        "n_turns",
+        "n_en",
+        "n_de",
+        "n_fr",
+        "n_es",
+        "n_und",
+        dom.alias("dominant_lang"),
+        F.expr(
+            # n_dom spelled via greatest inline: truncating bp share
+            "CAST((greatest(n_en, n_de, n_fr, n_es, n_und) * 10000) "
+            "DIV n_turns AS BIGINT)"
+        ).alias("dominant_bp"),
+        "n_switches",
+    )

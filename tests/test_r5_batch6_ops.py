@@ -467,3 +467,30 @@ def test_conv_dedup_order_insensitive(spark):
     assert out["b"] == ("a", 2, False)   # reordered re-log collapses
     assert out["c"][1] == 1 and out["c"][2] is True
     assert out["d"] == ("d", 2, True) and out["e"] == ("d", 2, False)
+
+
+def test_conv_lang_mix_dominant_and_switches(spark):
+    from sparkx.ops.corpus import conv_lang_mix
+
+    rows = [
+        ("m", 0, "the cat and the dog is a pet"),        # en
+        ("m", 1, "der hund und die katze ist nicht da"), # de
+        ("m", 2, "the end of it is a wrap"),             # en
+        ("u", 0, "zzz qqq xxx"),                          # und
+        ("t", 0, "the thing is a test"),                  # en
+        ("t", 1, "das ist der test und nicht mehr"),     # de — tie 1:1? no, 1 en 1 de
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+    out = {
+        r["conv_id"]: (
+            r["n_turns"], r["n_en"], r["n_de"], r["n_und"],
+            r["dominant_lang"], r["dominant_bp"], r["n_switches"],
+        )
+        for r in conv_lang_mix(df).collect()
+    }
+    assert out["m"] == (3, 2, 1, 0, "en", 6666, 2)
+    assert out["u"] == (1, 0, 0, 1, "und", 10000, 0)
+    # 1 en vs 1 de tie → en wins by LANG_ORDER precedence (lang_id's rule)
+    assert out["t"] == (2, 1, 1, 0, "en", 5000, 1)
