@@ -2609,6 +2609,28 @@ def _q_cur_lang_mix(spark, sf_dir):
     return C.conv_lang_mix(transcripts_from_documents(spark, sf_dir))
 
 
+def _q_cur_turn_echo(spark, sf_dir):
+    """Adjacent-turn echo/quotation audit (corpus.turn_echo): distinct-
+    token Jaccard between each turn and its predecessor, echo = a
+    user→assistant pair at jac_e4 ≥ 2500.  The natural role cycle steps
+    +2 mod 3 (user→tool→assistant), so user→assistant ADJACENCY never
+    occurs in the raw layout; roles are remapped by turn parity (even=
+    user, odd=assistant — mirrored in the oracle) so every odd turn is a
+    ua pair.  Adjacent turns share a payload family (doc_id stride 50 ≡ 0
+    mod 10), so real echoes exist: fam-2 lorem tails and fam-4/5 table
+    headers clear the threshold, fam-7 one-token figures sit at 0/10000
+    extremes."""
+    from sparkx.ops import corpus as C
+
+    t = transcripts_from_documents(spark, sf_dir).withColumn(
+        "role",
+        F.when(F.col("turn_idx") % 2 == 0, F.lit("user")).otherwise(
+            F.lit("assistant")
+        ),
+    )
+    return C.turn_echo(t)
+
+
 def _q_dedup_convs(spark, sf_dir):
     """Conversation-level order-insensitive exact dedup (dedup.conv_dedup):
     conv fingerprint = md5 of the sorted multiset of canonical turn
@@ -2933,6 +2955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_agent_outcomes": _q_cur_agent_outcomes,
         "dedup_convs": _q_dedup_convs,
         "cur_lang_mix": _q_cur_lang_mix,
+        "cur_turn_echo": _q_cur_turn_echo,
         # r3-green refresh fill (ta_lang_agg and dedup_exact displaced past
         # position 49 by the two entries above; both have green
         # {rows,schema,hash} rows in CORRECTNESS_r01–r03)
@@ -5345,6 +5368,54 @@ GROUP BY 1"""
                    // n_turns AS BIGINT) AS dominant_bp,
               n_switches
             FROM agg""",
+        # adjacent-turn echo: parity role remap, distinct-token lists,
+        # lag-window pair Jaccard in truncating e4 (// mirrors div), then
+        # per-conv conditional sums; no lower() (literal-quotation match)
+        "cur_turn_echo": TRANSCRIPTS_SQL_CTE + """,
+            tk AS (
+              SELECT conv_id, turn_idx,
+                CASE WHEN turn_idx % 2 = 0 THEN 'user'
+                     ELSE 'assistant' END AS role,
+                list_distinct(list_filter(regexp_split_to_array(
+                  trim(coalesce(text, ''), ' '), '[ \\t\\n\\x0b\\f\\r]+'),
+                  t -> t != '')) AS toks
+              FROM transcripts),
+            lg AS (
+              SELECT conv_id, role, toks,
+                lag(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                  AS ptoks,
+                lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                  AS prole
+              FROM tk),
+            pr AS (
+              SELECT conv_id,
+                (ptoks IS NOT NULL) AS has_prev,
+                coalesce(prole = 'user' AND role = 'assistant', FALSE)
+                  AS is_ua,
+                CASE WHEN ptoks IS NULL THEN NULL
+                  ELSE (CAST(len(list_intersect(toks, ptoks)) AS BIGINT)
+                        * 10000)
+                       // greatest(CAST(len(toks) + len(ptoks)
+                            - len(list_intersect(toks, ptoks)) AS BIGINT),
+                          1)
+                END AS jac_e4
+              FROM lg)
+            SELECT conv_id,
+              CAST(sum(CASE WHEN has_prev THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_pairs,
+              CAST(sum(CASE WHEN has_prev AND is_ua THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ua_pairs,
+              CAST(sum(CASE WHEN is_ua AND jac_e4 >= 2500 THEN 1 ELSE 0
+                END) AS BIGINT) AS n_echo_pairs,
+              CAST(coalesce(max(jac_e4), 0) AS BIGINT) AS max_jac_e4,
+              CAST(sum(coalesce(jac_e4, 0))
+                   // greatest(sum(CASE WHEN has_prev THEN 1 ELSE 0 END),
+                       1) AS BIGINT) AS mean_jac_e4,
+              CAST((sum(CASE WHEN is_ua AND jac_e4 >= 2500 THEN 1 ELSE 0
+                     END) * 10000)
+                   // greatest(sum(CASE WHEN has_prev AND is_ua THEN 1
+                       ELSE 0 END), 1) AS BIGINT) AS echo_share_e4
+            FROM pr GROUP BY conv_id""",
         # conv-level order-insensitive dedup: sorted turn-fingerprint
         # multiset md5 (list_sort/list the collect_list+array_sort mirror)
         "dedup_convs": TRANSCRIPTS_SQL_CTE + """,

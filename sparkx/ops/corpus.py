@@ -2452,3 +2452,125 @@ def conv_lang_mix(
         ).alias("dominant_bp"),
         "n_switches",
     )
+
+
+def turn_echo(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    echo_threshold_e4: int = 2500,
+) -> DataFrame:
+    """Adjacent-turn echo/quotation audit — the extraction rung BETWEEN
+    per-turn boilerplate (:func:`turn_boilerplate_strip`: lines frequent
+    across conversations) and document dedup (:mod:`sparkx.ops.dedup`:
+    whole-text near-dups): an assistant turn that largely restates the
+    user turn it answers ("you asked X; X is…", tool-output parroting,
+    quote-then-reply chat styles) carries little novel signal, and an SFT
+    render that pays tokens for both sides of the echo trains the model to
+    parrot.  Neither neighbouring op catches it: the echoed span is unique
+    corpus-wide (so no line is globally frequent) and the two turns are
+    different rows (so no document pair exists).
+
+    Per adjacent turn pair (``idx_col`` order within a conversation — the
+    stable-turn-ordering invariant), similarity is distinct-token-set
+    Jaccard in truncating e4 fixed point: ``jac_e4 = (|A∩B|·10⁴) div
+    max(|A∪B|,1)``.  Tokens are the house whitespace split (explicit
+    ``[ \\t\\n\\x0b\\f\\r]+`` class — the Java/RE2-safe spelling, CLAUDE.md)
+    WITHOUT lowercasing: quotation is literal reuse, and skipping
+    ``lower()`` also sidesteps the unmirrorable-codepoint census entirely.
+    A pair with previous-role ``user`` and current-role ``assistant``
+    whose ``jac_e4 ≥ echo_threshold_e4`` is an echo pair.
+
+    Execution/scale: distinct-token arrays are computed ONCE per turn in
+    the pre-shuffle project, then ONE lag window per conversation carries
+    them (the self-join alternative shuffles the corpus twice); the
+    per-conversation aggregate reuses the window's hashpartitioning, so
+    the whole op is ONE Exchange (plan-asserted in
+    tests/test_r5_batch10_ops.py).
+    The array lambdas (filter/intersect) run once per ROW — the
+    interpreted-HOF rule of thumb allows that; nothing is per-pair-k.
+    Long-conversation skew is bounded by per-conv turn counts exactly as
+    in :func:`conv_lang_mix`.
+
+    NULL text behaves as ``''`` (empty token set → jac 0); a conversation
+    with a single turn has no pairs (all counts 0, ``max_jac_e4`` 0).
+    Returns one row per conversation: ``(conv_col, n_pairs, n_ua_pairs,
+    n_echo_pairs, max_jac_e4, mean_jac_e4, echo_share_e4)`` — means and
+    shares in truncating integer e4 (never ``round()`` on a grid value).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(F.col(idx_col).asc_nulls_last())
+    toks = F.array_distinct(
+        F.filter(
+            F.split(
+                F.trim(F.coalesce(F.col(text_col), F.lit(""))),
+                r"[ \t\n\x0b\f\r]+",
+            ),
+            lambda t: t != F.lit(""),
+        )
+    )
+    t = turns.select(
+        F.col(conv_col),
+        F.col(idx_col),
+        F.col(role_col).alias("_role"),
+        toks.alias("_toks"),
+    )
+    lagged = t.select(
+        conv_col,
+        "_role",
+        "_toks",
+        F.lag("_toks").over(w).alias("_ptoks"),
+        F.lag("_role").over(w).alias("_prole"),
+    )
+    inter = F.size(F.array_intersect("_toks", "_ptoks")).cast("long")
+    un = (
+        F.size("_toks").cast("long") + F.size("_ptoks").cast("long") - inter
+    )
+    pair = lagged.select(
+        conv_col,
+        F.col("_ptoks").isNotNull().alias("_has_prev"),
+        F.coalesce(
+            (F.col("_prole") == "user") & (F.col("_role") == "assistant"),
+            F.lit(False),
+        ).alias("_is_ua"),
+        F.when(
+            F.col("_ptoks").isNotNull(),
+            (inter * 10000).alias("_num"),
+        ).alias("_num"),
+        F.when(F.col("_ptoks").isNotNull(), F.greatest(un, F.lit(1))).alias(
+            "_den"
+        ),
+    ).withColumn("_jac_e4", F.expr("_num div _den"))
+    agg = pair.groupBy(conv_col).agg(
+        F.sum(F.col("_has_prev").cast("long")).alias("n_pairs"),
+        F.sum((F.col("_has_prev") & F.col("_is_ua")).cast("long")).alias(
+            "n_ua_pairs"
+        ),
+        F.sum(
+            (
+                F.col("_is_ua")
+                & (F.col("_jac_e4") >= F.lit(echo_threshold_e4))
+            ).cast("long")
+        ).alias("n_echo_pairs"),
+        F.coalesce(F.max("_jac_e4"), F.lit(0)).cast("long").alias(
+            "max_jac_e4"
+        ),
+        F.sum(F.coalesce(F.col("_jac_e4"), F.lit(0))).alias("_sum_jac"),
+    )
+    return agg.select(
+        conv_col,
+        "n_pairs",
+        "n_ua_pairs",
+        "n_echo_pairs",
+        "max_jac_e4",
+        F.expr(
+            "CAST(_sum_jac div greatest(n_pairs, 1) AS BIGINT)"
+        ).alias("mean_jac_e4"),
+        F.expr(
+            "CAST((n_echo_pairs * 10000) div greatest(n_ua_pairs, 1)"
+            " AS BIGINT)"
+        ).alias("echo_share_e4"),
+    )
