@@ -2631,6 +2631,22 @@ def _q_cur_turn_echo(spark, sf_dir):
     return C.turn_echo(t)
 
 
+def _q_cur_context_fit(spark, sf_dir):
+    """Context-window fit sweep (corpus.context_fit) at (256, 2048, 8192):
+    whole-conversation token totals vs candidate context lengths.  All
+    turns of a conversation share one payload family (fam = conv%10,
+    since the doc_id stride 50 ≡ 0 mod 10), so conversation lengths
+    spread over two orders of magnitude — fam-3 'ok' convs fit 256,
+    fam-2 lorem convs need the top size — and every sweep row is
+    non-degenerate."""
+    from sparkx.ops import corpus as C
+
+    return C.context_fit(
+        transcripts_from_documents(spark, sf_dir),
+        context_sizes=(256, 2048, 8192),
+    )
+
+
 def _q_dedup_convs(spark, sf_dir):
     """Conversation-level order-insensitive exact dedup (dedup.conv_dedup):
     conv fingerprint = md5 of the sorted multiset of canonical turn
@@ -2956,6 +2972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_convs": _q_dedup_convs,
         "cur_lang_mix": _q_cur_lang_mix,
         "cur_turn_echo": _q_cur_turn_echo,
+        "cur_context_fit": _q_cur_context_fit,
         # r3-green refresh fill (ta_lang_agg and dedup_exact displaced past
         # position 49 by the two entries above; both have green
         # {rows,schema,hash} rows in CORRECTNESS_r01–r03)
@@ -5416,6 +5433,32 @@ GROUP BY 1"""
                    // greatest(sum(CASE WHEN has_prev AND is_ua THEN 1
                        ELSE 0 END), 1) AS BIGINT) AS echo_share_e4
             FROM pr GROUP BY conv_id""",
+        # context-fit sweep: per-conv token totals (coalesce(sum,0) keeps
+        # NULL out of the comparisons), cross join with the literal size
+        # list, truncating-e4 shares (// mirrors div)
+        "cur_context_fit": TRANSCRIPTS_SQL_CTE + """,
+            tt AS (
+              SELECT conv_id,
+                CAST(coalesce(sum(len(regexp_split_to_array(
+                  trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+'))), 0)
+                  AS BIGINT) AS conv_tokens
+              FROM transcripts GROUP BY conv_id),
+            cx AS (SELECT unnest([256, 2048, 8192]) AS ctx),
+            j AS (SELECT ctx, conv_tokens FROM tt CROSS JOIN cx)
+            SELECT CAST(ctx AS INT) AS ctx,
+              CAST(count(*) AS BIGINT) AS n_convs,
+              CAST(sum(CASE WHEN conv_tokens <= ctx THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fit,
+              CAST((sum(CASE WHEN conv_tokens <= ctx THEN 1 ELSE 0 END)
+                    * 10000) // greatest(count(*), 1) AS BIGINT)
+                AS fit_share_e4,
+              CAST(sum(conv_tokens) AS BIGINT) AS total_tokens,
+              CAST(sum(conv_tokens) - sum(least(conv_tokens, ctx))
+                AS BIGINT) AS lost_tokens,
+              CAST((sum(least(conv_tokens, ctx)) * 10000)
+                   // greatest(sum(conv_tokens), 1) AS BIGINT)
+                AS kept_share_e4
+            FROM j GROUP BY ctx""",
         # conv-level order-insensitive dedup: sorted turn-fingerprint
         # multiset md5 (list_sort/list the collect_list+array_sort mirror)
         "dedup_convs": TRANSCRIPTS_SQL_CTE + """,

@@ -287,8 +287,8 @@ def main() -> int:
         # r5 batch 9: agent outcome labeling, conversation-level dedup,
         # language-consistency audit
         "cur_agent_outcomes", "dedup_convs", "cur_lang_mix",
-        # r5 batch 10: adjacent-turn echo/quotation audit
-        "cur_turn_echo",
+        # r5 batch 10: adjacent-turn echo audit, context-fit sweep
+        "cur_turn_echo", "cur_context_fit",
     ]
     # ops whose expensive branch feeds ONLY columns a bare count() prunes
     # (left-joined aggregates; budget_truncate's window + latency/prefix agg
@@ -303,7 +303,7 @@ def main() -> int:
              "ta_fertility", "ta_compliance", "ta_dehyphenate",
              "ta_calibration", "diag_scan_parallelism", "cur_crawl_plan",
              "html_meta", "cur_agent_outcomes", "dedup_convs",
-             "cur_lang_mix", "cur_turn_echo"}
+             "cur_lang_mix", "cur_turn_echo", "cur_context_fit"}
     for name in suite:
         fn = _force_count if name in FORCE else _count
         timed(name, lambda n=name, f=fn: f(qs[n](spark, SF_DIR)))

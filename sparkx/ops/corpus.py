@@ -2574,3 +2574,78 @@ def turn_echo(
             " AS BIGINT)"
         ).alias("echo_share_e4"),
     )
+
+
+def context_fit(
+    turns: DataFrame,
+    context_sizes: tuple[int, ...] = (1024, 4096, 16384),
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window fit sweep — the capacity question asked BEFORE
+    committing a packing/truncation config: for each candidate context
+    length, how many conversations fit whole, and what share of the token
+    stream survives a token-level cut at that length.  This is the
+    multi-point sibling of :func:`budget_truncate` (which AUDITS one
+    chosen budget turn-by-turn) and the upstream input to
+    :func:`pack_efficiency` (which scores the packing AFTER a budget is
+    picked); the sweep's output is a handful of rows a human reads to
+    pick the budget the other two ops then operate at.
+
+    Whole-conversation token totals use the house whitespace
+    :func:`~sparkx.ops.textstats.token_count` (NULL-text turns contribute
+    nothing; an all-NULL conversation counts 0 tokens, mirrored with
+    ``coalesce(sum,0)`` so no NULL reaches the comparisons).  ``lost``
+    is the token-level upper bound ``Σ max(0, conv_tokens − ctx)`` — a
+    turn-boundary truncation (budget_truncate) always loses at least
+    this much.
+
+    Execution/scale: ONE map-side-combinable per-conversation sum (the
+    corpus text never shuffles — only per-turn token counts do), then an
+    explode over the |context_sizes|-element literal array (row growth is
+    the constant sweep width, the ann_probe_curve shape) into a final
+    |context_sizes|-group combinable aggregate.  Two Exchanges, the
+    second over ≤len(context_sizes) keys.  Shares on the truncating e4
+    integer grid, never a rounded float.
+
+    Returns one row per candidate size: ``(ctx, n_convs, n_fit,
+    fit_share_e4, total_tokens, lost_tokens, kept_share_e4)``.
+    """
+    from sparkx.ops.textstats import token_count
+
+    if not context_sizes:
+        raise ValueError("context_fit needs at least one context size")
+    per_conv = turns.groupBy(conv_col).agg(
+        F.coalesce(F.sum(token_count(text_col)), F.lit(0))
+        .cast("long")
+        .alias("conv_tokens")
+    )
+    sized = per_conv.select(
+        "conv_tokens",
+        F.explode(
+            F.array(*[F.lit(int(c)) for c in context_sizes])
+        ).alias("ctx"),
+    )
+    agg = sized.groupBy("ctx").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.sum(
+            (F.col("conv_tokens") <= F.col("ctx")).cast("long")
+        ).alias("n_fit"),
+        F.sum("conv_tokens").alias("total_tokens"),
+        F.sum(
+            F.least(F.col("conv_tokens"), F.col("ctx").cast("long"))
+        ).alias("_kept"),
+    )
+    return agg.select(
+        F.col("ctx").cast("int").alias("ctx"),
+        "n_convs",
+        "n_fit",
+        F.expr(
+            "CAST((n_fit * 10000) div greatest(n_convs, 1) AS BIGINT)"
+        ).alias("fit_share_e4"),
+        "total_tokens",
+        (F.col("total_tokens") - F.col("_kept")).alias("lost_tokens"),
+        F.expr(
+            "CAST((_kept * 10000) div greatest(total_tokens, 1) AS BIGINT)"
+        ).alias("kept_share_e4"),
+    )

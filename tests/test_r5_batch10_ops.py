@@ -141,3 +141,77 @@ def test_turn_echo_single_exchange_plan(spark):
     n_ex = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
     assert n_ex == 1, f"turn_echo plan has {n_ex} Exchanges (want 1)\n{plan}"
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+# ───────────────────────── context_fit ─────────────────────────────────────
+
+
+def _ctx_oracle(rows, sizes):
+    """rows: (conv, text) → {ctx: (n_convs, n_fit, fit_e4, total, lost,
+    kept_e4)} — whitespace token counts, Java-\\s class, NULL→0."""
+    from collections import defaultdict
+
+    per = defaultdict(int)
+    seen = set()
+    for c, t in rows:
+        seen.add(c)
+        if t is not None:
+            per[c] += len(re.split(r"[ \t\n\x0b\f\r]+", t.strip(" ")))
+    out = {}
+    for ctx in sizes:
+        toks = [per[c] for c in seen]
+        n_fit = sum(1 for n in toks if n <= ctx)
+        total = sum(toks)
+        kept = sum(min(n, ctx) for n in toks)
+        out[ctx] = (
+            len(seen),
+            n_fit,
+            (n_fit * 10000) // max(len(seen), 1),
+            total,
+            total - kept,
+            (kept * 10000) // max(total, 1),
+        )
+    return out
+
+
+def test_context_fit_mirror(spark):
+    from sparkx.ops.corpus import context_fit
+
+    # c1: 3 tokens total; c2: 12; c3: all-NULL conversation (0 tokens —
+    # must count as fitting everywhere, not vanish); c4: straddles the
+    # small size exactly (boundary <= is inclusive)
+    rows = [
+        ("c1", "one two three"),
+        ("c2", "a b c d"), ("c2", "e f g h"), ("c2", "i j k l"),
+        ("c3", None),
+        ("c4", "t1 t2 t3 t4 t5"),
+    ]
+    df = spark.createDataFrame(
+        [(c, 0, "user", t) for c, t in rows],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    sizes = (4, 5, 100)
+    got = {
+        r["ctx"]: (
+            r["n_convs"], r["n_fit"], r["fit_share_e4"],
+            r["total_tokens"], r["lost_tokens"], r["kept_share_e4"],
+        )
+        for r in context_fit(df, context_sizes=sizes).collect()
+    }
+    assert got == _ctx_oracle(rows, sizes)
+    assert got[4][1] == 2   # c1(3 tokens) and all-NULL c3(0) fit at 4
+    assert got[5][1] == 3   # c4's 5 tokens fit at exactly 5 (inclusive)
+    assert got[100] == (4, 4, 10000, 20, 0, 10000)
+
+
+def test_context_fit_empty_and_guard(spark):
+    import pytest as _pytest
+
+    from sparkx.ops.corpus import context_fit
+
+    df = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string"
+    )
+    assert context_fit(df, context_sizes=(8,)).count() == 0
+    with _pytest.raises(ValueError):
+        context_fit(df, context_sizes=())
