@@ -74,6 +74,183 @@ def _kernel(mode: str, validate: bool, emit_raw: bool,
 
 _COMPLEX_PRED = "contains(text, '\t') OR contains(text, 'FIG;mode=')"
 
+# ── native structured fast paths (r6) ───────────────────────────────────────
+# Two structured-payload shapes are fully expressible in Catalyst with
+# byte-identical kernel semantics, so they never cross the Python boundary:
+#
+# * a SINGLE-LINE figure turn (the whole text is one FIG;... line) →
+#   one figure block + the kernel's unconditional empty text remainder;
+# * a SINGLE-LINE tab-bearing turn (a 1-row table region) → one
+#   dropped_table_small table block + the empty text remainder.
+#
+# Claim predicates are deliberately NARROWER than the kernel's Python
+# regexes; any row they do not claim still routes to the kernel, so the
+# only correctness obligation is that CLAIMED rows produce identical
+# bytes.  Narrowing details:
+#
+# * no '\n' (single line) and none of Java's extra line terminators
+#   ('\r', U+0085, U+2028, U+2029): Python `.`/`$` treat them as ordinary
+#   chars (except \n) while Java regex treats them as terminators — a
+#   caption ending in '\r' would match BOTH engines with different
+#   captured text, so such rows are simply not claimed;
+# * `[0-9]{1,9}` instead of `\d+`: Python \d also matches Unicode digits
+#   (int() accepts them) and unbounded lengths; ASCII ≤9 digits casts to
+#   long identically in both engines.  A line Java matches is always a
+#   line Python matches with the same groups.
+_JAVA_EOL_CHARS = ["\n", "\r", "\u0085", "\u2028", "\u2029"]
+_FIG_NATIVE_RE = r"^FIG;mode=([A-Za-z0-9]+);w=([0-9]{1,9});h=([0-9]{1,9});caption=(.*)$"
+
+
+def _single_line(col) -> Column:
+    pred = None
+    for ch in _JAVA_EOL_CHARS:
+        c = ~F.contains(col, F.lit(ch))
+        pred = c if pred is None else (pred & c)
+    return pred
+
+
+def _native_fig_pred(col) -> Column:
+    return (
+        ~F.contains(col, F.lit("\t"))
+        & _single_line(col)
+        & col.rlike(_FIG_NATIVE_RE)
+    )
+
+
+def _native_tab1_pred(col) -> Column:
+    # single line containing a tab and no FIG marker anywhere → exactly one
+    # 1-row table region in the kernel (a FIG-marked line could be a figure
+    # with a tab in its caption — left to the kernel)
+    return (
+        F.contains(col, F.lit("\t"))
+        & _single_line(col)
+        & ~F.contains(col, F.lit("FIG;mode="))
+    )
+
+
+def _native_structured_blocks(df: DataFrame, mode: str, validate: bool,
+                              emit_raw: bool, kind: str) -> DataFrame:
+    """Native (codegen) block rows for the two claimed single-line shapes.
+    Emits exactly the kernel's output: the structured block (figure or
+    dropped 1-row table) plus the unconditional empty text remainder
+    (``dropped_short`` — every turn emits one text candidate)."""
+    text = F.col("text")
+    null_b = F.lit(None).cast("boolean")
+    null_a = F.lit(None).cast("array<string>")
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    empty_arr = F.array().cast("array<string>")
+
+    if kind == "figure":
+        w = F.regexp_extract(text, _FIG_NATIVE_RE, 2).cast("long")
+        h = F.regexp_extract(text, _FIG_NATIVE_RE, 3).cast("long")
+        caption = F.regexp_extract(text, _FIG_NATIVE_RE, 4)
+        alive = (w >= 80) & (h >= 80)  # parser.py:81-83
+        fig_repr = F.concat(
+            F.lit("<PIL.Image.Image image mode=RGB size="),
+            w.cast("string"), F.lit("x"), h.cast("string"),
+        )
+        if mode == "fastpath":
+            conf_alive = F.lit(0.8)
+            structured_alive = fig_repr
+            summary_alive = F.lit("")
+            notes_alive = F.lit(
+                "Extracted via direct MLX agents (no crew orchestration)"
+            )
+            retried = F.lit(False)
+        else:  # agentic (extraction.py:278-306)
+            is_ocr = F.regexp_extract(text, _FIG_NATIVE_RE, 1) != "RGB"
+            conf_alive = F.when(is_ocr, F.lit(0.3)).otherwise(F.lit(0.6))
+            structured_alive = F.when(
+                is_ocr, F.substring(caption, 1, 1000)
+            ).otherwise(fig_repr)
+            summary_alive = F.when(is_ocr, F.lit("OCR fallback.")).otherwise(
+                F.lit("")
+            )
+            notes_alive = F.when(
+                is_ocr, F.lit("Vision model not loaded.")
+            ).otherwise(F.concat(F.lit("figure_type=other | "), caption))
+            retried = alive & is_ocr  # conf 0.3 < 0.5 threshold
+        chunk_type = "figure"
+        rank = 1
+        dead_status = "dropped_figure_small"
+        raw_main = text
+    else:  # 1-row table region: always dropped_table_small, markdown raw
+        alive = F.lit(False)
+        conf_alive = F.lit(0.0)
+        structured_alive = F.lit("")
+        summary_alive = F.lit("")
+        notes_alive = F.lit("")
+        retried = F.lit(False)
+        # _to_markdown of a single TSV row (parser.py:140-156): wrapped
+        # header + separator sized to its column count, no body rows
+        ncols = F.length(text) - F.length(F.replace(text, F.lit("\t"), F.lit(""))) + 1
+        header_md = F.concat(
+            F.lit("| "), F.replace(text, F.lit("\t"), F.lit(" | ")), F.lit(" |")
+        )
+        sep = F.concat(
+            F.lit("| ---"), F.repeat(F.lit(" | ---"), (ncols - 1).cast("int")),
+            F.lit(" |"),
+        )
+        chunk_type = "table"
+        rank = 0
+        dead_status = "dropped_table_small"
+        raw_main = F.concat(header_md, F.lit("\n"), sep)
+
+    structured = F.when(alive, structured_alive).otherwise(F.lit(""))
+    summary = F.when(alive, summary_alive).otherwise(F.lit(""))
+    conf = F.when(alive, conf_alive).otherwise(F.lit(0.0)).cast("double")
+    notes = F.when(alive, notes_alive).otherwise(F.lit(""))
+    retried = (retried & alive).cast("boolean")
+    if validate:
+        # figures are always valid at Checkpoint-A (is_valid = eq | is_fig);
+        # dropped blocks never reach it → NULL validation struct
+        is_valid = F.when(alive, F.lit(True)).otherwise(null_b)
+        issues = F.when(alive, empty_arr).otherwise(null_a)
+        verdict = F.when(alive, F.lit(1.0)).otherwise(null_d)
+        vnotes = F.when(alive, F.lit("")).otherwise(null_s)
+    else:
+        is_valid, issues, verdict, vnotes = null_b, null_a, null_d, null_s
+    # accept floor: every alive conf here (0.8/0.6/0.3) ≥ 0.25 → accepted
+    status = F.when(alive, F.lit("accepted")).otherwise(F.lit(dead_status))
+
+    def _blk(ct, rk, raw, st, sm, cf, nt, rt, iv, iss, vd, vn, stat):
+        fields = [
+            F.lit(ct).alias("chunk_type"),
+            F.lit(rk).cast("int").alias("block_rank"),
+            F.lit(0).cast("int").alias("block_idx"),
+        ]
+        if emit_raw:
+            fields.append(raw.alias("raw_content"))
+        fields += [
+            st.alias("structured_text"),
+            sm.alias("intuition_summary"),
+            empty_arr.alias("key_concepts"),
+            cf.alias("confidence"),
+            nt.alias("agent_notes"),
+            rt.alias("retried"),
+            iv.alias("is_valid"),
+            iss.alias("issues"),
+            vd.alias("verdict_score"),
+            vn.alias("validator_notes"),
+            F.lit(False).alias("was_corrected"),
+            stat.alias("status"),
+        ]
+        return F.struct(*fields)
+
+    main_blk = _blk(chunk_type, rank, raw_main, structured, summary, conf,
+                    notes, retried, is_valid, issues, verdict, vnotes, status)
+    # the kernel's unconditional empty text remainder (always dropped_short)
+    txt_blk = _blk("text", 2, F.lit(""), F.lit(""), F.lit(""),
+                   F.lit(0.0).cast("double"), F.lit(""), F.lit(False),
+                   null_b, null_a, null_d, null_s, F.lit("dropped_short"))
+    return df.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "role", "tool", "ts",
+        F.explode(F.array(main_blk, txt_blk)).alias("_b"),
+    ).select("conv_id", "turn_idx", "role", "tool", "ts", "_b.*")
+
 
 def _native_simple_blocks(df: DataFrame, mode: str, validate: bool,
                           emit_raw: bool) -> DataFrame:
@@ -203,19 +380,38 @@ def extract_blocks(
     )
     if native_simple_path:
         # Only the kernel branch is salted: the Python workers need balanced
-        # partitions, while the native branch is pure codegen row-ops that
-        # cost the same under any layout — shuffling it would be pure waste
-        # (verified in the formatted plan: the native side stays
+        # partitions, while the native branches are pure codegen row-ops that
+        # cost the same under any layout — shuffling them would be pure waste
+        # (verified in the formatted plan: the native sides stay
         # scan→filter→project with pushed-down StringContains filters).
-        complex_df = df.filter(F.expr(_COMPLEX_PRED))
+        # r6: two further native claims peel the single-line structured
+        # shapes (whole-text figure line; 1-row tab line) off the kernel —
+        # at transcript mixes this roughly halves the rows crossing the
+        # Python boundary (guide §4: the boundary itself is the cost).
+        claimed = _native_fig_pred(F.col("text")) | _native_tab1_pred(
+            F.col("text")
+        )
+        complex_df = df.filter(F.expr(_COMPLEX_PRED) & ~claimed)
         simple_df = df.filter(~F.expr(f"coalesce({_COMPLEX_PRED}, false)"))
+        fig_df = df.filter(_native_fig_pred(F.col("text")))
+        tab1_df = df.filter(_native_tab1_pred(F.col("text")))
         if salt_repartition:
             complex_df = _salted(complex_df)
         kernel_blocks = complex_df.mapInPandas(
             functools.partial(_kernel, mode, validate, emit_raw), schema=schema
         )
-        blocks = kernel_blocks.unionByName(
-            _native_simple_blocks(simple_df, mode, validate, emit_raw)
+        blocks = (
+            kernel_blocks.unionByName(
+                _native_simple_blocks(simple_df, mode, validate, emit_raw)
+            )
+            .unionByName(
+                _native_structured_blocks(fig_df, mode, validate, emit_raw,
+                                          "figure")
+            )
+            .unionByName(
+                _native_structured_blocks(tab1_df, mode, validate, emit_raw,
+                                          "table1")
+            )
         )
     else:
         if salt_repartition:
