@@ -975,18 +975,6 @@ def embedding_near_dup_pairs(
             "vec_id", "embedding", "norm2",
             F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
         )
-        # common-width fast lane (embed.DIM): codegen'd fixed-dim chain for
-        # the dominant pair shape, interpreted fold otherwise — exactly one
-        # branch evaluates per row, bit-identical values (same fold order)
-        from sparkx.ops.similarity import _dot_cols as _dc
-
-        from sparkx.ops.embed import DIM as _FAST_DIM
-
-        dot_pair = F.when(
-            (F.size("a.embedding") == _FAST_DIM)
-            & (F.size("b.embedding") == _FAST_DIM),
-            _dc("a.embedding", "b.embedding", _FAST_DIM),
-        ).otherwise(_dot("a.embedding", "b.embedding"))
         return (
             b.alias("a")
             .join(b.alias("b"), ["band", "key"])
@@ -995,7 +983,7 @@ def embedding_near_dup_pairs(
                 F.col("a.vec_id").alias("a_id"),
                 F.col("b.vec_id").alias("b_id"),
                 F.round(
-                    dot_pair
+                    _dot("a.embedding", "b.embedding")
                     / F.sqrt(F.col("a.norm2") * F.col("b.norm2")),
                     4,
                 ).alias("cosine"),
@@ -1502,23 +1490,13 @@ def semdedup(
     oracle is unchanged.  Cost: s× left-side shuffle bytes (the vector
     rides the replication) — size s to your partition count, not higher.
     """
-    from sparkx.ops.similarity import (
-        _dot_cols,
-        _norm2_fixed,
-        ivf_assign_frozen,
-        load_frozen_centroids,
-    )
+    from sparkx.ops.similarity import ivf_assign_frozen, load_frozen_centroids
 
     if centroids is None:
         centroids = load_frozen_centroids()
-    dim = len(centroids[0])
-    # _n2 is read only for rows that survive the ivf_cell equi-join — all
-    # dim-matched by the assignment guard — so the fixed-dim codegen'd chain
-    # (NULL for other widths) is observationally identical to the
-    # interpreted _norm2 fold while skipping per-element lambda dispatch
     a = ivf_assign_frozen(
         emb.select(id_col, vec_col), centroids, vec_col=vec_col
-    ).withColumn("_n2", _norm2_fixed(vec_col, dim))
+    ).withColumn("_n2", _norm2(vec_col))
     left = a.select(
         F.col(id_col).alias("_i"), F.col(vec_col).alias("_vi"),
         F.col("_n2").alias("_n2i"), "ivf_cell",
@@ -1538,9 +1516,7 @@ def semdedup(
     cos_e6 = F.when(
         (F.col("_n2i") > 0) & (F.col("_n2j") > 0),
         F.floor(
-            # joined pairs are dim-guarded by the NULL-cell join semantics →
-            # fixed-dim codegen'd dot (bit-identical fold order)
-            _dot_cols("_vi", "_vj", dim) / F.sqrt(F.col("_n2i") * F.col("_n2j"))
+            _dot("_vi", "_vj") / F.sqrt(F.col("_n2i") * F.col("_n2j"))
             * F.lit(1_000_000.0)
         ),
     ).cast("long")

@@ -38,7 +38,7 @@ def topk_bruteforce(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame
     scored = _with_query(emb, query_vec_id).select(
         "vec_id",
         "label",
-        F.round(_cosine_fast("embedding", "q_embedding"), 4).alias("cosine"),
+        F.round(_cosine("embedding", "q_embedding"), 4).alias("cosine"),
     )
     return scored.filter(F.col("vec_id") != query_vec_id).orderBy(
         F.desc("cosine"), F.asc("vec_id")
@@ -172,7 +172,7 @@ def ivf_topk(
         .select(
             "vec_id",
             "label",
-            F.round(_cosine_fast("embedding", "q_embedding"), 4).alias("cosine"),
+            F.round(_cosine("embedding", "q_embedding"), 4).alias("cosine"),
         )
     )
     return scored.filter(F.col("vec_id") != query_vec_id).orderBy(
@@ -207,111 +207,19 @@ def _frozen_affinity(vec_col, centroid: list[float]):
     compute the identical left-to-right double sum, truncation has no
     half-tie."""
     cnorm = sum(x * x for x in centroid) ** 0.5
+    lit = ", ".join(repr(float(x)) + "D" for x in centroid)
     return F.floor(
-        _dot_lit(vec_col, centroid) / F.lit(cnorm) * F.lit(1_000_000.0)
+        _dot_expr(vec_col, f"array({lit})") / F.lit(cnorm) * F.lit(1_000_000.0)
     ).cast("long")
-
-
-def _dot_lit(vec_sql: str, values: list[float], offset: int = 0):
-    """dot(vec[offset:offset+len(values)], values) against FROZEN literals as
-    an explicit left-associated sum — whole-stage-codegen'd, unlike the
-    aggregate(zip_with(...)) higher-order fold it replaces, which Spark
-    interprets per element (the CLAUDE.md interpreted-HOF trap; this is the
-    per-row × per-codeword hot path of every frozen-artifact op).  The chain
-    ``((0 + x₁·c₁) + x₂·c₂) + …`` performs the identical IEEE operation
-    sequence as the fold, so results are bit-identical and the DuckDB oracle
-    mirrors are untouched.  ``try_element_at`` past the vector's end yields
-    NULL exactly like zip_with's NULL-padding, so short/NULL vectors still
-    produce a NULL dot (all call sites additionally dim-guard)."""
-    terms = " + ".join(
-        f"cast(try_element_at({vec_sql}, {offset + i + 1}) as double) * {float(v)!r}D"
-        for i, v in enumerate(values)
-    )
-    return F.expr(f"cast(0 as double) + {terms}")
-
-
-def _dot_cols(a_sql: str, b_sql: str, dim: int):
-    """dot(a, b) of two FIXED-DIMENSION vector columns as an explicit
-    left-associated codegen'd sum (same IEEE fold order as
-    :func:`_dot_expr`, so bit-identical).  Only valid where both sides are
-    guaranteed ``size() == dim`` (callers filter/guard upstream); a shorter
-    vector yields NULL via try_element_at, matching zip_with's padding."""
-    terms = " + ".join(
-        f"cast(try_element_at({a_sql}, {i + 1}) as double)"
-        f" * cast(try_element_at({b_sql}, {i + 1}) as double)"
-        for i in range(dim)
-    )
-    return F.expr(f"cast(0 as double) + {terms}")
-
-
-def _norm2_fixed(a_sql: str, dim: int):
-    """sum of squares of a FIXED-DIMENSION vector column as a codegen'd
-    chain — same fold order as dedup._norm2's aggregate; NULL for vectors
-    shorter than ``dim`` (call sites guard on size() == dim, or never read
-    the value for mismatched rows)."""
-    terms = " + ".join(
-        f"cast(try_element_at({a_sql}, {i + 1}) as double)"
-        f" * cast(try_element_at({a_sql}, {i + 1}) as double)"
-        for i in range(dim)
-    )
-    return F.expr(f"cast(0 as double) + {terms}")
 
 
 def _dot_expr(a_col: str, b_sql: str):
     """dot(a, b) with the same left-to-right fold as dedup._dot (bit-identical
-    doubles vs DuckDB's list_dot_product).  Interpreted (higher-order fold) —
-    prefer :func:`_dot_lit` / :func:`_dot_cols` on hot paths; this stays for
-    arbitrary-dimension column pairs."""
+    doubles vs DuckDB's list_dot_product)."""
     return F.expr(
         f"aggregate(zip_with({a_col}, {b_sql}, (x, y) -> cast(x as double) * cast(y as double)), "
         f"cast(0 as double), (acc, v) -> acc + v)"
     )
-
-
-def _cosine_fixed(a_sql: str, b_sql: str, dim: int):
-    """cosine(a, b) specialized to a KNOWN dimension, fully codegen'd.
-    Bit-identical to ``dedup._cosine`` for size-matching rows (same fold
-    orders); NULL when either side's size ≠ dim — exactly what _cosine
-    yields there anyway (zip_with NULL-pads the mismatch into a NULL dot)."""
-    return F.when(
-        (F.size(F.expr(a_sql)) == dim) & (F.size(F.expr(b_sql)) == dim),
-        _dot_cols(a_sql, b_sql, dim)
-        / F.sqrt(_norm2_fixed(a_sql, dim) * _norm2_fixed(b_sql, dim)),
-    )
-
-
-def _cosine_fast(a_sql: str, b_sql: str):
-    """``dedup._cosine`` with a codegen'd fast lane at the repo embedder's
-    width (``embed.DIM``): pairs at that width take the fixed-dim chain
-    (identical IEEE fold order → bit-identical values); every other shape
-    falls through to the interpreted _cosine unchanged.  CASE evaluates
-    exactly one branch per row, so hot rows never pay per-element lambda
-    dispatch."""
-    from sparkx.ops.embed import DIM as d
-
-    return F.when(
-        (F.size(F.expr(a_sql)) == d) & (F.size(F.expr(b_sql)) == d),
-        _dot_cols(a_sql, b_sql, d)
-        / F.sqrt(_norm2_fixed(a_sql, d) * _norm2_fixed(b_sql, d)),
-    ).otherwise(_cosine(a_sql, b_sql))
-
-
-def _int_dot_fast(a: str, b: str):
-    """:func:`_int_dot` with a codegen'd fast lane at ``embed.DIM`` width —
-    integer addition is associative and exact, so the chain is trivially
-    identical to the fold for size-matched arrays; other shapes fall
-    through to the interpreted fold unchanged."""
-    from sparkx.ops.embed import DIM as d
-
-    terms = " + ".join(
-        f"cast(try_element_at({a}, {i + 1}) as bigint)"
-        f" * cast(try_element_at({b}, {i + 1}) as bigint)"
-        for i in range(d)
-    )
-    return F.when(
-        (F.size(F.col(a)) == d) & (F.size(F.col(b)) == d),
-        F.expr(f"cast(0 as bigint) + {terms}"),
-    ).otherwise(_int_dot(a, b))
 
 
 def ivf_assign_frozen(
@@ -406,11 +314,7 @@ def ivf_topk_frozen(
         .select(
             "vec_id",
             "label",
-            # probed rows are dim-guarded (non-matching rows carry a NULL
-            # ivf_cell and never equi-join) → codegen'd fixed-dim cosine
-            F.round(
-                _cosine_fixed("embedding", "q_embedding", len(centroids[0])), 4
-            ).alias("cosine"),
+            F.round(_cosine("embedding", "q_embedding"), 4).alias("cosine"),
         )
     )
     return scored.filter(F.col("vec_id") != query_vec_id).orderBy(
@@ -655,7 +559,7 @@ def topk_lsh(
     scored = b.join(F.broadcast(q), "bucket").select(
         "vec_id",
         "label",
-        F.round(_cosine_fast("embedding", "q_embedding"), 4).alias("cosine"),
+        F.round(_cosine("embedding", "q_embedding"), 4).alias("cosine"),
     )
     return scored.filter(F.col("vec_id") != query_vec_id).orderBy(
         F.desc("cosine"), F.asc("vec_id")
@@ -729,16 +633,6 @@ def knn_join(
         F.col("norm2").alias("q_norm2"),
         F.explode(probes).alias("bucket"),
     )
-    # common-width fast lane (embed.DIM): codegen'd fixed-dim chain for the
-    # dominant pair shape, interpreted fold for any other width — exactly
-    # one branch evaluates per row, values bit-identical (same fold order)
-    from sparkx.ops.embed import DIM as _FAST_DIM
-
-    dot_pair = F.when(
-        (F.size("q_embedding") == _FAST_DIM)
-        & (F.size("embedding") == _FAST_DIM),
-        _dot_cols("q_embedding", "embedding", _FAST_DIM),
-    ).otherwise(_dot("q_embedding", "embedding"))
     pairs = (
         q.join(b, "bucket")
         .filter(F.col("q_id") != F.col("vec_id"))
@@ -746,7 +640,7 @@ def knn_join(
             "q_id",
             "vec_id",
             F.round(
-                dot_pair
+                _dot("q_embedding", "embedding")
                 / F.sqrt(F.col("q_norm2") * F.col("norm2")),
                 4,
             ).alias("cosine"),
@@ -786,47 +680,18 @@ def quantize_int8(
     CAST(floor(NaN) AS INT) errors, so the engines could never agree.  Run
     :func:`embedding_health` first to quarantine such vectors upstream.
     """
-    from sparkx.ops.embed import DIM as _FAST_DIM
-
-    maxabs_fold = F.aggregate(
+    maxabs = F.aggregate(
         F.col(vec_col),
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
     )
-    # fast lane at embed.DIM width: variadic greatest is codegen'd and
-    # agrees with the binary-greatest fold on every input (NULLs skipped,
-    # NaN greatest) — other widths take the interpreted fold unchanged
-    maxabs = F.when(
-        F.size(F.col(vec_col)) == _FAST_DIM,
-        F.greatest(
-            F.lit(0.0),
-            *[
-                F.abs(
-                    F.expr(
-                        f"cast(try_element_at({vec_col}, {i + 1}) as double)"
-                    )
-                )
-                for i in range(_FAST_DIM)
-            ],
-        ),
-    ).otherwise(maxabs_fold)
     out = emb.withColumn("_maxabs", F.explode(F.array(maxabs)))
-    # element formula identical to the transform lambda below → same codes
-    codes_fast = F.array(
-        *[
-            F.floor(
-                F.expr(f"cast(try_element_at({vec_col}, {i + 1}) as double)")
-                * 127.0 / F.col("_maxabs") + 0.5
-            ).cast("int")
-            for i in range(_FAST_DIM)
-        ]
-    )
     codes = F.when(
         F.isnan(F.col("_maxabs")), F.lit(None).cast("array<int>")
     ).when(
         F.col("_maxabs") == 0.0,
         F.transform(F.col(vec_col), lambda x: F.lit(0)),
-    ).when(F.size(F.col(vec_col)) == _FAST_DIM, codes_fast).otherwise(
+    ).otherwise(
         F.transform(
             F.col(vec_col),
             lambda x: F.floor(
@@ -873,12 +738,12 @@ def int8_topk(
     # wall at scale)
     q = codes.filter(F.col("vec_id") == query_vec_id).select(
         F.col("codes").alias("q_codes"),
-        _int_dot_fast("codes", "codes").alias("n_q"),
+        _int_dot("codes", "codes").alias("n_q"),
     )
     scored = (
         codes.crossJoin(F.broadcast(q))
-        .withColumn("dot_q", _int_dot_fast("codes", "q_codes"))
-        .withColumn("n_v", _int_dot_fast("codes", "codes"))
+        .withColumn("dot_q", _int_dot("codes", "q_codes"))
+        .withColumn("n_v", _int_dot("codes", "codes"))
         .filter(
             (F.col("vec_id") != query_vec_id)
             & (F.col("n_v") > 0)
@@ -971,7 +836,7 @@ def int8_recall_report(
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id", "vec_id",
-            F.round(_cosine_fast("embedding", "q_embedding"), 4).alias("_c"),
+            F.round(_cosine("embedding", "q_embedding"), 4).alias("_c"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("_c"), F.asc("vec_id"))
@@ -984,13 +849,13 @@ def int8_recall_report(
     qc = codes.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("codes").alias("q_codes"),
-        _int_dot_fast("codes", "codes").alias("n_q"),
+        _int_dot("codes", "codes").alias("n_q"),
     )
     i8 = (
         codes.crossJoin(F.broadcast(qc))
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("dot_q", _int_dot_fast("codes", "q_codes"))
-        .withColumn("n_v", _int_dot_fast("codes", "codes"))
+        .withColumn("dot_q", _int_dot("codes", "q_codes"))
+        .withColumn("n_v", _int_dot("codes", "codes"))
         .filter((F.col("n_v") > 0) & (F.col("n_q") > 0))
         .select(
             "q_id", "vec_id",
@@ -1049,11 +914,10 @@ def _pq_sub_affinity(vec_col: str, m: int, d_sub: int, codeword: list[float]):
     engines compute the identical left-to-right double fold and the floor
     grid has no half-tie."""
     half = sum(x * x for x in codeword) / 2.0
-    # offset-indexed codegen'd chain — no slice materialization, no
-    # interpreted fold; identical IEEE op order (see _dot_lit)
+    lit = ", ".join(repr(float(x)) + "D" for x in codeword)
+    sub = f"slice({vec_col}, {m * d_sub + 1}, {d_sub})"
     return F.floor(
-        (_dot_lit(vec_col, codeword, offset=m * d_sub) - F.lit(half))
-        * F.lit(1_000_000.0)
+        (_dot_expr(sub, f"array({lit})") - F.lit(half)) * F.lit(1_000_000.0)
     ).cast("long")
 
 
@@ -1142,7 +1006,12 @@ def pq_topk(
                 F.lit(m).alias("m"),
                 F.lit(j).alias("code"),
                 F.floor(
-                    _dot_lit("q_embedding", cw, offset=m * d_sub)
+                    _dot_expr(
+                        f"slice(q_embedding, {m * d_sub + 1}, {d_sub})",
+                        "array("
+                        + ", ".join(repr(float(x)) + "D" for x in cw)
+                        + ")",
+                    )
                     * F.lit(1_000_000.0)
                 ).cast("long").alias("ip_e6"),
             )
@@ -1248,11 +1117,8 @@ def pq_recall_report(
         .select(
             "q_id",
             "vec_id",
-            # both sides are size-guarded to m·d_sub above → fixed-dim
-            # codegen'd chain (bit-identical to the interpreted fold)
             F.floor(
-                _dot_cols("embedding", "q_embedding", m_sub * d_sub)
-                * F.lit(1_000_000.0)
+                _dot_expr("embedding", "q_embedding") * F.lit(1_000_000.0)
             ).cast("long").alias("_ip"),
         )
     )
@@ -1269,7 +1135,12 @@ def pq_recall_report(
                 F.lit(m).alias("m"),
                 F.lit(j).alias("code"),
                 F.floor(
-                    _dot_lit("q_embedding", cw, offset=m * d_sub)
+                    _dot_expr(
+                        f"slice(q_embedding, {m * d_sub + 1}, {d_sub})",
+                        "array("
+                        + ", ".join(repr(float(x)) + "D" for x in cw)
+                        + ")",
+                    )
                     * F.lit(1_000_000.0)
                 ).cast("long").alias("ip_e6"),
             )
@@ -1343,13 +1214,13 @@ def ivf_recall_report(
     construction)."""
     from pyspark.sql import Window
 
+    from sparkx.ops.dedup import _dot, _norm2
+
     dim = len(centroids[0])
     base = (
         emb.filter(F.size("embedding") == dim)
         .select("vec_id", "embedding")
-        # size-guarded above → fixed-dim codegen'd chains (bit-identical
-        # IEEE fold order to the interpreted aggregate they replace)
-        .withColumn("_n2", _norm2_fixed("embedding", dim))
+        .withColumn("_n2", _norm2("embedding"))
     )
     q = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
@@ -1357,7 +1228,7 @@ def ivf_recall_report(
         F.col("_n2").alias("_qn2"),
     )
     grid_ip = F.floor(
-        _dot_cols("embedding", "q_embedding", dim)
+        _dot("embedding", "q_embedding")
         / F.sqrt(F.col("_n2") * F.col("_qn2"))
         * F.lit(1_000_000.0)
     ).cast("long")
@@ -1460,7 +1331,7 @@ def ranking_metrics_report(
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id", "vec_id",
-            F.round(_cosine_fast("embedding", "q_embedding"), 4).alias("_c"),
+            F.round(_cosine("embedding", "q_embedding"), 4).alias("_c"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("_c"), F.asc("vec_id"))
@@ -1473,13 +1344,13 @@ def ranking_metrics_report(
     qc = codes.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("codes").alias("q_codes"),
-        _int_dot_fast("codes", "codes").alias("n_q"),
+        _int_dot("codes", "codes").alias("n_q"),
     )
     i8 = (
         codes.crossJoin(F.broadcast(qc))
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("dot_q", _int_dot_fast("codes", "q_codes"))
-        .withColumn("n_v", _int_dot_fast("codes", "codes"))
+        .withColumn("dot_q", _int_dot("codes", "q_codes"))
+        .withColumn("n_v", _int_dot("codes", "codes"))
         .filter((F.col("n_v") > 0) & (F.col("n_q") > 0))
         .select(
             "q_id", "vec_id",
@@ -1588,7 +1459,7 @@ def mmr_rerank(
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id", "vec_id", "embedding",
-            F.round(_cosine_fast("embedding", "q_embedding"), 4).alias("_c"),
+            F.round(_cosine("embedding", "q_embedding"), 4).alias("_c"),
         )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n_cands)
@@ -1607,7 +1478,7 @@ def mmr_rerank(
         .filter(F.col("a") != F.col("b"))
         .select(
             "q_id", "a", "b",
-            F.round(F.round(_cosine_fast("_ea", "_eb"), 4) * F.lit(10000.0))
+            F.round(F.round(_cosine("_ea", "_eb"), 4) * F.lit(10000.0))
             .cast("long").alias("sim_e4"),
         )
         .localCheckpoint(eager=True)
@@ -1723,7 +1594,7 @@ def filtered_topk(
     scored = base.crossJoin(F.broadcast(q)).select(
         "vec_id",
         "label",
-        F.round(_cosine_fast("embedding", "q_embedding"), 4).alias("cosine"),
+        F.round(_cosine("embedding", "q_embedding"), 4).alias("cosine"),
     )
     return (
         scored.filter(F.col("vec_id") != query_vec_id)
@@ -1781,22 +1652,11 @@ def embedding_decontaminate(
     e = eval_set.select(
         F.col(id_col).alias("_eid"), F.col(vec_col).alias("_ev")
     ).withColumn("_en2", _norm2("_ev"))
-    # common-width fast lane: pairs at the repo embedder's width (embed.DIM)
-    # take a fully codegen'd fixed-dim chain (identical IEEE fold order);
-    # any other equal-width pair falls back to the interpreted fold — the
-    # CASE evaluates exactly one branch per row, so hot rows never pay
-    # per-element lambda dispatch
-    from sparkx.ops.embed import DIM as _FAST_DIM
-
-    dot_pair = F.when(
-        F.size("_tv") == _FAST_DIM,  # sizes already equal under the guard
-        _dot_cols("_tv", "_ev", _FAST_DIM),
-    ).otherwise(_dot("_tv", "_ev"))
     cos_e6 = F.when(
         (F.size("_tv") == F.size("_ev"))
         & (F.col("_tn2") > 0) & (F.col("_en2") > 0),
         F.floor(
-            dot_pair / F.sqrt(F.col("_tn2") * F.col("_en2"))
+            _dot("_tv", "_ev") / F.sqrt(F.col("_tn2") * F.col("_en2"))
             * F.lit(1_000_000.0)
         ),
     ).cast("long")
@@ -1864,16 +1724,8 @@ def ivf_assign_join(
     pairs = emb.select(F.col(id_col), F.col(vec_col)).join(
         F.broadcast(c), F.size(F.col(vec_col)) == F.size(F.col("_cv"))
     )
-    # fast lane at embed.DIM width (sizes already equal via the join
-    # predicate); the chain's fold order is identical → bit-identical
-    from sparkx.ops.embed import DIM as _FAST_DIM
-
-    dot_pair = F.when(
-        F.size(F.col(vec_col)) == _FAST_DIM,
-        _dot_cols(vec_col, "_cv", _FAST_DIM),
-    ).otherwise(_dot(vec_col, "_cv"))
     aff = F.floor(
-        dot_pair / F.col("_cn") * F.lit(1_000_000.0)
+        _dot(vec_col, "_cv") / F.col("_cn") * F.lit(1_000_000.0)
     ).cast("long")
     best = pairs.groupBy(id_col).agg(
         F.max(
@@ -1968,15 +1820,15 @@ def ivf_probe_curve(
     """
     from pyspark.sql import Window
 
+    from sparkx.ops.dedup import _dot, _norm2
+
     probes = tuple(sorted(set(int(p) for p in probes)))
     max_p = probes[-1]
     dim = len(centroids[0])
     base = (
         emb.filter(F.size("embedding") == dim)
         .select("vec_id", "embedding")
-        # size-guarded above → fixed-dim codegen'd chains (bit-identical
-        # IEEE fold order to the interpreted aggregate they replace)
-        .withColumn("_n2", _norm2_fixed("embedding", dim))
+        .withColumn("_n2", _norm2("embedding"))
     )
     q = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
@@ -1984,7 +1836,7 @@ def ivf_probe_curve(
         F.col("_n2").alias("_qn2"),
     )
     grid_ip = F.floor(
-        _dot_cols("embedding", "q_embedding", dim)
+        _dot("embedding", "q_embedding")
         / F.sqrt(F.col("_n2") * F.col("_qn2"))
         * F.lit(1_000_000.0)
     ).cast("long")

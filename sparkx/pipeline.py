@@ -128,197 +128,184 @@ def _native_tab1_pred(col) -> Column:
     )
 
 
-def _native_structured_blocks(df: DataFrame, mode: str, validate: bool,
-                              emit_raw: bool, kind: str) -> DataFrame:
-    """Native (codegen) block rows for the two claimed single-line shapes.
-    Emits exactly the kernel's output: the structured block (figure or
-    dropped 1-row table) plus the unconditional empty text remainder
-    (``dropped_short`` — every turn emits one text candidate)."""
+def _native_routed_blocks(df: DataFrame, mode: str, validate: bool,
+                          emit_raw: bool) -> DataFrame:
+    """Fully-native (whole-stage-codegen) block rows for every turn the
+    native claims cover, in ONE scan: prose turns (no tab / FIG marker),
+    single-line figure turns, and single-line tab (1-row table) turns.
+
+    Execution shape (the CollapseProject lesson, CLAUDE.md): the per-row
+    PARSE — route choice, strip-length, figure regex groups, table
+    markdown — is bound through an ``explode(array(struct(...)))`` Generate
+    barrier so it is evaluated ONCE per row; without the barrier Catalyst
+    inlines the shared regexp_extract/btrim subexpressions into every one
+    of the ~18 downstream block fields (measured: the v2 single-Generate
+    form re-ran the figure regex ~12x per row).  A second explode then
+    flattens the 1- or 2-struct block array (the structured shapes also
+    emit the kernel's unconditional empty text remainder); its field
+    expressions only reference barrier attributes, so duplication is
+    harmless.  Semantics are byte-identical to the pandas kernel on every
+    claimed row; pytest's oracle-equality + native fuzz suites cover all
+    three shapes against the kernel route.
+
+    This is the single biggest scale decision in the pipeline: the common
+    transcript shapes never leave the JVM — no Arrow round-trip, no Python
+    worker — so only genuinely multi-line structured payloads pay the
+    kernel cost, and the input is scanned once.
+    """
     text = F.col("text")
     null_b = F.lit(None).cast("boolean")
     null_a = F.lit(None).cast("array<string>")
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
     empty_arr = F.array().cast("array<string>")
+    raw = F.coalesce(text, F.lit(""))
 
-    if kind == "figure":
-        w = F.regexp_extract(text, _FIG_NATIVE_RE, 2).cast("long")
-        h = F.regexp_extract(text, _FIG_NATIVE_RE, 3).cast("long")
-        caption = F.regexp_extract(text, _FIG_NATIVE_RE, 4)
-        alive = (w >= 80) & (h >= 80)  # parser.py:81-83
-        fig_repr = F.concat(
-            F.lit("<PIL.Image.Image image mode=RGB size="),
-            w.cast("string"), F.lit("x"), h.cast("string"),
-        )
-        if mode == "fastpath":
-            conf_alive = F.lit(0.8)
-            structured_alive = fig_repr
-            summary_alive = F.lit("")
-            notes_alive = F.lit(
-                "Extracted via direct MLX agents (no crew orchestration)"
+    # ── parse barrier: everything derived from text, computed once ─────────
+    # Fields are deliberately UNGUARDED by route (a route CASE would inline
+    # the claim predicates — incl. the figure rlike — into every field):
+    # regexp_extract on a non-matching row returns '' (try_cast → NULL), the
+    # tab markdown is gated only by the cheap tab-contains, and unused
+    # fields of the wrong route are simply never read downstream.
+    is_fig = _native_fig_pred(text)
+    is_tab = _native_tab1_pred(text)
+    route = (
+        F.when(F.coalesce(is_fig, F.lit(False)), F.lit(1))
+        .when(F.coalesce(is_tab, F.lit(False)), F.lit(2))
+        .otherwise(F.lit(0))
+    )
+    # 1-row-table markdown (_to_markdown, parser.py:140-156): wrapped header
+    # + separator sized to its column count, no body rows
+    ncols = F.length(text) - F.length(F.replace(text, F.lit("\t"), F.lit(""))) + 1
+    tab_md = F.concat(
+        F.lit("| "), F.replace(text, F.lit("\t"), F.lit(" | ")), F.lit(" |"),
+        F.lit("\n| ---"),
+        F.repeat(F.lit(" | ---"), (ncols - 1).cast("int")),
+        F.lit(" |"),
+    )
+    _re = _FIG_NATIVE_RE.replace("\\", "\\\\")
+    parse = F.struct(
+        route.alias("route"),
+        py_stripped_len(raw).alias("slen"),
+        F.expr(f"try_cast(regexp_extract(text, '{_re}', 2) as bigint)")
+        .alias("w"),
+        F.expr(f"try_cast(regexp_extract(text, '{_re}', 3) as bigint)")
+        .alias("h"),
+        F.regexp_extract(text, _FIG_NATIVE_RE, 4).alias("caption"),
+        (F.regexp_extract(text, _FIG_NATIVE_RE, 1) != "RGB").alias("is_ocr"),
+        F.when(F.contains(text, F.lit("\t")), tab_md).otherwise(null_s)
+        .alias("tab_md"),
+    )
+    P = df.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "role", "tool", "ts", "text",
+        F.explode(F.array(parse)).alias("_p"),
+    )
+    route = F.col("_p.route")
+    slen = F.col("_p.slen")
+    w = F.col("_p.w")
+    h = F.col("_p.h")
+    caption = F.col("_p.caption")
+    is_ocr = F.col("_p.is_ocr")
+    tab_md = F.col("_p.tab_md")
+
+    def _valid(alive):
+        if validate:
+            # containment holds by construction for text; figures are always
+            # valid at Checkpoint-A (is_valid = eq | is_fig); dropped blocks
+            # never reach it -> NULL validation struct
+            return (
+                F.when(alive, F.lit(True)).otherwise(null_b),
+                F.when(alive, empty_arr).otherwise(null_a),
+                F.when(alive, F.lit(1.0)).otherwise(null_d),
+                F.when(alive, F.lit("")).otherwise(null_s),
             )
-            retried = F.lit(False)
-        else:  # agentic (extraction.py:278-306)
-            is_ocr = F.regexp_extract(text, _FIG_NATIVE_RE, 1) != "RGB"
-            conf_alive = F.when(is_ocr, F.lit(0.3)).otherwise(F.lit(0.6))
-            structured_alive = F.when(
-                is_ocr, F.substring(caption, 1, 1000)
-            ).otherwise(fig_repr)
-            summary_alive = F.when(is_ocr, F.lit("OCR fallback.")).otherwise(
-                F.lit("")
-            )
-            notes_alive = F.when(
-                is_ocr, F.lit("Vision model not loaded.")
-            ).otherwise(F.concat(F.lit("figure_type=other | "), caption))
-            retried = alive & is_ocr  # conf 0.3 < 0.5 threshold
-        chunk_type = "figure"
-        rank = 1
-        dead_status = "dropped_figure_small"
-        raw_main = text
-    else:  # 1-row table region: always dropped_table_small, markdown raw
-        alive = F.lit(False)
-        conf_alive = F.lit(0.0)
-        structured_alive = F.lit("")
-        summary_alive = F.lit("")
-        notes_alive = F.lit("")
-        retried = F.lit(False)
-        # _to_markdown of a single TSV row (parser.py:140-156): wrapped
-        # header + separator sized to its column count, no body rows
-        ncols = F.length(text) - F.length(F.replace(text, F.lit("\t"), F.lit(""))) + 1
-        header_md = F.concat(
-            F.lit("| "), F.replace(text, F.lit("\t"), F.lit(" | ")), F.lit(" |")
-        )
-        sep = F.concat(
-            F.lit("| ---"), F.repeat(F.lit(" | ---"), (ncols - 1).cast("int")),
-            F.lit(" |"),
-        )
-        chunk_type = "table"
-        rank = 0
-        dead_status = "dropped_table_small"
-        raw_main = F.concat(header_md, F.lit("\n"), sep)
+        return null_b, null_a, null_d, null_s
 
-    structured = F.when(alive, structured_alive).otherwise(F.lit(""))
-    summary = F.when(alive, summary_alive).otherwise(F.lit(""))
-    conf = F.when(alive, conf_alive).otherwise(F.lit(0.0)).cast("double")
-    notes = F.when(alive, notes_alive).otherwise(F.lit(""))
-    retried = (retried & alive).cast("boolean")
-    if validate:
-        # figures are always valid at Checkpoint-A (is_valid = eq | is_fig);
-        # dropped blocks never reach it → NULL validation struct
-        is_valid = F.when(alive, F.lit(True)).otherwise(null_b)
-        issues = F.when(alive, empty_arr).otherwise(null_a)
-        verdict = F.when(alive, F.lit(1.0)).otherwise(null_d)
-        vnotes = F.when(alive, F.lit("")).otherwise(null_s)
-    else:
-        is_valid, issues, verdict, vnotes = null_b, null_a, null_d, null_s
-    # accept floor: every alive conf here (0.8/0.6/0.3) ≥ 0.25 → accepted
-    status = F.when(alive, F.lit("accepted")).otherwise(F.lit(dead_status))
-
-    def _blk(ct, rk, raw, st, sm, cf, nt, rt, iv, iss, vd, vn, stat):
+    def _blk(ct, rk, raw_c, alive, st, sm, cf, nt, rt, dead_status):
+        iv, iss, vd, vn = _valid(alive)
         fields = [
             F.lit(ct).alias("chunk_type"),
             F.lit(rk).cast("int").alias("block_rank"),
             F.lit(0).cast("int").alias("block_idx"),
         ]
         if emit_raw:
-            fields.append(raw.alias("raw_content"))
+            fields.append(raw_c.alias("raw_content"))
         fields += [
-            st.alias("structured_text"),
-            sm.alias("intuition_summary"),
+            F.when(alive, st).otherwise(F.lit("")).alias("structured_text"),
+            F.when(alive, sm).otherwise(F.lit("")).alias("intuition_summary"),
             empty_arr.alias("key_concepts"),
-            cf.alias("confidence"),
-            nt.alias("agent_notes"),
-            rt.alias("retried"),
+            F.when(alive, cf).otherwise(F.lit(0.0)).cast("double").alias("confidence"),
+            F.when(alive, nt).otherwise(F.lit("")).alias("agent_notes"),
+            (rt & alive).cast("boolean").alias("retried"),
             iv.alias("is_valid"),
             iss.alias("issues"),
             vd.alias("verdict_score"),
             vn.alias("validator_notes"),
             F.lit(False).alias("was_corrected"),
-            stat.alias("status"),
+            # accept floor: every alive conf here is >= 0.25 -> accepted
+            F.when(alive, F.lit("accepted")).otherwise(F.lit(dead_status)).alias("status"),
         ]
         return F.struct(*fields)
 
-    main_blk = _blk(chunk_type, rank, raw_main, structured, summary, conf,
-                    notes, retried, is_valid, issues, verdict, vnotes, status)
-    # the kernel's unconditional empty text remainder (always dropped_short)
-    txt_blk = _blk("text", 2, F.lit(""), F.lit(""), F.lit(""),
-                   F.lit(0.0).cast("double"), F.lit(""), F.lit(False),
-                   null_b, null_a, null_d, null_s, F.lit("dropped_short"))
-    return df.select(
-        "conv_id",
-        F.col("turn_idx").cast("int").alias("turn_idx"),
-        "role", "tool", "ts",
-        F.explode(F.array(main_blk, txt_blk)).alias("_b"),
-    ).select("conv_id", "turn_idx", "role", "tool", "ts", "_b.*")
-
-
-def _native_simple_blocks(df: DataFrame, mode: str, validate: bool,
-                          emit_raw: bool) -> DataFrame:
-    """Fully-native (whole-stage-codegen) block rows for turns that cannot
-    contain table/figure lines — the hot path at web scale.  Semantics are
-    byte-identical to the kernel's text path; pytest's oracle-equality suite
-    covers both branches on mixed inputs.
-
-    This is the single biggest scale decision in the pipeline: prose turns
-    (the majority of any transcript corpus) never leave the JVM — no Arrow
-    round-trip, no Python worker — so the common case scales like native
-    Spark SQL, and only genuinely structured payloads pay the kernel cost.
-    """
-    raw = F.coalesce(F.col("text"), F.lit(""))
-    alive = py_stripped_len(raw) >= 40  # parser.py:32,125 (Python strip set)
-    structured = F.when(alive, F.substring(raw, 1, 2000)).otherwise(F.lit(""))
-
+    # ── simple prose turn: the whole text is the remainder ─────────────────
+    t_alive = slen >= 40  # parser.py:32,125 (Python strip set, via barrier)
     if mode == "fastpath":
-        conf = F.when(alive, F.lit(0.8)).otherwise(F.lit(0.0))
-        notes = F.lit("Extracted via direct MLX agents (no crew orchestration)")
-        retried = F.lit(False)
-    else:  # agentic: text defaults + lowconf retry hook (extraction.py:125, base.py:42)
+        t_conf = F.lit(0.8)
+        t_notes = F.lit("Extracted via direct MLX agents (no crew orchestration)")
+        t_retried = F.lit(False)
+    else:  # agentic: text defaults + lowconf retry hook (extraction.py:125)
         lowconf = F.contains(raw, F.lit("[[LOWCONF]]"))
-        conf = F.when(~alive, F.lit(0.0)).when(lowconf, F.lit(0.4)).otherwise(F.lit(0.7))
-        notes = F.lit("")
-        retried = alive & (conf < 0.5)
+        t_conf = F.when(lowconf, F.lit(0.4)).otherwise(F.lit(0.7))
+        t_notes = F.lit("")
+        t_retried = lowconf  # conf 0.4 < 0.5 threshold (base.py:42)
+    simple_blk = _blk("text", 2, raw, t_alive, F.substring(raw, 1, 2000),
+                      F.lit(""), t_conf, t_notes, t_retried, "dropped_short")
 
-    null_b = F.lit(None).cast("boolean")
-    null_a = F.lit(None).cast("array<string>")
-    null_d = F.lit(None).cast("double")
-    null_s = F.lit(None).cast("string")
-    if validate:
-        # containment audit trivially holds (structured == raw[:2000]);
-        # dropped blocks never reach Checkpoint A → NULL validation
-        is_valid = F.when(alive, F.lit(True)).otherwise(null_b)
-        issues = F.when(alive, F.array().cast("array<string>")).otherwise(null_a)
-        verdict = F.when(alive, F.lit(1.0)).otherwise(null_d)
-        vnotes = F.when(alive, F.lit("")).otherwise(null_s)
-    else:
-        is_valid, issues, verdict, vnotes = null_b, null_a, null_d, null_s
+    # ── single-line figure turn ────────────────────────────────────────────
+    f_alive = (w >= 80) & (h >= 80)  # parser.py:81-83
+    fig_repr = F.concat(
+        F.lit("<PIL.Image.Image image mode=RGB size="),
+        w.cast("string"), F.lit("x"), h.cast("string"),
+    )
+    if mode == "fastpath":
+        f_conf = F.lit(0.8)
+        f_structured = fig_repr
+        f_summary = F.lit("")
+        f_notes = F.lit("Extracted via direct MLX agents (no crew orchestration)")
+        f_retried = F.lit(False)
+    else:  # agentic (extraction.py:278-306)
+        f_conf = F.when(is_ocr, F.lit(0.3)).otherwise(F.lit(0.6))
+        f_structured = F.when(is_ocr, F.substring(caption, 1, 1000)).otherwise(fig_repr)
+        f_summary = F.when(is_ocr, F.lit("OCR fallback.")).otherwise(F.lit(""))
+        f_notes = F.when(is_ocr, F.lit("Vision model not loaded.")).otherwise(
+            F.concat(F.lit("figure_type=other | "), caption)
+        )
+        f_retried = is_ocr  # conf 0.3 < 0.5 threshold
+    fig_blk = _blk("figure", 1, text, f_alive, f_structured, f_summary,
+                   f_conf, f_notes, f_retried, "dropped_figure_small")
 
-    cols = [
-        F.col("conv_id"),
-        F.col("turn_idx").cast("int").alias("turn_idx"),
-        F.col("role"),
-        F.col("tool"),
-        F.col("ts"),
-        F.lit("text").alias("chunk_type"),
-        F.lit(2).alias("block_rank"),
-        F.lit(0).alias("block_idx"),
-    ]
-    if emit_raw:
-        cols.append(raw.alias("raw_content"))
-    cols += [
-        structured.alias("structured_text"),
-        F.lit("").alias("intuition_summary"),
-        F.array().cast("array<string>").alias("key_concepts"),
-        conf.cast("double").alias("confidence"),
-        F.when(alive, notes).otherwise(F.lit("")).alias("agent_notes"),
-        retried.alias("retried"),
-        is_valid.alias("is_valid"),
-        issues.alias("issues"),
-        verdict.alias("verdict_score"),
-        vnotes.alias("validator_notes"),
-        F.lit(False).alias("was_corrected"),
-        F.when(alive, F.lit("accepted")).otherwise(F.lit("dropped_short")).alias("status"),
-    ]
-    return df.select(*cols)
+    # ── single-line tab turn: a 1-row table region, always dropped ─────────
+    tab_blk = _blk("table", 0, tab_md, F.lit(False), F.lit(""), F.lit(""),
+                   F.lit(0.0), F.lit(""), F.lit(False), "dropped_table_small")
+
+    # the kernel's unconditional empty text remainder of a fully-consumed
+    # turn (always dropped_short)
+    dead_txt_blk = _blk("text", 2, F.lit(""), F.lit(False), F.lit(""),
+                        F.lit(""), F.lit(0.0), F.lit(""), F.lit(False),
+                        "dropped_short")
+
+    arr = (
+        F.when(route == 1, F.array(fig_blk, dead_txt_blk))
+        .when(route == 2, F.array(tab_blk, dead_txt_blk))
+        .otherwise(F.array(simple_blk))
+    )
+    return P.select(
+        "conv_id", "turn_idx", "role", "tool", "ts",
+        F.explode(arr).alias("_b"),
+    ).select("conv_id", "turn_idx", "role", "tool", "ts", "_b.*")
 
 
 def extract_blocks(
@@ -380,38 +367,30 @@ def extract_blocks(
     )
     if native_simple_path:
         # Only the kernel branch is salted: the Python workers need balanced
-        # partitions, while the native branches are pure codegen row-ops that
-        # cost the same under any layout — shuffling them would be pure waste
-        # (verified in the formatted plan: the native sides stay
-        # scan→filter→project with pushed-down StringContains filters).
-        # r6: two further native claims peel the single-line structured
-        # shapes (whole-text figure line; 1-row tab line) off the kernel —
-        # at transcript mixes this roughly halves the rows crossing the
-        # Python boundary (guide §4: the boundary itself is the cost).
+        # partitions, while the native branch is pure codegen row-ops that
+        # cost the same under any layout — shuffling it would be pure waste
+        # (verified in the formatted plan: the native side stays
+        # scan→filter→explode-project with pushed-down StringContains
+        # filters).  r6: the native branch claims, besides prose turns, the
+        # single-line structured shapes (whole-text figure line; 1-row tab
+        # line) — at transcript mixes this roughly halves the rows crossing
+        # the Python boundary (guide §4: the boundary itself is the cost) —
+        # and routes all three shapes per-row in ONE scan.
         claimed = _native_fig_pred(F.col("text")) | _native_tab1_pred(
             F.col("text")
         )
         complex_df = df.filter(F.expr(_COMPLEX_PRED) & ~claimed)
-        simple_df = df.filter(~F.expr(f"coalesce({_COMPLEX_PRED}, false)"))
-        fig_df = df.filter(_native_fig_pred(F.col("text")))
-        tab1_df = df.filter(_native_tab1_pred(F.col("text")))
+        native_df = df.filter(
+            ~F.expr(f"coalesce({_COMPLEX_PRED}, false)")
+            | F.coalesce(claimed, F.lit(False))
+        )
         if salt_repartition:
             complex_df = _salted(complex_df)
         kernel_blocks = complex_df.mapInPandas(
             functools.partial(_kernel, mode, validate, emit_raw), schema=schema
         )
-        blocks = (
-            kernel_blocks.unionByName(
-                _native_simple_blocks(simple_df, mode, validate, emit_raw)
-            )
-            .unionByName(
-                _native_structured_blocks(fig_df, mode, validate, emit_raw,
-                                          "figure")
-            )
-            .unionByName(
-                _native_structured_blocks(tab1_df, mode, validate, emit_raw,
-                                          "table1")
-            )
+        blocks = kernel_blocks.unionByName(
+            _native_routed_blocks(native_df, mode, validate, emit_raw)
         )
     else:
         if salt_repartition:
