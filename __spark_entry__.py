@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkx.graft import TRANSCRIPTS_SQL_CTE, transcripts_from_documents
+from sparkx.session import spread_narrow_input
 from sparkx.pipeline import PY_WS
 from sparkx.ops import dedup as D
 from sparkx.ops import multimodal as M
@@ -28,11 +29,19 @@ from sparkx.pipeline import crossref_edges, extract_blocks, ordered, surviving, 
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread here: the A/B (BENCH/R6 notes) showed the repartition pays
+    # only for heavy per-row map work; light aggregates over the 5k-row
+    # table lose more to the extra exchange than they gain.  The heavy ops
+    # (shingles / simhash / gopher battery / span postings) spread
+    # internally instead.
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return spread_narrow_input(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        cache_key=f"{sf_dir}/embeddings.parquet",
+    )
 
 
 def _blocks(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:

@@ -46,7 +46,12 @@ def _table_tsv(lang, source, n_chars, doc_id):
 
 
 def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from sparkx.session import spread_narrow_input
+
+    # spread: single-row-group sf-dir file -> 1 scan task otherwise (the
+    # derived transcripts feed the whole extraction suite)
+    docs = spread_narrow_input(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                               cache_key=f"{sf_dir}/documents.parquet")
     doc_id = F.col("doc_id")
     fam = (doc_id % 10).cast("int")
     text, lang, source, n_chars = F.col("text"), F.col("lang"), F.col("source"), F.col("n_chars")

@@ -1583,6 +1583,9 @@ def epoch_schedule(
 
     Returns ``(id_col, toks, q_e4, cum_before, repeats, sched_tokens)``.
     """
+    from sparkx.session import spread_narrow_input
+
+    docs = spread_narrow_input(docs)  # 1-task narrow scans serialize the map
     from pyspark.sql import Window
 
     e = int(max_epochs)

@@ -343,6 +343,9 @@ def repeated_span_pairs(
     At corpus scale the string shingle would ride the shuffle as an 8-byte
     hash (the hashed-verify precedent in minhash_lsh_pairs); kept as the
     string here because the DuckDB gate oracle joins on shingle equality."""
+    from sparkx.session import spread_narrow_input
+
+    docs = spread_narrow_input(docs)  # 1-task narrow scans serialize the map
     runs = _diag_runs(_positional_posting(docs, n, max_shingle_df))
     return (
         runs.groupBy("a_id", "b_id")
@@ -442,6 +445,9 @@ def cut_repeated_spans(
     Output text is whitespace-normalized (single spaces) for ALL rows —
     the same canonical form the dedup fingerprints use — so cut and uncut
     rows are directly comparable and the cross-engine oracle is exact."""
+    from sparkx.session import spread_narrow_input
+
+    docs = spread_narrow_input(docs)  # 1-task narrow scans serialize the map
     runs = _diag_runs(_positional_posting(docs, n, max_shingle_df))
     spans = runs.filter(F.col("run") + F.lit(n - 1) >= min_span_tokens).select(
         F.col("b_id").alias("doc_id"),
@@ -819,6 +825,9 @@ def with_simhash(docs: DataFrame) -> DataFrame:
     BIGINT; bit j of the simhash = sign of the sum of (±1) votes.
     Explode+groupBy keeps it fully native (no UDF); the 32-bit r1 variant
     saturated at web scale (birthday collisions per 8-bit band key)."""
+    from sparkx.session import spread_narrow_input
+
+    docs = spread_narrow_input(docs)  # 1-task narrow scans serialize the map
     half = SIMHASH_BITS // 2
     toks = (
         docs.select(

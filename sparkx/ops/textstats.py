@@ -281,6 +281,9 @@ def with_shingles(docs: DataFrame, col: str = "text", n: int = 3,
     0.8 s for one shingle-explode pass over sf0.1 (the same trap CLAUDE.md
     records for the minhash K-loop, in projection form).  explode(array(x))
     never changes the row count (a 1-element array even when x is NULL)."""
+    from sparkx.session import spread_narrow_input
+
+    docs = spread_narrow_input(docs)  # 1-task narrow scans serialize the map
     split_expr = F.split(F.lower(F.trim(F.col(col))), r"\s+")
     d = docs.select("*", F.explode(F.array(split_expr)).alias("_toks"))
     parts = ", ' ', ".join(f"_toks[i+{k}]" for k in range(n))
@@ -413,6 +416,9 @@ def gopher_rules(
     keeps EVERY input column alongside the signals + ``keep`` — the shape
     the corpus funnel uses to layer the battery as a flag column without a
     self-join."""
+    from sparkx.session import spread_narrow_input
+
+    docs = spread_narrow_input(docs)  # 1-task narrow scans serialize the map
     toks_expr = F.expr(
         f"filter(split(lower(trim(coalesce({text_col}, ''))), '\\\\s+'), "
         "t -> t != '')"

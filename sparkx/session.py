@@ -19,6 +19,47 @@ from pyspark.sql import SparkSession
 ARROW_BATCH_ROWS = 16384
 
 
+_SPREAD_PROBE_CACHE: dict = {}
+
+
+def spread_narrow_input(df, min_parts: int = 8, cache_key: str | None = None):
+    """Scale-adaptive parallelism repair for narrow scans (guide §1.2/§2.5).
+
+    A small or single-row-group parquet table plans as one (or very few)
+    scan tasks, which serializes ALL downstream per-row map work before the
+    first exchange — shingling, hashing, vector scoring — onto one core
+    (measured: a 2000-row single-file embeddings scan made every frozen-
+    quantizer op evaluate on 1 task of a 32-core session).  Round-robin
+    repartition such inputs to the session's default parallelism; the
+    shuffle moves only the tiny table.  Wide inputs (a healthy 100 TB scan
+    arrives in thousands of byte-range splits) pass through untouched, so
+    the scale plan shape is unchanged.  The probe is planning-only (no
+    job), the same idiom as extract_blocks' salt_repartition="auto".
+    Explicit-numPartitions repartition is exempt from AQE coalescing, so
+    the spread survives adaptive re-planning.
+
+    ``cache_key``: stable identity of the INPUT (e.g. the parquet path) —
+    the partition probe costs a full plan build (df.rdd), so repeated
+    probes of the same table within a process are answered from a cache.
+    ``SPARKX_SPREAD=0`` disables the repair (A/B hook)."""
+    if os.environ.get("SPARKX_SPREAD", "1") == "0":
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    floor = min(min_parts, target)
+    if cache_key is not None:
+        key = (id(sc), cache_key)
+        n = _SPREAD_PROBE_CACHE.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _SPREAD_PROBE_CACHE[key] = n
+    else:
+        n = df.rdd.getNumPartitions()
+    if n < floor:
+        return df.repartition(target)
+    return df
+
+
 def _iceberg_available() -> bool:
     """True iff an iceberg-spark-runtime jar is on the classpath."""
     try:
