@@ -2510,8 +2510,13 @@ def _q_ann_assign_table(spark, sf_dir):
     same floor-1e6 grid affinity / lowest-cell tiebreak as the frozen
     path (the two paths are pinned bit-identical in pytest).  The raw
     embedding array is projected OUT of the gated output (engine float
-    representation is not part of the contract)."""
-    emb = _emb(spark, sf_dir)
+    representation is not part of the contract).
+
+    Reads the table RAW (no spread): the op is a broadcast nested-loop
+    join + one aggregate — three plan references to the input — and the
+    r6 A/B showed the narrow-input repartition costs more here (3 extra
+    exchanges) than the parallelized pair work gains."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
     )
