@@ -117,15 +117,30 @@ def _native_fig_pred(col) -> Column:
     )
 
 
-def _native_tab1_pred(col) -> Column:
-    # single line containing a tab and no FIG marker anywhere → exactly one
-    # 1-row table region in the kernel (a FIG-marked line could be a figure
-    # with a tab in its caption — left to the kernel)
-    return (
+# a tab-free LINE exists (incl. empty lines / a trailing newline): any such
+# line would be a text-remainder or region break in the kernel grammar
+_HAS_TABFREE_LINE_RE = "(^|\n)[^\t\n]*(\n|$)"
+# C0 control chars other than \t/\n: excluded from the table claim so the
+# agentic schema annotation's JSON escaping stays a plain replace chain
+# (json.dumps would emit \\u00XX escapes for these)
+_CTRL_RE = "[\x00-\x08\x0b-\x1f]"
+
+
+def _native_tab_pred(col) -> Column:
+    # EVERY line contains a tab and no FIG marker appears anywhere → the
+    # whole text is exactly one table region in the kernel grammar (a
+    # FIG-marked line could be a figure with a tab in its caption — left
+    # to the kernel).  Java's extra line terminators and C0 controls are
+    # excluded (regex/JSON-escape parity; rare rows → kernel).
+    pred = (
         F.contains(col, F.lit("\t"))
-        & _single_line(col)
         & ~F.contains(col, F.lit("FIG;mode="))
+        & ~col.rlike(_HAS_TABFREE_LINE_RE)
+        & ~col.rlike(_CTRL_RE)
     )
+    for ch in _JAVA_EOL_CHARS[1:]:  # \n allowed; \r, NEL, LS, PS not
+        pred = pred & ~F.contains(col, F.lit(ch))
+    return pred
 
 
 def _native_routed_blocks(df: DataFrame, mode: str, validate: bool,
@@ -169,20 +184,45 @@ def _native_routed_blocks(df: DataFrame, mode: str, validate: bool,
     # tab markdown is gated only by the cheap tab-contains, and unused
     # fields of the wrong route are simply never read downstream.
     is_fig = _native_fig_pred(text)
-    is_tab = _native_tab1_pred(text)
+    is_tab = _native_tab_pred(text)
     route = (
         F.when(F.coalesce(is_fig, F.lit(False)), F.lit(1))
         .when(F.coalesce(is_tab, F.lit(False)), F.lit(2))
         .otherwise(F.lit(0))
     )
-    # 1-row-table markdown (_to_markdown, parser.py:140-156): wrapped header
-    # + separator sized to its column count, no body rows
-    ncols = F.length(text) - F.length(F.replace(text, F.lit("\t"), F.lit(""))) + 1
-    tab_md = F.concat(
-        F.lit("| "), F.replace(text, F.lit("\t"), F.lit(" | ")), F.lit(" |"),
-        F.lit("\n| ---"),
-        F.repeat(F.lit(" | ---"), (ncols - 1).cast("int")),
+    # table markdown (_to_markdown, parser.py:140-156): every TSV line
+    # becomes "| " + cells.join(" | ") + " |"; the "---" separator (sized to
+    # row 0's column count) is inserted after the header row; ragged rows
+    # are NOT padded and str(c or "") maps empty→empty, so the render is
+    # exactly replace(\t → " | ") / replace(\n → " |\n| ") + edge wrapping
+    first_line = F.substring_index(text, "\n", 1)
+    n_lines = (
+        F.length(text) - F.length(F.replace(text, F.lit("\n"), F.lit(""))) + 1
+    )
+    ncols = (
+        F.length(first_line)
+        - F.length(F.replace(first_line, F.lit("\t"), F.lit(""))) + 1
+    )
+    wrapped = F.concat(
+        F.lit("| "),
+        F.replace(
+            F.replace(text, F.lit("\t"), F.lit(" | ")),
+            F.lit("\n"), F.lit(" |\n| "),
+        ),
         F.lit(" |"),
+    )
+    header_md = F.substring_index(wrapped, "\n", 1)
+    sep = F.concat(
+        F.lit("| ---"), F.repeat(F.lit(" | ---"), (ncols - 1).cast("int")),
+        F.lit(" |"),
+    )
+    tab_md = F.when(
+        n_lines == 1, F.concat(header_md, F.lit("\n"), sep)
+    ).otherwise(
+        F.concat(
+            header_md, F.lit("\n"), sep, F.lit("\n"),
+            F.substring(wrapped, F.length(header_md) + 2, F.length(wrapped)),
+        )
     )
     _re = _FIG_NATIVE_RE.replace("\\", "\\\\")
     parse = F.struct(
@@ -196,6 +236,9 @@ def _native_routed_blocks(df: DataFrame, mode: str, validate: bool,
         (F.regexp_extract(text, _FIG_NATIVE_RE, 1) != "RGB").alias("is_ocr"),
         F.when(F.contains(text, F.lit("\t")), tab_md).otherwise(null_s)
         .alias("tab_md"),
+        F.when(F.contains(text, F.lit("\t")), first_line).otherwise(null_s)
+        .alias("tab_header"),
+        n_lines.alias("n_lines"),
     )
     P = df.select(
         "conv_id",
@@ -210,6 +253,8 @@ def _native_routed_blocks(df: DataFrame, mode: str, validate: bool,
     caption = F.col("_p.caption")
     is_ocr = F.col("_p.is_ocr")
     tab_md = F.col("_p.tab_md")
+    tab_header = F.col("_p.tab_header")
+    n_lines = F.col("_p.n_lines")
 
     def _valid(alive):
         if validate:
@@ -287,9 +332,36 @@ def _native_routed_blocks(df: DataFrame, mode: str, validate: bool,
     fig_blk = _blk("figure", 1, text, f_alive, f_structured, f_summary,
                    f_conf, f_notes, f_retried, "dropped_figure_small")
 
-    # ── single-line tab turn: a 1-row table region, always dropped ─────────
-    tab_blk = _blk("table", 0, tab_md, F.lit(False), F.lit(""), F.lit(""),
-                   F.lit(0.0), F.lit(""), F.lit(False), "dropped_table_small")
+    # ── all-tab-lines turn: exactly one table region (≥2 rows → alive;
+    #    a 1-row region is dropped_table_small with the markdown as raw) ──
+    tb_alive = n_lines >= 2  # MIN_TABLE_ROWS (parser.py:31,55)
+    tb_trunc = F.substring(tab_md, 1, 2000)
+    if mode == "fastpath":
+        tb_structured = tb_trunc
+        tb_conf = F.lit(0.8)
+        tb_notes = F.lit("Extracted via direct MLX agents (no crew orchestration)")
+    else:
+        # schema annotation (P10/A3, extraction.py:184): appended AFTER the
+        # 2000-char truncation; JSON header-cell array via a plain replace
+        # chain (claim excludes C0 controls, so json.dumps escaping reduces
+        # to backslash → quote → tab-delimiter replacements, in that order)
+        esc = F.replace(
+            F.replace(
+                F.replace(tab_header, F.lit("\\"), F.lit("\\\\")),
+                F.lit('"'), F.lit('\\"'),
+            ),
+            F.lit("\t"), F.lit('", "'),
+        )
+        annotation = F.concat(
+            F.lit('\n<!-- schema: {"columns": ["'), esc,
+            F.lit('"], "row_count": '), (n_lines - 1).cast("string"),
+            F.lit(', "units": {}} -->'),
+        )
+        tb_structured = F.concat(tb_trunc, annotation)
+        tb_conf = F.lit(0.7)  # TABLE_CONF (extraction.py:192)
+        tb_notes = F.lit("")
+    tab_blk = _blk("table", 0, tab_md, tb_alive, tb_structured, F.lit(""),
+                   tb_conf, tb_notes, F.lit(False), "dropped_table_small")
 
     # the kernel's unconditional empty text remainder of a fully-consumed
     # turn (always dropped_short)
@@ -376,7 +448,7 @@ def extract_blocks(
         # line) — at transcript mixes this roughly halves the rows crossing
         # the Python boundary (guide §4: the boundary itself is the cost) —
         # and routes all three shapes per-row in ONE scan.
-        claimed = _native_fig_pred(F.col("text")) | _native_tab1_pred(
+        claimed = _native_fig_pred(F.col("text")) | _native_tab_pred(
             F.col("text")
         )
         complex_df = df.filter(F.expr(_COMPLEX_PRED) & ~claimed)

@@ -39,16 +39,14 @@ def _fig_line(draw):
     return f"FIG;mode={m};w={w};h={h};caption={cap}"
 
 
-_TAB_LINE = st.lists(
-    st.text(
-        alphabet=st.characters(blacklist_characters="\t\n", blacklist_categories=("Cs",)),
-        max_size=8,
-    ),
-    min_size=2,
-    max_size=5,
-).map("\t".join)
+_CELL = st.text(
+    alphabet=st.characters(blacklist_characters="\t\n", blacklist_categories=("Cs",)),
+    max_size=8,
+)
+_TAB_LINE = st.lists(_CELL, min_size=2, max_size=5).map("\t".join)
+_TAB_MULTI = st.lists(_TAB_LINE, min_size=1, max_size=5).map("\n".join)
 
-_STRUCTURED = st.one_of(_fig_line(), _TAB_LINE)
+_STRUCTURED = st.one_of(_fig_line(), _TAB_LINE, _TAB_MULTI)
 
 
 def _frame(texts: list[str]) -> pd.DataFrame:
@@ -121,8 +119,22 @@ _ADVERSARIAL = [
     "x\t",
     "\tleading",
     "cell with FIG;mode= marker\tother",  # tab + FIG substring → kernel
-    "a\tb\nc\td",  # 2-row table → kernel
-    "a\tb\rc",  # \r stays in line; not claimed (single-line rule)
+    "a\tb\nc\td",  # 2-row all-tab table → claimed alive
+    "a\tb\rc",  # \r stays in line; not claimed
+    # multi-line table shapes (claimed) and near-misses (kernel)
+    "col_0\tcol_1\tcol_2\n12\t\t417\nalpha\t5\tgamma",
+    "h1\th2\nr1a\tr1b\nr2a\tr2b\nr3a\tr3b",
+    'cell "quoted"\tback\\slash\nv1\tv2',  # JSON escaping in header
+    "a\tb\nragged-solo-cell\tx\ty\tz",  # ragged rows NOT padded
+    "(cid:123)\tglyph\n1\t2",  # glyph table
+    "a\tb\nno-tab-line\nc\td",  # tab-free middle line → kernel
+    "a\tb\nc\td\n",  # trailing newline → empty last line → kernel
+    "a\tb\n\nc\td",  # empty middle line → kernel
+    "with <!-- schema: {x} --> inside\tb\nc\td",  # schema-marker cell
+    "a\tb [[LOWCONF]]\nc\td",  # lowconf marker inside table cells
+    "\t\n\t",  # empty cells only, 2 rows → claimed alive
+    "long\t" + "y" * 3000 + "\nnext\trow",  # >2000 chars → truncation
+    "ctl\x07cell\tb\nc\td",  # C0 control in cell → kernel (JSON \\u escape)
 ]
 
 
