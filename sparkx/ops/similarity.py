@@ -243,9 +243,6 @@ def ivf_assign_frozen(
     score an 8-dim vector (Spark's zip_with would NULL-pad, a SQL mirror's
     fixed-length dot errors; surfaced by the adversarial ragged-dim
     fixture).  Upstream QA is :func:`embedding_health`."""
-    from sparkx.session import spread_narrow_input
-
-    emb = spread_narrow_input(emb)  # 1-task narrow scans serialize the map
     dim = len(centroids[0])
     structs = F.array(
         *[
@@ -683,9 +680,6 @@ def quantize_int8(
     CAST(floor(NaN) AS INT) errors, so the engines could never agree.  Run
     :func:`embedding_health` first to quarantine such vectors upstream.
     """
-    from sparkx.session import spread_narrow_input
-
-    emb = spread_narrow_input(emb)  # 1-task narrow scans serialize the map
     maxabs = F.aggregate(
         F.col(vec_col),
         F.lit(0.0),
@@ -948,9 +942,6 @@ def pq_encode(
     foreign-dimension vector — the ivf_assign_frozen contract);
     NaN-bearing vectors are undefined (gate with :func:`embedding_health`
     upstream, as for :func:`quantize_int8`)."""
-    from sparkx.session import spread_narrow_input
-
-    emb = spread_narrow_input(emb)  # 1-task narrow scans serialize the map
     m_sub, d_sub = books["m"], books["d_sub"]
     codes = []
     for m in range(m_sub):
