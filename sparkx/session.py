@@ -54,10 +54,47 @@ def spread_narrow_input(df, min_parts: int = 8, cache_key: str | None = None):
             n = df.rdd.getNumPartitions()
             _SPREAD_PROBE_CACHE[key] = n
     else:
+        # un-keyed (op-internal) callers may receive arbitrary mid-plan
+        # frames; only scan-shaped inputs (a relation, optionally under a
+        # few Filters/Projects) are probed.  Anything bigger is assumed
+        # caller-shaped: the partition probe itself would build the whole
+        # plan (measured ~0.3-0.5 s of driver time on the corpus funnel's
+        # extraction DAG), and repartitioning a mid-plan frame second-
+        # guesses upstream exchanges.
+        if not _plan_is_small(df):
+            return df
         n = df.rdd.getNumPartitions()
     if n < floor:
         return df.repartition(target)
     return df
+
+
+_SHAPED_NODES = frozenset(
+    ["Aggregate", "Join", "Generate", "Window", "Union", "Sort",
+     "Distinct", "Deduplicate", "GroupingSets", "MapInPandas",
+     "Repartition", "RepartitionByExpression"]
+)
+
+
+def _plan_is_small(df, max_nodes: int = 8) -> bool:
+    """True iff the (unanalyzed) logical plan is scan-shaped: a bounded
+    number of nodes and none that already shape the data (aggregates,
+    joins, generators, windows, repartitions) — those frames are
+    caller-shaped and must not be re-spread."""
+    try:
+        stack = [df._jdf.queryExecution().logical()]
+    except Exception:
+        return False
+    count = 0
+    while stack:
+        node = stack.pop()
+        count += 1
+        if count > max_nodes or node.nodeName() in _SHAPED_NODES:
+            return False
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return True
 
 
 def _iceberg_available() -> bool:
